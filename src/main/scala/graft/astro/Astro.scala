@@ -1,0 +1,138 @@
+package graft.astro
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spherical-astronomy and photometry math as pure Catalyst `Column`
+  * expression builders — zero UDFs, full whole-stage codegen.
+  *
+  * The reference computes these via astropy / numpy inside pandas UDFs
+  * (e.g. galactic latitude at `fink_filters/rubin/blocks.py:70-75`, angular
+  * separation inside `fink_filters/ztf/filter_known_tde/filter.py:59-90`,
+  * SNANA mag→flux at `fink_filters/ztf/filter_early_tde_candidates/
+  * prefilter.py:153-166`). All formulas are standard J2000 rotations and
+  * photometric identities (public knowledge); constants cited inline.
+  */
+object Astro {
+
+  private val D2R = math.Pi / 180.0
+
+  /** Great-circle angular separation in DEGREES between two points given in
+    * degrees, via the haversine formula (numerically stable at small
+    * separations, which is the cross-match regime).
+    */
+  def angSepDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+    val dra = (ra2 - ra1) * D2R / 2.0
+    val ddec = (dec2 - dec1) * D2R / 2.0
+    val a = pow(sin(ddec), 2) +
+      cos(dec1 * D2R) * cos(dec2 * D2R) * pow(sin(dra), 2)
+    asin(sqrt(a)) * 2.0 / D2R
+  }
+
+  // North galactic pole, J2000 (Perryman & ESA 1997): used by astropy's
+  // ICRS->Galactic frame rotation.
+  private val NgpRa = 192.85948
+  private val NgpDec = 27.12825
+
+  /** Galactic latitude b (degrees) from ICRS ra/dec (degrees).
+    * sin(b) = sin(dec)·sin(δNGP) + cos(dec)·cos(δNGP)·cos(ra − αNGP).
+    */
+  def galacticLatDeg(ra: Column, dec: Column): Column = {
+    val sb = sin(dec * D2R) * math.sin(NgpDec * D2R) +
+      cos(dec * D2R) * math.cos(NgpDec * D2R) * cos((ra - NgpRa) * D2R)
+    asin(sb) / D2R
+  }
+
+  // Mean obliquity of the ecliptic, J2000 (IAU 2006): 23°26′21.406″.
+  private val ObliquityJ2000 = 23.43927944444444
+
+  /** Ecliptic latitude β (degrees) from ICRS ra/dec (degrees).
+    * sin(β) = sin(dec)·cos(ε) − cos(dec)·sin(ε)·sin(ra).
+    */
+  def eclipticLatDeg(ra: Column, dec: Column): Column = {
+    val eps = ObliquityJ2000 * D2R
+    val sb = sin(dec * D2R) * math.cos(eps) -
+      cos(dec * D2R) * math.sin(eps) * sin(ra * D2R)
+    asin(sb) / D2R
+  }
+
+  /** SNANA-calibrated flux from a PSF magnitude (zero point 10^11, i.e.
+    * FLUXCAL = 10^(−0.4·mag) · 10^11) with its error. Mirrors fink-utils
+    * `mag2fluxcal_snana`, used at `prefilter.py:153-166`.
+    * Returns struct(flux, sigflux).
+    */
+  def mag2FluxcalSnana(magpsf: Column, sigmapsf: Column): Column = {
+    val flux = pow(10.0, lit(-0.4) * magpsf) * 1e11
+    val sigflux = flux * lit(math.log(10.0) / 2.5) * sigmapsf
+    struct(flux.as("flux"), sigflux.as("sigflux"))
+  }
+
+  /** Apparent AB magnitude from a flux in nano-Jansky (Rubin convention,
+    * ZP 31.4: mag = −2.5·log10(flux) + 31.4). Null for flux ≤ 0 (the
+    * reference returns NaN, `fink_filters/rubin/utils.py:193-212`; Spark
+    * null behaves identically in downstream comparisons).
+    */
+  def fluxNJyToMag(flux: Column): Column =
+    when(flux > 0.0, lit(-2.5) * log10(flux) + 31.4)
+
+  /** DC (direct-camera) apparent magnitude from difference photometry plus
+    * the reference-image magnitude — fink-utils `dc_mag` (used by the KN
+    * rate computation, `filter_kn_candidates/filter.py:242-251`).
+    *
+    * ref and difference fluxes are combined with the sign given by
+    * `isdiffpos` ('t'/'1' = positive difference).
+    * Returns struct(dc_mag, dc_sigmag); null when the combined flux ≤ 0.
+    */
+  def dcMag(
+      magpsf: Column, sigmapsf: Column,
+      magnr: Column, sigmagnr: Column,
+      isdiffpos: Column): Column = {
+    val diffFlux = pow(10.0, lit(-0.4) * magpsf)
+    val diffSig = diffFlux * sigmapsf * math.log(10.0) / 2.5
+    val refFlux = pow(10.0, lit(-0.4) * magnr)
+    val refSig = refFlux * sigmagnr * math.log(10.0) / 2.5
+    val sign = when(isdiffpos.isin("t", "1"), lit(1.0)).otherwise(lit(-1.0))
+    val dcFlux = refFlux + sign * diffFlux
+    val dcSigFlux = sqrt(refSig * refSig + diffSig * diffSig)
+    val dcm = when(dcFlux > 0.0, lit(-2.5) * log10(dcFlux))
+    val dcs = when(dcFlux > 0.0, lit(2.5 / math.log(10.0)) * dcSigFlux / dcFlux)
+    struct(dcm.as("dc_mag"), dcs.as("dc_sigmag"))
+  }
+
+  /** Distance modulus μ = 5·log10(dL/10pc) for a flat ΛCDM cosmology
+    * (H0 = 70 km/s/Mpc, Ωm = 0.3 — the parameters used at
+    * `fink_filters/rubin/utils.py:215-249`). dL is computed by Simpson
+    * integration of the comoving distance on the DRIVER once per distinct
+    * usage? No — it is a per-row function of redshift, so we provide a
+    * fixed-grid series approximation evaluated as a pure Column expression:
+    * dC(z) = (c/H0) ∫0..z dz'/E(z'), integrated with an N-step Simpson rule
+    * unrolled into the expression tree (N=64 keeps the error < 0.01 mag for
+    * z ≤ 2, far below the reference's photometric-redshift uncertainty).
+    */
+  def distanceModulus(z: Column, nSteps: Int = 64): Column = {
+    val H0 = 70.0 // km/s/Mpc
+    val Om = 0.3
+    val c = 299792.458 // km/s
+    val hubbleDistMpc = c / H0
+    def invE(zz: Column): Column =
+      lit(1.0) / sqrt(lit(Om) * pow(lit(1.0) + zz, 3) + lit(1.0 - Om))
+    // Simpson's rule with n even intervals on [0, z]
+    val n = if (nSteps % 2 == 0) nSteps else nSteps + 1
+    val h = z / n
+    val terms: Seq[Column] = (0 to n).map { i =>
+      val w = if (i == 0 || i == n) 1.0 else if (i % 2 == 1) 4.0 else 2.0
+      invE(h * i) * w
+    }
+    val integral = terms.reduce(_ + _) * h / 3.0
+    val dcMpc = integral * hubbleDistMpc
+    val dlMpc = dcMpc * (lit(1.0) + z)
+    // mu = 5 log10(dl / 10pc) = 5 log10(dl_Mpc) + 25
+    when(z > 0.0, lit(5.0) * log10(dlMpc) + 25.0)
+  }
+
+  /** Absolute magnitude from apparent magnitude and redshift (flat ΛCDM as
+    * above): M = m − μ(z). `fink_filters/rubin/utils.py:215-249`.
+    */
+  def absMag(apparentMag: Column, z: Column): Column =
+    apparentMag - distanceModulus(z)
+}

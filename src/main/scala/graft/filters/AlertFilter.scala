@@ -1,0 +1,72 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** One boolean predicate over an alert DataFrame — the engine's core
+  * abstraction, mirroring the reference's execution contract (alert
+  * DataFrame in → boolean mask → `df.filter(mask)` → reduced DataFrame
+  * out; see `apply_user_defined_filter` usage at
+  * `fink_filters/ztf/livestream/filter_sn_candidates/filter.py:125-130`).
+  *
+  * Where the reference binds a pandas UDF's parameter names to column names
+  * and ships batches to Python workers over Arrow, an [[AlertFilter]] is a
+  * pure Catalyst `Column` builder: no process boundary, no serialization,
+  * whole-stage codegen end to end.
+  */
+trait AlertFilter {
+  /** Registry key, e.g. "ztf.livestream.sn_candidates". */
+  def name: String
+
+  /** Human description (the reference's Rubin modules export a DESCRIPTION
+    * constant — `filter_uniform_sample/filter.py:19-20`).
+    */
+  def description: String = ""
+
+  /** Top-level / dotted-path columns the mask reads (used for pruning
+    * checks and documentation; Catalyst prunes automatically).
+    */
+  def requiredColumns: Seq[String]
+
+  /** The boolean mask. Takes the DataFrame so filters that need derived
+    * columns (history concat, cross-match flags) can build them; pure
+    * predicates ignore the argument.
+    */
+  def mask(df: DataFrame): Column
+
+  /** Apply: identical semantics to the reference's
+    * `df.filter(udf(*cols))`.
+    */
+  def apply(df: DataFrame): DataFrame = df.filter(mask(df))
+}
+
+/** String-keyed filter registry — the engine analog of the reference's
+  * "dotted module path → function" dispatch (importlib-based, see
+  * `fink_utils` `apply_user_defined_filter`). Config files can keep
+  * addressing filters by name.
+  */
+object FilterRegistry {
+  @volatile private var filters: Map[String, AlertFilter] = Map.empty
+
+  def register(fs: AlertFilter*): Unit = synchronized {
+    filters = filters ++ fs.map(f => f.name -> f)
+  }
+
+  def all: Map[String, AlertFilter] = {
+    ensureLoaded()
+    filters
+  }
+
+  def get(name: String): AlertFilter =
+    all.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown filter '$name'; known: ${all.keys.toSeq.sorted.mkString(", ")}"))
+
+  /** `apply_user_defined_filter(df, name)` equivalent. */
+  def applyFilter(df: DataFrame, name: String): DataFrame = get(name)(df)
+
+  // Touch the filter modules so their `register` side effects run.
+  private def ensureLoaded(): Unit = {
+    graft.filters.ztf.ZtfFilters.load()
+    graft.filters.rubin.RubinFilters.load()
+  }
+}

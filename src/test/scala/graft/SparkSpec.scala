@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession + reference fixtures for all suites. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** ZTF alert fixture (133 alerts in this checkout — see
+    * tools/dev_goldens.py for how expected counts were derived).
+    */
+  lazy val ztfRegular: DataFrame = {
+    val df = session.read.parquet("/root/reference/datatest/regular")
+    df.cache()
+    df
+  }
+
+  lazy val rubinFixture: DataFrame = {
+    val df = session.read
+      .parquet("/root/reference/datatest/rubin_test_data_10_0.parquet")
+    df.cache()
+    df
+  }
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual end-to-end drive of the public library surface (not a test —
+  * run with `sbt "Test/runMain graft.tools.DriveVerify"`).
+  */
+object DriveVerify {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet("/root/reference/datatest/regular")
+
+    import graft.filters.FilterRegistry
+    val kn = FilterRegistry.applyFilter(df, "ztf.livestream.kn_candidates")
+    kn.select("objectId", "cdsxmatch", "rf_kn_vs_nonkn").show(false)
+    println("KN count: " + kn.count())
+
+    val sn = FilterRegistry.applyFilter(df, "ztf.livestream.sn_candidates")
+    println("SN count: " + sn.count())
+    sn.select("objectId").explain("formatted")
+
+    try FilterRegistry.applyFilter(df, "ztf.nope")
+    catch { case e: Exception =>
+      println("PROBE unknown filter -> " + e.getMessage.take(130))
+    }
+
+    import graft.astro.Astro
+    spark.range(1).select(
+      Astro.galacticLatDeg(lit(192.85948), lit(27.12825)).as("b_at_ngp"),
+      Astro.angSepDeg(lit(10.0), lit(20.0), lit(10.0), lit(21.0)).as("sep_1deg"),
+      Astro.distanceModulus(lit(0.1)).as("mu_z0p1")).show()
+    spark.stop()
+  }
+}
