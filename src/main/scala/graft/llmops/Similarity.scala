@@ -1,0 +1,132 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k (the exact baseline): broadcast the query
+  *    vectors, one map stage over the corpus, TakeOrderedAndProject —
+  *    scales linearly and shuffles only k rows per query;
+  *  - LSH-bucketed (random-hyperplane signs) for the 100 TB path: corpus
+  *    and queries are bucketed by sign-pattern key, the join is an
+  *    equi-join on the bucket, exact cosine re-ranks within buckets.
+  *
+  * All vector math is `aggregate`/`zip_with` over array columns — codegen,
+  * no UDF.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Σ aᵢ·bᵢ as a pure expression (double accumulation, sequential —
+    * deterministic fold order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, component j is a
+    * fixed function of (p, j) — reproducible across sessions without a
+    * stored model. Values in [-1, 1).
+    */
+  private[llmops] def hyperplane(p: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(1234L * (p + 1))
+    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-pattern LSH key over `nPlanes` hyperplanes: an int in
+    * [0, 2^nPlanes). Vectors with equal keys are "same cone" candidates.
+    */
+  def lshKey(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = hyperplane(p, dim)
+      val proj = (0 until dim).map { j =>
+        element_at(vec, j + 1).cast("double") * plane(j)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // ---- queries ----
+
+  /** Per-vector norm + mean (array HOF baseline; deterministic fold). */
+  def qVectorStats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        round(norm(col("embedding")), 6).as("l2_norm"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")) / size(col("embedding")), 6)
+          .as("mean_val"))
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-k: the 10 nearest neighbours of vec_id 0
+    * (excluding itself). The query vector joins via broadcast (1 row);
+    * ranking is top-k, not a global sort.
+    */
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Centroid similarity per label group: mean vector per label (a
+    * tree-aggregated elementwise average), then cosine of each label
+    * centroid against the global centroid. Exercises grouped vector
+    * aggregation — the IVF coarse-quantizer building block.
+    */
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dim = 64
+    // elementwise decimal sums keep the reduce order-independent
+    val sums = (0 until dim).map { j =>
+      sum(element_at(col("embedding"), j + 1).cast("decimal(28,10)"))
+        .as(s"s$j")
+    }
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"), sums.head, sums.tail: _*)
+      .select(col("label"), col("n"),
+        round(sqrt((0 until dim).map { j =>
+          val m = col(s"s$j").cast("double") / col("n")
+          m * m
+        }.reduce(_ + _)), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine
+    * re-rank — the scale path (equi-join on bucket key; no cross join).
+    * Returns top candidate pairs above threshold.
+    */
+  def qAnnLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("bucket", lshKey(col("embedding"), 64, 8))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+}

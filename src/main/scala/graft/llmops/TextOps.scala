@@ -1,0 +1,127 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprints. All pure Catalyst expressions (whole-stage codegen) —
+  * at 100 TB these run as a single map stage over the corpus with no
+  * shuffle and full column pruning.
+  */
+object TextOps {
+
+  /** Whitespace token count, oracle-mirrorable (no regex-dialect risk):
+    * tokens = #spaces + 1 on a single-spaced corpus.
+    */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish subword estimate: words + intra-word punctuation splits.
+    * A cheap, deterministic stand-in for a real tokenizer count
+    * (~chars/4 heuristic blended with word count).
+    */
+  def tokenEstimate(text: Column): Column =
+    greatest(tokenCount(text), ceil(length(text) / 4).cast("long"))
+
+  /** Quality score components: length, mean word length, punctuation and
+    * digit ratios, stopword hit-rate. Returns a struct; callers threshold.
+    */
+  def qualityStruct(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val nDigit = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val meanWordLen = round(
+      (nChars - (nTokens - 1)).cast("double") / nTokens, 6)
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nTokens.as("n_tokens"),
+      meanWordLen.as("mean_word_len"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(nDigit.cast("double") / nChars, 6).as("digit_ratio"))
+  }
+
+  /** Stopword-count language scorer: number of occurrences of any of the
+    * given (space-delimited) stopwords. Counting via length-delta keeps it
+    * expressible in both Spark and ANSI SQL.
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    words.map { w =>
+      val token = s" $w "
+      // non-overlapping occurrence count; occurrences can share the
+      // delimiting space, so count on a space-doubled copy
+      val doubled = regexp_replace(padded, " ", "  ")
+      ((length(doubled) - length(regexp_replace(doubled, lit(token), lit("")))) /
+        token.length).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** N-gram-heuristic language ID over a small stopword table.
+    * Returns the argmax language code, "und" when nothing matches.
+    * (The real-world analog is a fastText/CLD model; the *operator shape*
+    * — per-row argmax over K language scores, no shuffle — is identical.)
+    */
+  /** Stopword table shared by the Column builder and the SQL-oracle
+    * generator (SparkEntry) — single source of truth. Order matters:
+    * earlier language wins score ties (fold semantics below).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "de" -> Seq("der", "die", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "y", "es", "un"))
+
+  def langId(text: Column): Column = {
+    val lower0 = lower(text)
+    val scores: Seq[(String, Column)] =
+      LangStopwords.map { case (code, ws) => code -> stopwordHits(lower0, ws) }
+    val best = scores.map { case (langCode, s) =>
+      struct(s.as("score"), lit(langCode).as("lang"))
+    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint (xxhash of normalized text) — the cheap
+    * exact-dup key. Normalization: lowercase + whitespace collapse.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---- queries over the `documents` table ----
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-document text statistics (flagship text-analysis query). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+        col("q.n_tokens").as("n_tokens"),
+        col("q.mean_word_len").as("mean_word_len"),
+        col("q.punct_ratio").as("punct_ratio"),
+        col("q.digit_ratio").as("digit_ratio"))
+      .orderBy("doc_id")
+
+  /** Corpus profile: per (lang, source) token/char totals — the
+    * "how much data per language" pipeline report.
+    */
+  def qCorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("lang", "source")
+
+  /** Language-ID prediction histogram (deterministic heuristic). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("pred_lang", langId(col("text")))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("pred_lang")
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator suite over the driver's TPC-H-ish testdata — one
+  * query per operator family of SURVEY.md §2.1 (scan/filter/project, agg,
+  * join, top-k, distinct, window, quantile, union), written to be
+  * hash-comparable against a DuckDB oracle.
+  *
+  * Determinism rules used throughout (these matter for the oracle gate):
+  *  - double SUMs are computed as decimal sums (exact, partition-order
+  *    independent) and cast back to double, so Spark's shuffle order can
+  *    never change the result vs DuckDB's sequential sum;
+  *  - every query has a total ORDER BY (unique tie-break key);
+  *  - results of trig/division are rounded to a fixed scale.
+  *
+  * Scale notes (100 TB): every aggregation here is a partial-agg +
+  * shuffle-on-group-key plan; joins to dimension tables are explicitly
+  * broadcast; top-k is TakeOrderedAndProject (no global sort); the window
+  * query partitions by key (no single-partition window).
+  */
+object CoreQueries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** SUM(expr) made deterministic: exact decimal accumulation, double out. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** q1 — TPC-H Q1-style pricing summary: scan → filter → partial agg →
+    * final agg (O14, O11; S1/S4/S6).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("2024-10-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2 — selective filter + projection; predicates and the 4-column read
+    * schema must reach the parquet scan (O1/O4/O5; TPC-H Q6 shape).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2024-03-01") &&
+        col("l_shipdate") < lit("2024-06-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q3 — three-way join + agg: revenue per nation (O17-analog relational
+    * join; dimension sides broadcast — no shuffle of lineitem on the
+    * nation key, only on o_orderkey/c_custkey).
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** q4 — top-k with unique tie-break: TakeOrderedAndProject, not a global
+    * sort (O8).
+    */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** q5 — distinct (shuffle dedup, partial-agg pushed to map side) (O10). */
+  def q5Distinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** q6 — window function: top-3 orders per customer by price
+    * (partitioned window — scales with #customers, no global sort).
+    */
+  def q6WindowTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q7 — exact interpolated percentiles per group (O9's exact sibling;
+    * the approx path is exercised in the anomaly pipeline instead, where
+    * no oracle hash is required).
+    */
+  def q7Percentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q8 — union + dedup across two sources (O22). */
+  def q8UnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = table(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    c.unionByName(s).distinct().orderBy("nationkey")
+  }
+
+  /** q9 — event-stream batch query: JSON extraction + hourly time buckets
+    * + agg (the batch form of the streaming pipeline; S-series JSON/time
+    * functions).
+    */
+  def q9EventsJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      // hour as a STRING: timestamp round-trips through parquet/duckdb
+      // carry tz-awareness ambiguity; a formatted string compares exactly
+      .withColumn("hour",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type", "hour")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type", "hour")
+
+  /** q10 — group-by over a join with semi-join-style predicate: order
+    * priority count for orders having at least one late lineitem
+    * (left-semi join; TPC-H Q4 shape).
+    */
+  def q10SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    // lineitems shipped in the last quarter of the data range
+    val late = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2024-10-01"))
+      .select("l_orderkey")
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+}
