@@ -24,7 +24,7 @@ object Dedup {
     val k = size(toks) - (n - 1)
     when(k > 0,
       transform(sequence(lit(0), k - 1),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 

@@ -101,8 +101,9 @@ object Similarity {
       sum(element_at(col("embedding"), j + 1).cast("decimal(28,10)"))
         .as(s"s$j")
     }
+    val aggs = count(lit(1)).as("n") +: sums
     e.groupBy("label")
-      .agg(count(lit(1)).as("n"), sums.head, sums.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("label"), col("n"),
         round(sqrt((0 until dim).map { j =>
           val m = col(s"s$j").cast("double") / col("n")
