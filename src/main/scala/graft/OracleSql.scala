@@ -1,0 +1,389 @@
+package graft
+
+import graft.llmops.{Similarity, TextOps}
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * Each statement is written to be BIT-IDENTICAL to the Spark result on the
+  * same parquet tables:
+  *  - double sums go through the same DECIMAL cast;
+  *  - floating-point folds over arrays are unrolled left-associated, the
+  *    exact evaluation order of Spark's `aggregate`/`reduce` chains;
+  *  - hashes use md5 (identical hex output in both engines), never
+  *    engine-private hash functions;
+  *  - every aggregate/computed column carries the same alias as the Spark
+  *    side, and every query ends in a total ORDER BY.
+  *
+  * SQL is generated from the SAME Scala constants the Column builders use
+  * (stopword table, LSH hyperplanes), so the two sides cannot drift.
+  */
+object OracleSql {
+
+  private val D2R = "0.017453292519943295" // math.Pi / 180.0
+
+  private def sumL(terms: Seq[String]): String =
+    terms.mkString("(", " + ", ")")
+
+  /** Unrolled left-associated Σ a[i]·b[i] over 1-based list indexes. */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    sumL((1 to dim).map(j => s"CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE)"))
+
+  private def normSql(a: String, dim: Int): String =
+    s"sqrt(${dotSql(a, a, dim)})"
+
+  private def cosineSql(a: String, b: String, dim: Int): String = {
+    val den = s"(${normSql(a, dim)} * ${normSql(b, dim)})"
+    s"CASE WHEN $den > 0 THEN ${dotSql(a, b, dim)} / $den ELSE 0.0 END"
+  }
+
+  /** Haversine separation in degrees, mirroring Astro.angSepDeg term by
+    * term (same literal D2R, same operation order).
+    */
+  private def angSepSql(ra1: String, dec1: String, ra2: String, dec2: String): String = {
+    val dra = s"(($ra2 - $ra1) * $D2R / 2.0)"
+    val ddec = s"(($dec2 - $dec1) * $D2R / 2.0)"
+    val a = s"(pow(sin($ddec), 2.0) + cos($dec1 * $D2R) * cos($dec2 * $D2R) * pow(sin($dra), 2.0))"
+    s"asin(sqrt($a)) * 2.0 / $D2R"
+  }
+
+  /** Word-shingle CTE chunk shared by the dedup oracles: doc_id (+extra
+    * cols) with `sh` = 3-gram shingle list of the normalized text.
+    */
+  private def shinglesCte(extraCols: String = ""): String =
+    s"""toks0 AS (
+       |  SELECT doc_id$extraCols,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id$extraCols,
+       |    CASE WHEN len(toks) - 2 > 0
+       |      THEN list_transform(range(0, len(toks) - 2),
+       |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+       |      ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM toks0)""".stripMargin
+
+  /** round(|A∩B|/|A∪B|, 6) with Spark's distinct-set semantics. */
+  private def jaccardSql(a: String, b: String): String = {
+    val inter = s"len(list_filter(list_distinct($a), x -> list_contains($b, x)))"
+    val uni = s"len(list_distinct(list_concat($a, $b)))"
+    s"CASE WHEN $uni > 0 THEN round(CAST($inter AS DOUBLE) / $uni, 6) ELSE 1.0 END"
+  }
+
+  private val q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q2 =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val q3 =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private val q4 =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private val q5 =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  private val q6 =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  private val q7 =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val q8 =
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier) t
+      |ORDER BY nationkey""".stripMargin
+
+  private val q9 =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
+
+  private val q10 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate >= TIMESTAMP '1998-09-02 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val q11 = {
+    val sep = s"round(${angSepSql("ra", "dec", "cra", "cdec")}, 6)"
+    s"""WITH ev AS (
+       |  SELECT event_id,
+       |    ((event_id * 7919) % 3600) / 10.0 AS ra,
+       |    ((event_id * 104729) % 1200) / 10.0 - 60.0 AS dec
+       |  FROM events),
+       |cat AS (
+       |  SELECT n_nationkey AS cat_id,
+       |    (((n_nationkey + 1) * 7919) % 3600) / 10.0 AS cra,
+       |    (((n_nationkey + 1) * 104729) % 1200) / 10.0 - 60.0 AS cdec
+       |  FROM nation),
+       |m AS (SELECT event_id, $sep AS sep FROM ev, cat)
+       |SELECT event_id, count(*) AS n_matches, min(sep) AS min_sep_deg
+       |FROM m WHERE sep < 15.0
+       |GROUP BY event_id ORDER BY event_id""".stripMargin
+  }
+
+  private val q12 =
+    """WITH t AS (
+      |  SELECT o_totalprice,
+      |    CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END AS fbig,
+      |    CASE WHEN o_orderpriority <= '2-HIGH' THEN 1 ELSE 0 END AS furgent,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fdone
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_totalprice,
+      |    CASE WHEN fbig + furgent + fdone >= 2 THEN 'Ambiguous'
+      |         WHEN fbig = 1 THEN 'BigTicket'
+      |         WHEN furgent = 1 THEN 'Urgent'
+      |         WHEN fdone = 1 THEN 'Finished'
+      |         ELSE 'Unknown' END AS class
+      |  FROM t)
+      |SELECT class, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM c GROUP BY class ORDER BY class""".stripMargin
+
+  private val q13 = {
+    val head8 = sumL((1 to 8).map(j => s"CAST(embedding[$j] AS DOUBLE)"))
+    val tail3 = (62 to 64).map(j => s"CAST(embedding[$j] AS DOUBLE) > -1.0")
+      .mkString("(", " AND ", ")")
+    s"""SELECT vec_id,
+       |  round(CAST(embedding[64] AS DOUBLE), 6) AS last_val,
+       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       |  CAST($tail3 AS INTEGER) AS tail3_gt_m1,
+       |  round($head8, 6) AS head8_sum
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  private val q14 =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value FROM events
+      |  WHERE value IS NOT NULL AND event_type <> 'view'),
+      |m AS (SELECT quantile_cont(value, 0.5) AS med FROM ev),
+      |f AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM ev, m WHERE value > med)
+      |SELECT event_id, user_id, round(value, 6) AS value
+      |FROM f WHERE rn = 1
+      |ORDER BY value DESC, event_id LIMIT 10""".stripMargin
+
+  private val q15 =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS nc,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(nc AS BIGINT) AS n_chars,
+      |  CAST(nt AS BIGINT) AS n_tokens,
+      |  round(CAST(nc - (nt - 1) AS DOUBLE) / nt, 6) AS mean_word_len,
+      |  round(CAST(np AS DOUBLE) / nc, 6) AS punct_ratio,
+      |  round(CAST(nd AS DOUBLE) / nc, 6) AS digit_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val q16 =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Stopword-hit count of `words` on the doubled-space copy `dbl`. */
+  private def hitsSql(dbl: String, words: Seq[String]): String =
+    sumL(words.map { w =>
+      val tok = s" $w "
+      s"CAST((length($dbl) - length(replace($dbl, '$tok', ''))) / ${tok.length} AS BIGINT)"
+    })
+
+  private val q17 = {
+    // mirror TextOps.langId: per-language stopword hit sums, then the
+    // left-fold argmax (earlier language wins ties), 'und' when all zero
+    val langs = TextOps.LangStopwords
+    val scoreCols = langs.map { case (code, ws) =>
+      s"${hitsSql("dbl", ws)} AS s_$code"
+    }.mkString(",\n    ")
+    val (c0, _) = langs.head
+    val fold = langs.tail.zipWithIndex.map { case ((code, _), i) =>
+      val prevS = if (i == 0) s"s_$c0" else s"sc$i"
+      val prevL = if (i == 0) s"'$c0'" else s"l$i"
+      s"""b${i + 1} AS (SELECT *,
+         |  CASE WHEN s_$code > $prevS THEN s_$code ELSE $prevS END AS sc${i + 1},
+         |  CASE WHEN s_$code > $prevS THEN '$code' ELSE $prevL END AS l${i + 1}
+         |  FROM ${if (i == 0) "s" else s"b$i"})""".stripMargin
+    }.mkString(",\n")
+    val n = langs.size - 1
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    replace(concat(' ', lower(text), ' '), ' ', '  ') AS dbl
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM d),
+       |$fold
+       |SELECT CASE WHEN sc$n > 0 THEN l$n ELSE 'und' END AS pred_lang,
+       |  count(*) AS n_docs
+       |FROM b$n GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  private val q18 =
+    s"""SELECT vec_id, label,
+       |  round(${normSql("embedding", 64)}, 6) AS l2_norm,
+       |  round(${sumL((1 to 64).map(j => s"CAST(embedding[$j] AS DOUBLE)"))} / len(embedding), 6) AS mean_val
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  private val q19 =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${cosineSql("embedding", "qe", 64)}, 6) AS cos_sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val q20 = {
+    val sums = (0 until 64).map(j =>
+      s"sum(CAST(embedding[${j + 1}] AS DECIMAL(28,10))) AS s$j").mkString(",\n    ")
+    val norm = sumL((0 until 64).map(j =>
+      s"(CAST(s$j AS DOUBLE) / n) * (CAST(s$j AS DOUBLE) / n)"))
+    s"""WITH g AS (
+       |  SELECT label, count(*) AS n,
+       |    $sums
+       |  FROM embeddings GROUP BY label)
+       |SELECT label, n, round(sqrt($norm), 6) AS centroid_norm
+       |FROM g ORDER BY label""".stripMargin
+  }
+
+  private val q21 = {
+    // inline the SAME hyperplane constants Similarity.lshKey uses
+    val bucket = sumL((0 until 8).map { p =>
+      val plane = Similarity.hyperplane(p, 64)
+      val proj = sumL((0 until 64).map(j =>
+        s"CAST(embedding[${j + 1}] AS DOUBLE) * ${plane(j)}"))
+      s"CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END"
+    })
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${cosineSql("a.embedding", "b.embedding", 64)}, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.embedding", "b.embedding", 64)}, 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val q22 =
+    """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+      |ORDER BY canonical_doc_id""".stripMargin
+
+  private val q23 = {
+    val jac = jaccardSql("sa.sh", "sb.sh")
+    s"""WITH ${shinglesCte()},
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(range(0, 32),
+       |      i -> list_aggregate(list_transform(sh,
+       |             s -> substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 16)),
+       |           'min')) AS sig
+       |  FROM sh0),
+       |bands AS (
+       |  SELECT doc_id, t.band AS band,
+       |    array_to_string(list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), '|') AS bh
+       |  FROM sig, range(0, 8) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, $jac AS jaccard
+       |FROM cand
+       |JOIN sh0 sa ON doc_a = sa.doc_id
+       |JOIN sh0 sb ON doc_b = sb.doc_id
+       |WHERE $jac >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val q25 = {
+    val jac = jaccardSql("a.sh", "b.sh")
+    s"""WITH ${shinglesCte(", source")}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard
+       |FROM sh0 a JOIN sh0 b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE $jac >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q24 (SimHash) is intentionally absent: its 64-bit xxhash64 kernel has
+    * no DuckDB equivalent, so the driver records the weaker rows-only
+    * check for it.
+    */
+  val all: Map[String, String] = Map(
+    "q1_agg" -> q1,
+    "q2_filter_project" -> q2,
+    "q3_join_agg" -> q3,
+    "q4_topk" -> q4,
+    "q5_distinct" -> q5,
+    "q6_window_topk" -> q6,
+    "q7_percentile" -> q7,
+    "q8_union_dedup" -> q8,
+    "q9_events_json" -> q9,
+    "q10_semijoin" -> q10,
+    "q11_xmatch_spatial" -> q11,
+    "q12_classify_cascade" -> q12,
+    "q13_array_ops" -> q13,
+    "q14_anomaly_topk" -> q14,
+    "q15_text_stats" -> q15,
+    "q16_corpus_profile" -> q16,
+    "q17_lang_id" -> q17,
+    "q18_vector_stats" -> q18,
+    "q19_knn_brute" -> q19,
+    "q20_label_centroids" -> q20,
+    "q21_ann_lsh" -> q21,
+    "q22_dedup_exact" -> q22,
+    "q23_neardup_minhash" -> q23,
+    "q25_jaccard_pairs" -> q25)
+}

@@ -1,13 +1,55 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{CoreQueries, ExtraQueries}
+import graft.llmops.{Dedup, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry maps one operator family of SURVEY.md §2 (or one of the
+  * mandated training-data-pipeline extensions) to a runnable query over
+  * the driver testdata; [[OracleSql]] carries the DuckDB mirror of each.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational operator suite (SURVEY §2.1: O1-O15, O22)
+    "q1_agg" -> (CoreQueries.q1Agg _),
+    "q2_filter_project" -> (CoreQueries.q2FilterProject _),
+    "q3_join_agg" -> (CoreQueries.q3JoinAgg _),
+    "q4_topk" -> (CoreQueries.q4TopK _),
+    "q5_distinct" -> (CoreQueries.q5Distinct _),
+    "q6_window_topk" -> (CoreQueries.q6WindowTopPerKey _),
+    "q7_percentile" -> (CoreQueries.q7Percentile _),
+    "q8_union_dedup" -> (CoreQueries.q8UnionDedup _),
+    "q9_events_json" -> (CoreQueries.q9EventsJson _),
+    "q10_semijoin" -> (CoreQueries.q10SemiJoin _),
+    // reference-shaped operators (O17-O21, A1-A3, §3.2 pipeline)
+    "q11_xmatch_spatial" -> (ExtraQueries.q11XmatchSpatial _),
+    "q12_classify_cascade" -> (ExtraQueries.q12ClassifyCascade _),
+    "q13_array_ops" -> (ExtraQueries.q13ArrayOps _),
+    "q14_anomaly_topk" -> (ExtraQueries.q14AnomalyTopK _),
+    // text analysis
+    "q15_text_stats" -> (TextOps.qTextStats _),
+    "q16_corpus_profile" -> (TextOps.qCorpusProfile _),
+    "q17_lang_id" -> (TextOps.qLangId _),
+    // similarity search
+    "q18_vector_stats" -> (Similarity.qVectorStats _),
+    "q19_knn_brute" -> (Similarity.qKnnBrute _),
+    "q20_label_centroids" -> (Similarity.qLabelCentroids _),
+    "q21_ann_lsh" -> (Similarity.qAnnLshPairs _),
+    // deduplication
+    "q22_dedup_exact" -> (Dedup.qDedupExact _),
+    "q23_neardup_minhash" -> (Dedup.qNearDupMinhash _),
+    "q24_neardup_simhash" -> (Dedup.qNearDupSimhash _),
+    "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. q24 omitted (xxhash64 kernel → rows-only).
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

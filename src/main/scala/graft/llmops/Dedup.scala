@@ -29,21 +29,26 @@ object Dedup {
   }
 
   /** MinHash signature: k independent min-hashes of the shingle set.
-    * Permutation i is realized as xxhash64(seed_i, shingle) — one pass
-    * over the shingles per row, all inside codegen.
+    * Permutation i is realized as the 64-bit hex prefix of
+    * md5(i ++ ":" ++ shingle) — md5 (unlike xxhash64) exists with
+    * identical output in every engine, so an external SQL oracle can
+    * reproduce the signature bit-for-bit. Lexicographic min of the
+    * fixed-width hex strings equals numeric min. One pass over the
+    * shingles per row, all inside codegen.
     */
   def minhash(shingleArr: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+      i => array_min(transform(shingleArr,
+        s => substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 16))))
 
   /** LSH band keys: the signature split into `bands` chunks of `rowsPer`,
-    * each chunk hashed to a long. Two docs collide in a band iff their
-    * chunk matches exactly.
+    * each chunk joined to one band-key string. Two docs collide in a band
+    * iff their chunk matches exactly.
     */
   def bandKeys(sig: Column, bands: Int, rowsPer: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPer + 1, rowsPer)).as("bh"))
+        concat_ws("|", slice(sig, b * rowsPer + 1, rowsPer)).as("bh"))
     }: _*)
 
   /** Exact Jaccard similarity of two shingle arrays (verification step —
@@ -99,22 +104,26 @@ object Dedup {
   def nearDupPairs(df: DataFrame, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPer = k / bands
-    val withSig = df
-      .withColumn("sh", shingles(col("text")))
+    val withSh = df.withColumn("sh", shingles(col("text")))
+    val withBand = withSh
       .withColumn("sig", minhash(col("sh"), k))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         explode(bandKeys(col("sig"), bands, rowsPer)).as("bk"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = withSig.select(col("band"), col("bh"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("bh"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val a = withBand.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = withBand.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    // dedup candidate pairs BEFORE the expensive exact-Jaccard verify:
+    // the same pair can collide in several bands, and at scale the
+    // shuffle should carry (doc_a, doc_b) ids, not shingle arrays
+    val cand = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct() // same pair can collide in several bands
       .filter(col("jaccard") >= threshold)
   }
 

@@ -41,7 +41,7 @@ object Similarity {
     * fixed function of (p, j) — reproducible across sessions without a
     * stored model. Values in [-1, 1).
     */
-  private[llmops] def hyperplane(p: Int, dim: Int): Array[Double] = {
+  def hyperplane(p: Int, dim: Int): Array[Double] = {
     val rnd = new scala.util.Random(1234L * (p + 1))
     Array.fill(dim)(rnd.nextDouble() * 2 - 1)
   }

@@ -26,6 +26,22 @@ object CoreQueries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with its nanosecond-precision timestamp normalized
+    * to Spark TimestampType. Parquet TIMESTAMP(NANOS) is not a legal Spark
+    * type (PARQUET_TYPE_ILLEGAL); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
+    * (ns since epoch) which we floor-divide to microseconds — integer
+    * division, never through double (2^53 < ns-epoch values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
   /** SUM(expr) made deterministic: exact decimal accumulation, double out. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -35,7 +51,7 @@ object CoreQueries {
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val l = table(spark, dir, "lineitem")
-    l.filter(col("l_shipdate") <= lit("2024-10-01"))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -53,8 +69,8 @@ object CoreQueries {
     */
   def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("2024-03-01") &&
-        col("l_shipdate") < lit("2024-06-01") &&
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-06-01") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber")
@@ -101,7 +117,7 @@ object CoreQueries {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     table(spark, dir, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
@@ -134,7 +150,7 @@ object CoreQueries {
     * functions).
     */
   def q9EventsJson(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    events(spark, dir)
       // hour as a STRING: timestamp round-trips through parquet/duckdb
       // carry tz-awareness ambiguity; a formatted string compares exactly
       .withColumn("hour",
@@ -155,7 +171,7 @@ object CoreQueries {
     val o = table(spark, dir, "orders")
     // lineitems shipped in the last quarter of the data range
     val late = table(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("2024-10-01"))
+      .filter(col("l_shipdate") >= lit("1998-09-02"))
       .select("l_orderkey")
     o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")

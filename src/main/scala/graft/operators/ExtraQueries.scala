@@ -45,7 +45,7 @@ object ExtraQueries {
     * separation (the nearest-match semantics of O17).
     */
   def q11XmatchSpatial(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+    val ev = CoreQueries.events(spark, dir)
       .select(col("event_id"), raOf(col("event_id")).as("ra"),
         decOf(col("event_id")).as("dec"))
     val cat = table(spark, dir, "nation")
@@ -95,7 +95,7 @@ object ExtraQueries {
         col("vec_id"),
         round(element_at(col("embedding"), -1).cast("double"), 6)
           .as("last_val"),
-        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
         forall(slice(col("embedding"), -3, 3), x => x.cast("double") > -1.0)
           .cast("int").as("tail3_gt_m1"),
         round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
@@ -109,7 +109,7 @@ object ExtraQueries {
     * SURVEY §4) → top-k with unique tie-break.
     */
   def q14AnomalyTopK(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+    val ev = CoreQueries.events(spark, dir)
       .filter(col("value").isNotNull && col("event_type") =!= "view")
     val med = ev.agg(expr("percentile(value, 0.5)").as("med"))
     val w = Window.partitionBy("user_id")

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""DEV-ONLY oracle prevalidation (not part of the shipped library).
+
+Replicates the driver's correctness gate locally: runs each oracle SQL from
+`graft.Verify`'s oracle_sql.json in DuckDB over the same testdata parquet,
+loads the corresponding Spark result parquet, sorts columns by name, and
+compares schema + row count + values. Exact compare first; on failure shows
+max abs diff for numeric columns so float-boundary issues are visible.
+
+Run: sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/vout'
+     python3 tools/prevalidate.py /root/testdata/sf0.01 /tmp/vout
+"""
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).df()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {e}"))
+        continue
+    try:
+        got = pd.read_parquet(f"{OUT}/{name}")
+    except Exception as e:
+        bad.append((name, f"spark result missing: {e}"))
+        continue
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    if list(want.columns) != list(got.columns):
+        bad.append((name, f"columns differ: oracle={list(want.columns)} "
+                          f"spark={list(got.columns)}"))
+        continue
+    if len(want) != len(got):
+        bad.append((name, f"rows differ: oracle={len(want)} spark={len(got)}"))
+        continue
+    diffs = []
+    for c in want.columns:
+        w, g = want[c], got[c]
+        if pd.api.types.is_float_dtype(w) or pd.api.types.is_float_dtype(g):
+            wv = w.astype(float).to_numpy()
+            gv = g.astype(float).to_numpy()
+            eq = (wv == gv) | (np.isnan(wv) & np.isnan(gv))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                diffs.append(
+                    f"{c}: {int((~eq).sum())} diffs, max|Δ|="
+                    f"{np.nanmax(np.abs(wv - gv)):.3g}, first row {i}: "
+                    f"oracle={wv[i]!r} spark={gv[i]!r}")
+        else:
+            eq = (w.astype(str) == g.astype(str))
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                diffs.append(f"{c}: {int((~eq).sum())} diffs, first row {i}: "
+                             f"oracle={w[i]!r} spark={g[i]!r}")
+    if diffs:
+        bad.append((name, "; ".join(diffs)))
+    else:
+        # dtype check (schema-level match, post column sort)
+        dt = [f"{c}: oracle={want[c].dtype} spark={got[c].dtype}"
+              for c in want.columns if str(want[c].dtype) != str(got[c].dtype)]
+        ok.append((name, f"{len(want)} rows"
+                   + (f" [dtype note: {'; '.join(dt)}]" if dt else "")))
+
+for name, msg in ok:
+    print(f"PASS {name}: {msg}")
+for name, msg in bad:
+    print(f"FAIL {name}: {msg}")
+print(f"\n{len(ok)} pass / {len(bad)} fail "
+      f"(+{len(set(json.load(open(f'{OUT}/oracle_sql.json')))) - len(ok) - len(bad)} unchecked)")
+sys.exit(1 if bad else 0)
