@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: one untimed warmup pass (JIT + codegen + parquet footer
+  * caches — Spark's first-query cost is compilation, not execution),
+  * then one timed pass. Results are fully materialized through the
+  * `noop` sink so every column is computed (a bare count() lets Spark
+  * skip projects).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,14 +23,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    if (warmup) names.foreach { n =>
+      try run(n) catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try run(name) catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: drop any persist() a query created so later
+      // queries aren't taxed by cache eviction / GC pressure (untimed)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,9 +37,19 @@ object Dedup {
     * shingles per row, all inside codegen.
     */
   def minhash(shingleArr: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr,
-        s => substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 16))))
+    // single pass over the shingles (k-wide running elementwise min)
+    // rather than k passes: after CollapseProject inlines the shingle
+    // expression, a sequence(0,k)-outer formulation would recompute the
+    // shingle array k times per row — 32× the work. "g" sorts after
+    // every hex digit, so it is the identity for the string min.
+    aggregate(
+      shingleArr,
+      array_repeat(lit("g"), k),
+      (acc, s) => {
+        val hs = array((0 until k).map(i =>
+          substring(md5(concat(lit(s"$i:"), s)), 1, 16)): _*)
+        zip_with(acc, hs, (a, h) => least(a, h))
+      })
 
   /** LSH band keys: the signature split into `bands` chunks of `rowsPer`,
     * each chunk joined to one band-key string. Two docs collide in a band
@@ -60,25 +70,55 @@ object Dedup {
     when(uni > 0, round(inter / uni, 6)).otherwise(lit(1.0))
   }
 
-  /** 64-bit SimHash over word tokens: bit j of the output is the sign of
-    * the sum over tokens of ±1 according to bit j of xxhash64(token).
+  /** Jaccard over ALREADY-DISTINCT shingle arrays with precomputed sizes:
+    * |A∪B| = na + nb − |A∩B| (inclusion-exclusion) saves building the
+    * union hash set per pair — the per-pair hot path of both near-dup
+    * verifies. Same values as [[jaccard]] on the distinct sets.
+    *
+    * Callers pass 64-bit hashed shingles ([[hashedShingles]]): long
+    * intersection beats string intersection ~an order of magnitude in
+    * the per-pair loop, and the set sizes/overlaps are unchanged up to
+    * 2^-64 collisions.
     */
-  def simhash64(text: Column): Column = {
+  def jaccardDistinct(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = na + nb - inter
+    when(uni > 0, round(inter.cast("double") / uni, 6)).otherwise(lit(1.0))
+  }
+
+  /** Distinct 64-bit ids of the word shingles — the pair-verify currency. */
+  def hashedShingles(shingleArr: Column): Column =
+    array_distinct(transform(shingleArr, s => xxhash64(s)))
+
+  /** Per-bit ±1 vote vector of the 64-bit SimHash: one pass over the
+    * word tokens, folding xxhash64 sign bits into a 64-wide sum.
+    */
+  def simhashVotes(text: Column): Column = {
     val toks = split(regexp_replace(lower(text), "\\s+", " "), " ")
     val hashes = transform(toks, t => xxhash64(t))
-    // one pass over the tokens: fold into a 64-wide vote vector
-    // (±1 per bit), then assemble the sign bits into a long
     def bitVotes(h: Column): Column = array((0 until 64).map { j =>
       when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)
     }: _*)
-    val votes = aggregate(hashes,
+    aggregate(hashes,
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
-    val bits = (0 until 64).map { j =>
-      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Sign bits of a vote vector assembled into the SimHash long. The
+    * votes argument is referenced 64 times — pass an ATTRIBUTE (a
+    * materialized column), never the raw [[simhashVotes]] expression, or
+    * the whole token fold is duplicated per bit.
+    */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).map { j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** 64-bit SimHash over word tokens: bit j of the output is the sign of
+    * the sum over tokens of ±1 according to bit j of xxhash64(token).
+    * (Convenience composition; query paths materialize the votes.)
+    */
+  def simhash64(text: Column): Column = simhashFromVotes(simhashVotes(text))
 
   // ---- queries ----
 
@@ -104,7 +144,18 @@ object Dedup {
   def nearDupPairs(df: DataFrame, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPer = k / bands
-    val withSh = df.withColumn("sh", shingles(col("text")))
+    // Distinct shingle set + size, computed ONCE and persisted: it feeds
+    // the band explode and both sides of the verify join (3 consumers).
+    // array_distinct changes neither the min-hash (min is duplicate-
+    // insensitive) nor the Jaccard value, but shrinks every downstream
+    // row. At cluster scale this persist is a MEMORY_AND_DISK spill of
+    // ~the corpus size — the standard trade against recomputing the
+    // O(k·shingles) signature per consumer.
+    val withSh = df
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("shh", hashedShingles(col("sh")))
+      .withColumn("n_sh", size(col("shh")))
+      .persist()
     val withBand = withSh
       .withColumn("sig", minhash(col("sh"), k))
       .select(col("doc_id"),
@@ -119,11 +170,14 @@ object Dedup {
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = withSh.select(col("doc_id").as("doc_a"),
+      col("shh").as("sh_a"), col("n_sh").as("na"))
+    val shB = withSh.select(col("doc_id").as("doc_b"),
+      col("shh").as("sh_b"), col("n_sh").as("nb"))
     cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardDistinct(col("sh_a"), col("sh_b"),
+          col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -137,7 +191,8 @@ object Dedup {
     */
   def qNearDupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+      .withColumn("votes", simhashVotes(col("text")))
+      .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
     val chunked = d.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -149,10 +204,7 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ck"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val hamming = {
-      val x = col("sh_a").bitwiseXOR(col("sh_b"))
-      (0 until 64).map(j => shiftright(x, j).bitwiseAND(1)).reduce(_ + _)
-    }
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
     a.join(b, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
@@ -167,15 +219,18 @@ object Dedup {
     */
   def qJaccardWithinSource(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .select(col("source"), col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("source"), col("doc_id"),
+        hashedShingles(shingles(col("text"))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
     val a = d.select(col("source"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
+      col("sh").as("sh_a"), col("n_sh").as("na"))
     val b = d.select(col("source"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
+      col("sh").as("sh_b"), col("n_sh").as("nb"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardDistinct(col("sh_a"), col("sh_b"),
+          col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("doc_a", "doc_b")
   }

@@ -42,21 +42,28 @@ object TextOps {
       round(nDigit.cast("double") / nChars, 6).as("digit_ratio"))
   }
 
-  /** Stopword-count language scorer: number of occurrences of any of the
-    * given (space-delimited) stopwords. Counting via length-delta keeps it
-    * expressible in both Spark and ANSI SQL.
+  /** Space-doubled copy of the padded lowercase text: occurrences of
+    * " word " can share their delimiting space in the original, so the
+    * count runs on a copy where every space is doubled. Literal
+    * `replace`, not regexp — this runs once per row and is the hot
+    * input to every per-language score.
     */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
+  def doubledText(text: Column): Column =
+    call_function("replace",
+      concat(lit(" "), lower(text), lit(" ")), lit(" "), lit("  "))
+
+  /** Stopword-count language scorer over a precomputed [[doubledText]]
+    * column: number of occurrences of any of the given stopwords.
+    * Counting via length-delta keeps it expressible in both Spark and
+    * ANSI SQL, and literal replace keeps it out of the regex engine.
+    */
+  def stopwordHits(doubled: Column, words: Seq[String]): Column =
     words.map { w =>
       val token = s" $w "
-      // non-overlapping occurrence count; occurrences can share the
-      // delimiting space, so count on a space-doubled copy
-      val doubled = regexp_replace(padded, " ", "  ")
-      ((length(doubled) - length(regexp_replace(doubled, lit(token), lit("")))) /
+      ((length(doubled) -
+        length(call_function("replace", doubled, lit(token), lit("")))) /
         token.length).cast("long")
     }.reduce(_ + _)
-  }
 
   /** N-gram-heuristic language ID over a small stopword table.
     * Returns the argmax language code, "und" when nothing matches.
@@ -73,15 +80,23 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist", "ein"),
     "es" -> Seq("el", "la", "y", "es", "un"))
 
-  def langId(text: Column): Column = {
-    val lower0 = lower(text)
-    val scores: Seq[(String, Column)] =
-      LangStopwords.map { case (code, ws) => code -> stopwordHits(lower0, ws) }
+  /** Argmax fold over per-language score columns (earlier language wins
+    * ties). Pass ATTRIBUTES (materialized columns) as scores: the
+    * when-chain fold references each score several times, so a raw
+    * expression would be duplicated exponentially down the chain.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map { case (langCode, s) =>
       struct(s.as("score"), lit(langCode).as("lang"))
     }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def langIdFromDoubled(doubled: Column): Column =
+    langIdFromScores(
+      LangStopwords.map { case (code, ws) => code -> stopwordHits(doubled, ws) })
+
+  def langId(text: Column): Column = langIdFromDoubled(doubledText(text))
 
   /** 64-bit document fingerprint (xxhash of normalized text) — the cheap
     * exact-dup key. Normalization: lowercase + whitespace collapse.
@@ -117,11 +132,22 @@ object TextOps {
         sum(tokenCount(col("text"))).as("total_tokens"))
       .orderBy("lang", "source")
 
-  /** Language-ID prediction histogram (deterministic heuristic). */
-  def qLangId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("pred_lang", langId(col("text")))
+  /** Language-ID prediction histogram (deterministic heuristic). The
+    * doubled-text column materializes once; the 4×5 per-language counts
+    * reference it as an attribute (CollapseProject keeps the multi-use
+    * non-cheap producer in its own project).
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val withDbl = docs(spark, dir)
+      .withColumn("dbl", doubledText(col("text")))
+    val withScores = LangStopwords.foldLeft(withDbl) { case (d, (code, ws)) =>
+      d.withColumn(s"s_$code", stopwordHits(col("dbl"), ws))
+    }
+    withScores
+      .withColumn("pred_lang", langIdFromScores(
+        LangStopwords.map { case (code, _) => code -> col(s"s_$code") }))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("pred_lang")
+  }
 }

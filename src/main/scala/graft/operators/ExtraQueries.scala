@@ -54,7 +54,13 @@ object ExtraQueries {
         decOf(col("n_nationkey") + 1L).as("cdec"))
     val sep = round(
       Astro.angSepDeg(col("ra"), col("dec"), col("cra"), col("cdec")), 6)
-    ev.join(broadcast(cat), sep < 15.0)
+    // Conservative declination bounding box BEFORE the trig: angular
+    // separation ≥ |Δdec| always, so |Δdec| < 15.001 (margin covers the
+    // 6-decimal rounding) keeps every true match while pruning ~3/4 of
+    // the candidate pairs at comparison cost. This is the zone-pruning
+    // half of the O17/O18 cross-match design (SURVEY §4).
+    ev.join(broadcast(cat),
+        abs(col("dec") - col("cdec")) < 15.001 && sep < 15.0)
       .groupBy("event_id")
       .agg(count(lit(1)).as("n_matches"),
         min(sep).as("min_sep_deg"))
