@@ -33,6 +33,18 @@ object DriveVerify {
       Astro.galacticLatDeg(lit(192.85948), lit(27.12825)).as("b_at_ngp"),
       Astro.angSepDeg(lit(10.0), lit(20.0), lit(10.0), lit(21.0)).as("sep_1deg"),
       Astro.distanceModulus(lit(0.1)).as("mu_z0p1")).show()
+
+    // Rubin surface: blocks + a composite filter on the Rubin fixture
+    val rdf = spark.read
+      .parquet("/root/reference/datatest/rubin_test_data_10_0.parquet")
+    import graft.filters.rubin.{RubinBlocks => B}
+    println("Rubin good_quality: " + rdf.filter(B.goodQuality).count() +
+      " (expect 7), loose extragalactic: " +
+      rdf.filter(B.extragalacticLoose).count() + " (expect 4)")
+    val rsample = FilterRegistry.applyFilter(rdf,
+      "rubin.livestream.uniform_sample")
+    println("Rubin uniform_sample: " + rsample.count() + " (expect 1)")
+    rsample.select("diaSourceId").explain("formatted")
     spark.stop()
   }
 }
