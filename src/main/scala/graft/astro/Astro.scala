@@ -135,4 +135,26 @@ object Astro {
     */
   def absMag(apparentMag: Column, z: Column): Column =
     apparentMag - distanceModulus(z)
+
+  /** Sexagesimal hour-angle string ("HH MM SS.s", components after the
+    * first optional) → degrees. Catalog-ingest helper (the symbiotic
+    * catalog stores J2000 positions this way).
+    */
+  def hmsToDeg(s: Column): Column = {
+    val p = split(trim(s), "\\s+")
+    (element_at(p, 1).cast("double") +
+      coalesce(try_element_at(p, lit(2)).cast("double"), lit(0.0)) / 60.0 +
+      coalesce(try_element_at(p, lit(3)).cast("double"), lit(0.0)) / 3600.0) * 15.0
+  }
+
+  /** Sexagesimal declination string ("±DD MM SS.s") → degrees; the
+    * leading sign applies to every component.
+    */
+  def dmsToDeg(s: Column): Column = {
+    val p = split(trim(s), "\\s+")
+    val sign = when(trim(s).startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
+    sign * (abs(element_at(p, 1).cast("double")) +
+      coalesce(try_element_at(p, lit(2)).cast("double"), lit(0.0)) / 60.0 +
+      coalesce(try_element_at(p, lit(3)).cast("double"), lit(0.0)) / 3600.0)
+  }
 }

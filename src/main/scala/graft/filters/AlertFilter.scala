@@ -68,5 +68,6 @@ object FilterRegistry {
   private def ensureLoaded(): Unit = {
     graft.filters.ztf.ZtfFilters.load()
     graft.filters.rubin.RubinFilters.load()
+    graft.classify.Classify.load()
   }
 }
