@@ -357,6 +357,16 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // DuckDB substring() does not accept BLOB: head_hex goes through the
+  // (ASCII) string form, and tail_len uses the clamp identity
+  // octet_length(substring(b, -16, 16)) == least(octet_length(b), 16).
+  private val q26 =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  hex(substring(text, 1, 8)) AS head_hex,
+      |  least(octet_length(CAST(text AS BLOB)), 16) AS tail_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q24 (SimHash) is intentionally absent: its 64-bit xxhash64 kernel has
     * no DuckDB equivalent, so the driver records the weaker rows-only
     * check for it.
@@ -385,5 +395,6 @@ object OracleSql {
     "q21_ann_lsh" -> q21,
     "q22_dedup_exact" -> q22,
     "q23_neardup_minhash" -> q23,
-    "q25_jaccard_pairs" -> q25)
+    "q25_jaccard_pairs" -> q25,
+    "q26_multimodal_meta" -> q26)
 }

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, ExtraQueries}
-import graft.llmops.{Dedup, Similarity, TextOps}
+import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,7 +46,9 @@ object SparkEntry {
     "q22_dedup_exact" -> (Dedup.qDedupExact _),
     "q23_neardup_minhash" -> (Dedup.qNearDupMinhash _),
     "q24_neardup_simhash" -> (Dedup.qNearDupSimhash _),
-    "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _))
+    "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _),
+    // multimodal binary-column plumbing
+    "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. q24 omitted (xxhash64 kernel → rows-only).

@@ -67,6 +67,8 @@ object FilterRegistry {
   // Touch the filter modules so their `register` side effects run.
   private def ensureLoaded(): Unit = {
     graft.filters.ztf.ZtfFilters.load()
+    graft.filters.ztf.ZtfHistoryFilters.load()
+    graft.filters.ztf.MmFilters.load()
     graft.filters.rubin.RubinFilters.load()
     graft.classify.Classify.load()
   }

@@ -1,0 +1,127 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: opaque `binary` payloads + typed metadata, with the
+  * decode step STUBBED (no codec libraries in this environment) behind
+  * a deterministic fake, and everything around it — schema, batch
+  * shape, partition-level iteration, feature vectors — real and tested
+  * against the reference's FITS cutouts (`cutoutScience.stampData`,
+  * `fink_filters/ztf/livestream/filter_new_hostless/filter.py:72-73`).
+  *
+  * Scale design: all per-item work is a map stage (mapPartitions or
+  * codegen'd expressions); nothing shuffles payload bytes except an
+  * explicit repartition the caller opts into. Feature vectors (KBs)
+  * flow onward; payloads can be dropped right after extraction.
+  */
+object Multimodal {
+
+  /** Container-format sniffing from magic bytes — pure expressions. */
+  def formatOf(payload: Column): Column =
+    when(payload.isNull, lit(null).cast("string"))
+      .when(substring(payload, 1, 6) === lit("SIMPLE".getBytes), "fits")
+      .when(substring(payload, 1, 3) ===
+        lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "jpeg")
+      .when(substring(payload, 1, 4) ===
+        lit(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt).map(_.toByte)), "png")
+      .when(substring(payload, 1, 2) ===
+        lit(Array(0x1F, 0x8B).map(_.toByte)), "gzip")
+      .otherwise("unknown")
+
+  /** Typed metadata struct: length, format, 64-bit content id. */
+  def metaStruct(payload: Column): Column = struct(
+    octet_length(payload).cast("long").as("n_bytes"),
+    formatOf(payload).as("format"),
+    xxhash64(payload).as("content_id"))
+
+  /** Deterministic frame/chunk sampling of a binary payload: n evenly
+    * spaced fixed-size slices (the video frame-sample shape; real codecs
+    * would seek keyframes — the SLICING is the real plumbing, the
+    * decode of each slice stays a stub).
+    */
+  def sampleChunks(payload: Column, n: Int, chunkBytes: Int): Column = {
+    val len = octet_length(payload)
+    array((0 until n).map { i =>
+      val off = (len - chunkBytes) * i / math.max(n - 1, 1) + 1
+      substring(payload, greatest(off, lit(1)), lit(chunkBytes))
+    }: _*)
+  }
+
+  /** Output schema of [[withByteFeatures]]. */
+  val byteFeaturesField: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("entropy", DoubleType),
+    StructField("histogram", ArrayType(DoubleType))))
+
+  /** REAL byte-level feature extraction (length, mean, Shannon entropy,
+    * 16-bin normalized histogram) over a binary column, as a
+    * partition-level pass — the genuine per-item imperative loop the
+    * decode stage will later slot into. Appends `outCol` with
+    * [[byteFeaturesField]].
+    */
+  def withByteFeatures(df: DataFrame, payloadCol: String,
+      outCol: String = "byte_features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, byteFeaturesField))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null
+          else r.get(idx).asInstanceOf[Array[Byte]]
+        val feat = if (bytes == null) null else {
+          val hist = new Array[Double](16)
+          var sum = 0L
+          bytes.foreach { b => val u = b & 0xFF; hist(u >> 4) += 1; sum += u }
+          val n = bytes.length.toDouble
+          var ent = 0.0
+          val histN = hist.map { c =>
+            if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2) }
+            c / n
+          }
+          Row(bytes.length.toLong, sum / n, ent, histN.toSeq)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
+  /** STUB image decode: a real deployment plugs a codec here (the
+    * reference decodes FITS stamps for the ELEPHANT KS test, G8). The
+    * stub derives a deterministic fake (width, height, channels, 8-dim
+    * feature vector) from the payload hash so downstream plumbing is
+    * exercised end-to-end with stable values. Clearly NOT a real
+    * decoder.
+    */
+  def decodeImageStub(payload: Column): Column = {
+    val h = xxhash64(payload)
+    struct(
+      (pmod(h, lit(1024L)) + 32L).cast("int").as("width"),
+      (pmod(shiftright(h, 10), lit(1024L)) + 32L).cast("int").as("height"),
+      lit(1).cast("int").as("channels"),
+      array((0 until 8).map(i =>
+        (pmod(xxhash64(payload, lit(i)), lit(1000L)).cast("double") / 1000.0)): _*)
+        .as("features"))
+  }
+
+  // ---- queries over the documents table (text payload as bytes) ----
+
+  /** Multimodal metadata query for the correctness gate: the binary
+    * plumbing (octet_length, magic sniff, slicing) on a payload column
+    * derived from `documents.text`.
+    */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        octet_length(substring(col("payload"), -16, 16)).cast("long")
+          .as("tail_len"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llmops.Multimodal
+import graft.pipeline.AnomalyPipeline
+
+/** End-to-end Structured Streaming run over the reference fixture (same
+  * filters as batch — the reference contract is stateless per
+  * micro-batch), plus the anomaly top-k pipeline and the multimodal
+  * binary plumbing on real FITS cutouts.
+  */
+class StreamAndPipelineSpec extends SparkSpec {
+
+  test("streaming filters match batch golden counts") {
+    val batch = SparkSpec.ztfRegular
+    val stream = StreamPipeline.readParquetStream(
+      spark, "/root/reference/datatest/regular", batch.schema)
+    val notifier = new StreamPipeline.CountingNotifier
+    val filters = Seq("ztf.quality_cuts", "ztf.livestream.sn_candidates",
+      "ztf.livestream.kn_candidates")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = StreamPipeline.run(stream, filters, notifier,
+      checkpointDir = Some(ckpt))
+    q.awaitTermination(120000)
+    assert(notifier.counts.get("ztf.quality_cuts") === 133L)
+    assert(notifier.counts.get("ztf.livestream.sn_candidates") === 7L)
+    assert(notifier.counts.get("ztf.livestream.kn_candidates") === 2L)
+  }
+
+  test("anomaly pipeline: distributed top-k with per-object dedup") {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet("/root/reference/datatest/regular")
+    val (top, median) = AnomalyPipeline.select(df, threshold = 5)
+    val rows = top.select("objectId", "anomaly_score").collect()
+    // the fixture has 9 scored alerts over exactly 4 distinct objects
+    assert(rows.length === 4)
+    assert(rows.map(_.getString(0)).distinct.length === 4)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted))
+    assert(!median.isNaN)
+    assert(scores.head <= median)
+  }
+
+  test("multimodal: FITS magic + byte features on real cutouts") {
+    val df = SparkSpec.ztfRegular
+      .select(col("candid"),
+        col("cutoutScience.stampData").as("payload"))
+    val metas = df.select(Multimodal.metaStruct(col("payload")).as("m"))
+      .select("m.n_bytes", "m.format", "m.content_id").collect()
+    assert(metas.length === 133)
+    // ZTF stamps are gzipped FITS blobs
+    assert(metas.forall(r => r.getLong(0) > 0))
+    val formats = metas.map(_.getString(1)).distinct
+    assert(formats.forall(Set("fits", "gzip").contains), formats.toSeq)
+
+    val feats = Multimodal.withByteFeatures(df, "payload")
+      .select("byte_features.n_bytes", "byte_features.entropy",
+        "byte_features.histogram")
+      .collect()
+    assert(feats.length === 133)
+    assert(feats.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 4.0001))
+    assert(feats.forall(r => math.abs(
+      r.getSeq[Double](2).sum - 1.0) < 1e-9))
+
+    val chunks = df.select(
+      Multimodal.sampleChunks(col("payload"), 4, 64).as("c"))
+      .select(size(col("c")).as("n")).collect()
+    assert(chunks.forall(_.getInt(0) === 4))
+
+    val dec = df.select(Multimodal.decodeImageStub(col("payload")).as("d"))
+      .select("d.width", "d.height", "d.features").collect()
+    assert(dec.forall(r => r.getInt(0) >= 32 && r.getInt(1) >= 32 &&
+      r.getSeq[Double](2).length === 8))
+  }
+}
