@@ -68,6 +68,7 @@ object FilterRegistry {
   private def ensureLoaded(): Unit = {
     graft.filters.ztf.ZtfFilters.load()
     graft.filters.ztf.ZtfHistoryFilters.load()
+    graft.filters.ztf.ZtfPhotometryFilters.load()
     graft.filters.ztf.MmFilters.load()
     graft.filters.rubin.RubinFilters.load()
     graft.classify.Classify.load()

@@ -17,14 +17,14 @@ object ZtfHistoryFilters {
     * `filter_kn_candidates/filter.py:168-178`). Null history → only the
     * current value.
     */
-  private def chist(field: String): Column = {
+  private[ztf] def chist(field: String): Column = {
     val hist = col("prv_candidates").getField(field)
     val cur = array(col(s"candidate.$field"))
     when(col("prv_candidates").isNull, cur).otherwise(concat(hist, cur))
   }
 
   /** Is this magnitude a real detection? (upper limits carry null/NaN). */
-  private def validMag(m: Column): Column =
+  private[ztf] def validMag(m: Column): Column =
     m.isNotNull && !isnan(m.cast("double"))
 
   /** Elements of `vals` at positions where the magnitude is a detection
