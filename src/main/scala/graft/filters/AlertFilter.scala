@@ -69,6 +69,7 @@ object FilterRegistry {
     graft.filters.ztf.ZtfFilters.load()
     graft.filters.ztf.ZtfHistoryFilters.load()
     graft.filters.ztf.ZtfPhotometryFilters.load()
+    graft.filters.ztf.ZtfHostlessFilters.load()
     graft.filters.ztf.MmFilters.load()
     graft.filters.rubin.RubinFilters.load()
     graft.classify.Classify.load()

@@ -1,0 +1,129 @@
+package graft.filters.ztf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.filters.{AlertFilter, FilterRegistry}
+import ZtfHistoryFilters.chist
+
+/** The hostless-transient family —
+  * `fink_filters/ztf/livestream/filter_{new,intra_night,inter_night}_hostless`.
+  *
+  * Each filter = uncataloged-and-young predicate (pure expressions) ∧ a
+  * cadence pattern over the in-row history (A3/A5) ∧ the ELEPHANT
+  * KS-test image stage (G8). The image stage needs a FITS decoder +
+  * the ELEPHANT aperture statistic (arXiv:2404.18165) — represented
+  * here by the pluggable [[HostlessScorer]]; the default
+  * [[PassthroughScorer]] is an explicit STUB that admits every
+  * candidate (the expensive stage runs last, on the survivors of the
+  * cheap cuts, exactly as the reference sequences it —
+  * `filter_new_hostless/filter.py:82-96`).
+  */
+object ZtfHostlessFilters {
+
+  /** The pluggable image stage: given the candidate subset, return it
+    * with non-hostless rows removed.
+    */
+  trait HostlessScorer extends Serializable {
+    def keepHostless(candidates: DataFrame): DataFrame
+  }
+
+  /** STUB — no FITS/ELEPHANT implementation in this environment; admits
+    * all candidates. The Rubin pipeline carries a precomputed score
+    * instead (`clf.elephant_kstest_template`), which
+    * [[graft.filters.rubin.RubinFilters.hostlessCandidate]] consumes for
+    * real.
+    */
+  object PassthroughScorer extends HostlessScorer {
+    def keepHostless(candidates: DataFrame): DataFrame = candidates
+  }
+
+  /** Not in the ZTF reference catalog, SIMBAD, Gaia DR3, or the MPC —
+    * `filter_new_hostless/utils.py:34-84` (composing the simbad / gaia
+    * candidate predicates negated).
+    */
+  def isUncataloged: Column = {
+    val c = col("cdsxmatch")
+    val inSimbad = !c.isin("Unknown", "Transient", "Fail", "Fail 504") &&
+      !c.startsWith("Fail") && !c.startsWith("Galaxy")
+    col("candidate.distnr") > 1.5 &&
+      !coalesce(inSimbad, lit(false)) &&
+      col("DR3Name") === "nan" &&
+      col("roid") =!= 3
+  }
+
+  /** Last `nobs` detections present and within `lapseHour` — the
+    * intra-night cadence (`utils.py:145-186`).
+    */
+  def intraNightCadence(nobs: Int = 2, lapseHour: Double = 12): Column = {
+    val cmag = chist("magpsf")
+    val cjd = chist("jd")
+    val lastMags = slice(cmag, -nobs, nobs)
+    val lastJds = slice(cjd, -nobs, nobs)
+    val allPresent = size(filter(lastMags, _.isNotNull)) === nobs
+    allPresent &&
+      (try_element_at(lastJds, lit(-1)) - try_element_at(lastJds, lit(1))) <
+        lapseHour / 24.0
+  }
+
+  /** Gap pattern over the last three detections: >12 h between the 2nd
+    * and 3rd, <12 h between the 1st and 2nd (`utils.py:189-237`).
+    */
+  def interNightCadence(nobs: Int = 3, lapseHour: Double = 12): Column = {
+    val cmag = chist("magpsf")
+    val cjd = chist("jd")
+    val lastMags = slice(cmag, -nobs, nobs)
+    val lastJds = slice(cjd, -nobs, nobs)
+    val allPresent = size(filter(lastMags, _.isNotNull)) === nobs
+    allPresent &&
+      (try_element_at(lastJds, lit(3)) - try_element_at(lastJds, lit(2))) >
+        lapseHour / 24.0 &&
+      (try_element_at(lastJds, lit(2)) - try_element_at(lastJds, lit(1))) <
+        12.0 / 24.0
+  }
+
+  private def hostless(n: String, desc: String, cheap: => Column,
+      scorer: HostlessScorer): AlertFilter =
+    new AlertFilter {
+      val name = n
+      override val description = desc
+      val requiredColumns = Seq("candidate", "prv_candidates", "cdsxmatch",
+        "DR3Name", "roid", "cutoutScience", "cutoutTemplate")
+      def mask(df: DataFrame): Column = cheap
+      override def apply(df: DataFrame): DataFrame =
+        scorer.keepHostless(df.filter(mask(df)))
+    }
+
+  /** ndethist == 1 ∧ uncataloged ∧ hostless —
+    * `filter_new_hostless/filter.py:82-96`.
+    */
+  def newHostless(scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+    hostless("ztf.livestream.new_hostless",
+      "First-detection hostless candidates (ELEPHANT)",
+      col("candidate.ndethist") === 1 && isUncataloged, scorer)
+
+  /** ndethist == 2 ∧ uncataloged ∧ 2 obs within 12 h ∧ hostless —
+    * `filter_intra_night_hostless/filter.py:111-128`.
+    */
+  def intraNightHostless(
+      scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+    hostless("ztf.livestream.intra_night_hostless",
+      "Intra-night hostless candidates",
+      col("candidate.ndethist") === 2 && isUncataloged &&
+        intraNightCadence(), scorer)
+
+  /** ndethist == 3 ∧ uncataloged ∧ inter-night gap pattern ∧ hostless —
+    * `filter_inter_night_hostless/filter.py:111-129`.
+    */
+  def interNightHostless(
+      scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+    hostless("ztf.livestream.inter_night_hostless",
+      "Inter-night hostless candidates",
+      col("candidate.ndethist") === 3 && isUncataloged &&
+        interNightCadence(), scorer)
+
+  val all: Seq[AlertFilter] =
+    Seq(newHostless(), intraNightHostless(), interNightHostless())
+  FilterRegistry.register(all: _*)
+  def load(): Unit = ()
+}
