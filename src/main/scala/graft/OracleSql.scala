@@ -357,6 +357,30 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val q27 = {
+    val cosQ = cosineSql("embedding", "qe", 64)
+    val cosSeed = cosineSql("embedding", "semb", 64)
+    val cosQSeed = cosineSql("qe", "semb", 64)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS semb FROM e
+       |  WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id FROM (
+       |    SELECT e.vec_id, e.embedding, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round($cosSeed, 6) DESC, seed_id) AS rk
+       |    FROM e, seeds) t WHERE rk = 1),
+       |qv AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+       |qseeds AS (
+       |  SELECT seed_id FROM seeds, qv
+       |  ORDER BY round($cosQSeed, 6) DESC, seed_id LIMIT 2)
+       |SELECT vec_id, round($cosQ, 6) AS cos_sim
+       |FROM assign JOIN qseeds USING (seed_id), qv
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // DuckDB substring() does not accept BLOB: head_hex goes through the
   // (ASCII) string form, and tail_len uses the clamp identity
   // octet_length(substring(b, -16, 16)) == least(octet_length(b), 16).
@@ -396,5 +420,6 @@ object OracleSql {
     "q22_dedup_exact" -> q22,
     "q23_neardup_minhash" -> q23,
     "q25_jaccard_pairs" -> q25,
-    "q26_multimodal_meta" -> q26)
+    "q26_multimodal_meta" -> q26,
+    "q27_ivf_knn" -> q27)
 }

@@ -42,6 +42,7 @@ object SparkEntry {
     "q19_knn_brute" -> (Similarity.qKnnBrute _),
     "q20_label_centroids" -> (Similarity.qLabelCentroids _),
     "q21_ann_lsh" -> (Similarity.qAnnLshPairs _),
+    "q27_ivf_knn" -> (Similarity.qIvfKnn _),
     // deduplication
     "q22_dedup_exact" -> (Dedup.qDedupExact _),
     "q23_neardup_minhash" -> (Dedup.qNearDupMinhash _),

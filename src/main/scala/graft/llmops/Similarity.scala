@@ -126,6 +126,44 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** IVF (inverted-file) ANN: deterministic seed vectors act as the
+    * coarse quantizer; every vector is assigned to its nearest seed
+    * (build stage — one broadcast join + a partitioned rank window);
+    * a query probes its nProbe nearest cells and brute-forces only
+    * those. At scale the assignment is written bucketed-by-cell so a
+    * query touches nProbe partitions instead of the corpus.
+    */
+  def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val seeds = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
+        col("nrm").as("snrm"))
+    def cs(a: String, b: String, na: String, nb: String) =
+      round(cosineWithNorms(col(a), col(b), col(na), col(nb)), 6)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("seed_id"))
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("cs", cs("embedding", "semb", "nrm", "snrm"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val qseeds = qvec.crossJoin(broadcast(seeds))
+      .withColumn("cs", cs("qe", "semb", "qn", "snrm"))
+      .orderBy(col("cs").desc, col("seed_id"))
+      .limit(2)
+      .select("seed_id")
+    assign.join(broadcast(qseeds), Seq("seed_id"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id"),
+        cs("embedding", "qe", "nrm", "qn").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine
     * re-rank — the scale path (equi-join on bucket key; no cross join).
     * Returns top candidate pairs above threshold.
