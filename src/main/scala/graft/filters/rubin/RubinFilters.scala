@@ -145,10 +145,29 @@ object RubinFilters {
       mAbs > -23 && mAbs < -13
   }
 
+  /** Early SN Ia (attic) — score and flux-amplitude cuts,
+    * `rubin/attic/filter_early_snia_candidate/filter.py:25-59`.
+    * Null propagation mirrors the numpy NaN behavior: a missing min-flux
+    * keeps NaN through the clamp (np.max([10, nan]) is nan) while a
+    * missing max-flux becomes the 1e-10 floor.
+    */
+  val earlySnia: AlertFilter = simple(
+    "rubin.attic.early_snia_candidate",
+    "Early SN Ia candidates (score + flux amplitude)",
+    Seq("clf.earlySNIa_score", "diaObject")) {
+    val minFlux = least(Bands.map(b => col(s"diaObject.${b}_psfFluxMin")): _*)
+    val maxFlux = greatest(Bands.map(b => col(s"diaObject.${b}_psfFluxMax")): _*)
+    val fMin = when(minFlux.isNotNull, greatest(lit(10.0), minFlux))
+    val fMax = when(maxFlux > 0, maxFlux).otherwise(lit(1e-10))
+    val ratioOk = log10(fMax / fMin) > 0.5
+    val score = col("clf.earlySNIa_score")
+    score > 0.76 || (score > 0.5 && ratioOk)
+  }
+
   val all: Seq[AlertFilter] = Seq(
     uniformSample, inTns, hostlessCandidate, mostLikelySn,
     removeUnlikelyTransients, extragalacticLt20Mag, extragalacticSvom,
-    extragalacticNewCandidate, snNearGalaxyCandidate)
+    extragalacticNewCandidate, snNearGalaxyCandidate, earlySnia)
 
   FilterRegistry.register(all: _*)
 

@@ -57,7 +57,8 @@ class RubinFiltersSpec extends SparkSpec {
     "rubin.livestream.extragalactic_lt20mag_candidate" -> 0L,
     "rubin.livestream.extragalactic_svom" -> 0L,
     "rubin.livestream.extragalactic_new_candidate" -> 0L,
-    "rubin.livestream.sn_near_galaxy_candidate" -> 0L)
+    "rubin.livestream.sn_near_galaxy_candidate" -> 0L,
+    "rubin.attic.early_snia_candidate" -> 0L)
 
   filterGoldens.foreach { case (name, expected) =>
     test(s"$name matches golden count $expected") {

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the scale contract, pinned so a
+  * refactor that silently loses pushdown, broadcast, or top-k
+  * specialization fails the build (SURVEY §8 "scale notes").
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: predicates and column pruning reach the parquet scan") {
+    val p = plan(CoreQueries.q2FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // pruned read schema: exactly the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q3: dimension joins broadcast; fact side never shuffles on dims") {
+    val p = plan(CoreQueries.q3JoinAgg(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q4: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(CoreQueries.q4TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: partial aggregation before the exchange") {
+    val p = plan(CoreQueries.q1Agg(spark, dir))
+    // partial_ functions signal map-side combine
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
+    // the tde fixture is never cache()d by any suite, so the cache
+    // manager cannot substitute an InMemoryRelation for the scan
+    val alerts = spark.read.parquet("/root/reference/datatest/tde")
+    val df = graft.filters.FilterRegistry.applyFilter(
+      alerts, "ztf.livestream.sn_candidates")
+      .select("objectId")
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // "[codegen id : N]" marks operators inside a whole-stage-codegen span
+    assert(p.contains("[codegen id :"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+}
