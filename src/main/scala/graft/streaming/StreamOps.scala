@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.llmops.TextOps
+
+/** Stateful Structured Streaming operators.
+  *
+  * The reference's filters are deliberately stateless (history rides
+  * in-row — SURVEY §7.4.7), but the broker context and the
+  * training-data mandate need three stateful shapes, built on Spark's
+  * state store so they scale with the cluster and survive restarts via
+  * checkpointing:
+  *
+  *  - cross-batch EXACT dedup of a document stream (watermark-bounded
+  *    state, the streaming face of `Dedup.qDedupExact`);
+  *  - watermarked event-time windowed aggregation (the streaming face
+  *    of `CoreQueries.q9EventsJson`);
+  *  - a per-object running counter (the anomaly-history counter shape,
+  *    G9 — `filter_anomaly_notification/filter_utils.py:160-193`, which
+  *    the reference keeps in an external store).
+  */
+object StreamOps {
+
+  /** Drop documents whose normalized-text fingerprint was already seen,
+    * across micro-batches. The watermark bounds the fingerprint state:
+    * duplicates farther apart than `watermark` in event time may pass —
+    * the standard trade between state size and dedup horizon at 100 TB.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Hourly per-type counts/sums with late-data tolerance. */
+  def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-key running appearance counter via flatMapGroupsWithState —
+    * emits (key, total_so_far) every time the key appears in a batch.
+    * (A production deployment bounds the state with a processing-time
+    * timeout sized to the reference's 90-day anomaly horizon; the
+    * operator itself is horizon-agnostic.)
+    */
+  def runningCounter(keyed: Dataset[String]): Dataset[(String, Long)] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator.single(key -> total)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stateful streaming operators driven through MemoryStream across
+  * multiple micro-batches (real state store, real watermarks).
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("dedupStream drops cross-batch exact duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+    q.processAllAvailable()
+    // batch 2: one exact dup (same normalized text), one new
+    in.addData((3L, ts(2), "ALPHA   beta"), (4L, ts(3), "epsilon"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.sameElements(Array(1L, 2L, 4L)))
+  }
+
+  test("hourlyEventStats windows by event time with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.hourlyEventStats(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    in.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0),
+      (ts(70), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first windows
+    in.addData((ts(600), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_out")
+      .select("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("runningCounter keeps per-key totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamOps.runningCounter(in.toDS())
+      .toDF("objectId", "n_seen")
+    val q = out.writeStream.format("memory").queryName("counter_out")
+      .outputMode("append").start()
+    in.addData("ZTFa", "ZTFa", "ZTFb")
+    q.processAllAvailable()
+    in.addData("ZTFa", "ZTFb", "ZTFc")
+    q.processAllAvailable()
+    val rows = spark.table("counter_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows === Set(("ZTFa", 2L), ("ZTFb", 1L),
+      ("ZTFa", 3L), ("ZTFb", 2L), ("ZTFc", 1L)))
+  }
+}
