@@ -31,14 +31,19 @@ object Bench {
       try run(n) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop any persist() a query created so later
-      // queries aren't taxed by cache eviction / GC pressure (untimed)
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate queries: drop any persist() a query created so later
+        // queries aren't taxed by cache eviction / GC pressure (untimed)
+        spark.catalog.clearCache()
+        dt
+      }
+      // min = steady-state cost, insulated from GC/compaction noise
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -326,14 +326,14 @@ object OracleSql {
     s"""WITH ${shinglesCte()},
        |sig AS (
        |  SELECT doc_id, sh,
-       |    list_transform(range(0, 32),
+       |    list_transform(range(0, 16),
        |      i -> list_aggregate(list_transform(sh,
        |             s -> substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 16)),
        |           'min')) AS sig
        |  FROM sh0),
        |bands AS (
        |  SELECT doc_id, t.band AS band,
-       |    array_to_string(list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), '|') AS bh
+       |    array_to_string(list_slice(sig, t.band * 2 + 1, t.band * 2 + 2), '|') AS bh
        |  FROM sig, range(0, 8) t(band)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

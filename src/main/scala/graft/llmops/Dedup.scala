@@ -36,7 +36,7 @@ object Dedup {
     * fixed-width hex strings equals numeric min. One pass over the
     * shingles per row, all inside codegen.
     */
-  def minhash(shingleArr: Column, k: Int = 32): Column =
+  def minhash(shingleArr: Column, k: Int = 16): Column =
     // single pass over the shingles (k-wide running elementwise min)
     // rather than k passes: after CollapseProject inlines the shingle
     // expression, a sequence(0,k)-outer formulation would recompute the
@@ -142,7 +142,7 @@ object Dedup {
     * one hash-shuffle on (band, bh), then per-bucket pairs.
     */
   def nearDupPairs(df: DataFrame, threshold: Double = 0.5,
-      k: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 16, bands: Int = 8): DataFrame = {
     val rowsPer = k / bands
     // Distinct shingle set + size, computed ONCE and persisted: it feeds
     // the band explode and both sides of the verify join (3 consumers).
