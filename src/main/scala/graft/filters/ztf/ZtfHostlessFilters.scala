@@ -28,14 +28,37 @@ object ZtfHostlessFilters {
     def keepHostless(candidates: DataFrame): DataFrame
   }
 
-  /** STUB — no FITS/ELEPHANT implementation in this environment; admits
-    * all candidates. The Rubin pipeline carries a precomputed score
-    * instead (`clf.elephant_kstest_template`), which
-    * [[graft.filters.rubin.RubinFilters.hostlessCandidate]] consumes for
-    * real.
+  /** STUB — admits all candidates (the Rubin pipeline carries a
+    * precomputed score instead, which
+    * [[graft.filters.rubin.RubinFilters.hostlessCandidate]] consumes).
     */
   object PassthroughScorer extends HostlessScorer {
     def keepHostless(candidates: DataFrame): DataFrame = candidates
+  }
+
+  /** REAL image stage: decodes the gzipped-FITS science/template stamps
+    * and keeps candidates whose centre-vs-background KS statistic stays
+    * inside the hostless bounds (the reference's threshold shape,
+    * science ≤ 0.5 ∧ template ≤ 0.85 —
+    * `filter_new_hostless/utils.py:139-141`; statistic variant
+    * documented at [[graft.multimodal.FitsOps.hostlessKs]]). Runs as a
+    * Scala UDF over the binary columns — the one deliberate UDF in the
+    * engine (SURVEY §7.3: image ops over BinaryType), applied LAST, on
+    * the survivors of all cheap cuts.
+    */
+  class FitsKsScorer(scienceMax: Double = 0.5, templateMax: Double = 0.85)
+      extends HostlessScorer {
+    def keepHostless(candidates: DataFrame): DataFrame = {
+      val ks = udf((bytes: Array[Byte]) =>
+        if (bytes == null) Double.NaN
+        else graft.multimodal.FitsOps.hostlessKs(bytes))
+      candidates
+        .withColumn("__ks_sci", ks(col("cutoutScience.stampData")))
+        .withColumn("__ks_tpl", ks(col("cutoutTemplate.stampData")))
+        .filter(col("__ks_sci") >= 0 && col("__ks_sci") <= scienceMax &&
+          col("__ks_tpl") >= 0 && col("__ks_tpl") <= templateMax)
+        .drop("__ks_sci", "__ks_tpl")
+    }
   }
 
   /** Not in the ZTF reference catalog, SIMBAD, Gaia DR3, or the MPC —

@@ -20,6 +20,28 @@ class HostlessSpec extends SparkSpec {
     assert(df.filter(H.intraNightCadence()).count() === 54L)
     assert(df.filter(H.interNightCadence()).count() === 10L)
   }
+  test("FITS decode + KS statistic work on real stamps") {
+    import org.apache.spark.sql.functions._
+    val rows = df.select(col("cutoutScience.stampData").as("sci"),
+      col("cutoutTemplate.stampData").as("tpl")).limit(5).collect()
+    rows.foreach { r =>
+      val (w, h, px) = graft.multimodal.FitsOps
+        .decodeFloatImage(r.getAs[Array[Byte]](0))
+      assert(w === 63 && h === 63 && px.length === 63 * 63)
+      val ks = graft.multimodal.FitsOps.hostlessKs(r.getAs[Array[Byte]](0))
+      assert(ks >= 0.0 && ks <= 1.0, ks)
+    }
+  }
+
+  test("new_hostless with the real KS image stage is deterministic") {
+    val f = graft.filters.ztf.ZtfHostlessFilters
+      .newHostless(new graft.filters.ztf.ZtfHostlessFilters.FitsKsScorer())
+    val n1 = f(df).count()
+    val n2 = f(df).count()
+    assert(n1 === n2)
+    assert(n1 <= 2) // bounded by the 2 uncataloged-and-new candidates
+  }
+
   test("hostless filters (stub image stage) keep 2/0/0") {
     assert(FilterRegistry.applyFilter(df,
       "ztf.livestream.new_hostless").count() === 2L)
