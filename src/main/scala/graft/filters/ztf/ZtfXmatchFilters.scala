@@ -65,6 +65,16 @@ object ZtfXmatchFilters {
     "ztf.known_tde", "Alerts matching a known TDE within 5 arcsec",
     withKnownTde(_, catalog), "tde")
 
+  /** `magnetic_cvs` — positive alerts cross-matched against the magnetic
+    * CV catalog with per-source radii
+    * (`filter_magnetic_cvs/filter.py:122-173`; same positive-only gate
+    * as known_tde).
+    */
+  def magneticCvs(catalog: DataFrame): AlertFilter = matchedFilter(
+    "ztf.livestream.magnetic_cvs",
+    "Alerts matching known magnetic cataclysmic variables",
+    withKnownTde(_, catalog, "mcvs"), "mcvs")
+
   def symbioticStars(catalog: DataFrame): AlertFilter = matchedFilter(
     "ztf.symbiotic_stars",
     "Alerts matching symbiotic / cataclysmic star catalogs",

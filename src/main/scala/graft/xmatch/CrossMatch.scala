@@ -108,6 +108,18 @@ object Catalogs {
         Astro.dmsToDeg(col("DEC(J2000)")).as("dec"),
         col("Radius").cast("double").as("radius_arcsec"))
 
+  /** Magnetic cataclysmic variables — CSV with sexagesimal coordinates
+    * and a per-source radius (`filter_magnetic_cvs/filter.py:89-119`).
+    */
+  def magneticCvs(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true")
+      .csv(s"$dataDir/data/magnetic_cataclysmic_variables.csv")
+      .select(
+        col("Name").as("name"),
+        Astro.hmsToDeg(col("RA(J2000)")).as("ra"),
+        Astro.dmsToDeg(col("DEC(J2000)")).as("dec"),
+        col("Radius").cast("double").as("radius_arcsec"))
+
   /** Dwarf AGN — per-source effective radius `Re_arc`
     * (`filter_dwarf_agn/filter.py:66-94`).
     */

@@ -34,6 +34,12 @@ class CrossMatchSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("magnetic_cvs: 1 of the regular fixture's positive alerts matches") {
+    val df = SparkSpec.ztfRegular
+    val out = ZtfXmatchFilters.magneticCvs(Catalogs.magneticCvs(spark))(df)
+    assert(out.count() === 1L)
+  }
+
   test("sexagesimal parsing matches known values") {
     val r = spark.range(1).select(
       graft.astro.Astro.hmsToDeg(lit("00 20 33.590")).as("ra"),
