@@ -40,6 +40,18 @@ object ColOps {
   def concatCols(df: DataFrame, names: Seq[String], prefix: String = "c"): DataFrame =
     names.foldLeft(df)((d, n) => concatCol(d, n, prefix))
 
+  /** Drop-in parity with the reference's broker naming quirk: after
+    * `concat_col`, callers rename `c<name>` to `c<name>c`
+    * (fink-broker#457 workaround, quoted in every doctest —
+    * e.g. `filter_kn_candidates/filter.py:176-178`). Downstream code
+    * written against those `c*c` columns ports unchanged.
+    */
+  def concatColsRenamed(df: DataFrame, names: Seq[String],
+      prefix: String = "c"): DataFrame =
+    names.foldLeft(concatCols(df, names, prefix)) { (d, n) =>
+      d.withColumnRenamed(prefix + n, prefix + n + prefix)
+    }
+
   /** Latest (= last) element of a history array. A1 in SURVEY §2.3. */
   def latest(arr: Column): Column = element_at(arr, -1)
 

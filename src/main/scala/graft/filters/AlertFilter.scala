@@ -22,6 +22,12 @@ trait AlertFilter {
     */
   def description: String = ""
 
+  /** Whether passing alerts should be persisted to the archive store —
+    * metadata parity with the reference's per-module HBASE_SUPPORT
+    * constant (`filter_uniform_sample/filter.py:20`).
+    */
+  def archiveSupport: Boolean = true
+
   /** Top-level / dotted-path columns the mask reads (used for pruning
     * checks and documentation; Catalyst prunes automatically).
     */

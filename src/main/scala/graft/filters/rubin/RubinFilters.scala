@@ -15,11 +15,12 @@ object RubinFilters {
 
   private def ds(f: String): Column = col(s"diaSource.$f")
 
-  private def simple(n: String, desc: String, cols: Seq[String])(
-      m: => Column): AlertFilter =
+  private def simple(n: String, desc: String, cols: Seq[String],
+      hbase: Boolean = true)(m: => Column): AlertFilter =
     new AlertFilter {
       val name = n
       override val description = desc
+      override val archiveSupport = hbase
       val requiredColumns = cols
       def mask(df: DataFrame): Column = m
     }
@@ -30,7 +31,7 @@ object RubinFilters {
   val uniformSample: AlertFilter = simple(
     "rubin.livestream.uniform_sample",
     "Select 1% of all live alerts in a uniformly random way",
-    Seq("diaSourceId"))(pmod(col("diaSourceId"), lit(113L)) === 0)
+    Seq("diaSourceId"), hbase = false)(pmod(col("diaSourceId"), lit(113L)) === 0)
 
   /** TNS counterpart known at emission time —
     * `filter_in_tns/filter.py:49` (`tns_fullname is not None`). The test
@@ -79,7 +80,8 @@ object RubinFilters {
   val removeUnlikelyTransients: AlertFilter = simple(
     "rubin.livestream.remove_unlikely_transients",
     "Filters out alerts unlikely to be transients of interest (DESC)",
-    Seq("diaSource", "diaObject.nDiaSources", "pred.is_sso")) {
+    Seq("diaSource", "diaObject.nDiaSources", "pred.is_sso"),
+    hbase = false) {
     val fGqNotNeg = goodQuality &&
       !coalesce(ds("isNegative").cast("boolean"), lit(false))
     !isSolarSystem && ds("snr") > 10 && !fGqNotNeg &&
@@ -105,7 +107,7 @@ object RubinFilters {
     "rubin.livestream.extragalactic_svom",
     "New (<5 d), bright (mag < 24), potentially extragalactic alerts",
     Seq("diaSource", "diaObject", "xm", "pred.is_sso",
-      "misc.firstDiaSourceMjdTaiFink"))(
+      "misc.firstDiaSourceMjdTaiFink"), hbase = false)(
     extragalacticNearGalaxy &&
       (ds("midpointMjdTai") - col("misc.firstDiaSourceMjdTaiFink")) < 5.0 &&
       apparentMag < 24)
