@@ -18,15 +18,30 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Word shingles (n-gram strings) of the normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(regexp_replace(lower(text), "\\s+", " "), " ")
+  /** Normalized word tokens of the text. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(text), "\\s+", " "), " ")
+
+  /** Word shingles from a MATERIALIZED token column. Pass an attribute:
+    * `slice(toks, …)` sits inside the per-element lambda, and expressions
+    * inside a HOF lambda body re-evaluate per element — handing the raw
+    * [[tokens]] expression here re-runs the regexp+split once per
+    * shingle (measured 8 s for 5000 docs at sf0.1 vs ~1 s with a
+    * materialized column).
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val k = size(toks) - (n - 1)
     when(k > 0,
       transform(sequence(lit(0), k - 1),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Convenience composition (small inputs / tests — see the
+    * per-element-re-evaluation caveat on [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** MinHash signature: k independent min-hashes of the shingle set.
     * Permutation i is realized as the 64-bit hex prefix of
@@ -152,7 +167,9 @@ object Dedup {
     // ~the corpus size — the standard trade against recomputing the
     // O(k·shingles) signature per consumer.
     val withSh = df
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("toks"))).as("sh"))
       .withColumn("shh", hashedShingles(col("sh")))
       .withColumn("n_sh", size(col("shh")))
       .persist()
@@ -230,8 +247,9 @@ object Dedup {
     // On this corpus that is ~60k co-occurrence rows instead of ~600k
     // full-pair intersections.
     val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("source"), col("doc_id"),
-        hashedShingles(shingles(col("text"))).as("sh"))
+        hashedShingles(shinglesFromTokens(col("toks"))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist()
     val ex = d.select(col("source"), col("doc_id"), explode(col("sh")).as("s"))
