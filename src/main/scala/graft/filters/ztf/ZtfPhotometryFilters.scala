@@ -20,20 +20,22 @@ object ZtfPhotometryFilters {
     * subtractions).
     */
   private def fluxHistory: Column = {
-    val cjd = chist("jd")
-    val cmag = chist("magpsf")
-    val csig = chist("sigmapsf")
-    val cisd = chist("isdiffpos")
-    val cfid = chist("fid")
-    transform(sequence(lit(1), size(cjd)), i => {
-      val m = element_at(cmag, i).cast("double")
-      val s = element_at(csig, i).cast("double")
-      val sign = when(element_at(cisd, i) === "f", -1.0).otherwise(1.0)
+    // arrays_zip: each chist() array is a COLLECTION argument, evaluated
+    // once per row — an element_at(chist(..), i) inside the lambda body
+    // would rebuild the concat array once per history point
+    val z = arrays_zip(
+      chist("jd").as("cjd"), chist("magpsf").as("cmag"),
+      chist("sigmapsf").as("csig"), chist("isdiffpos").as("cisd"),
+      chist("fid").as("cfid"))
+    transform(z, p => {
+      val m = p.getField("cmag").cast("double")
+      val s = p.getField("csig").cast("double")
+      val sign = when(p.getField("cisd") === "f", -1.0).otherwise(1.0)
       struct(
-        element_at(cjd, i).cast("double").as("jd"),
+        p.getField("cjd").cast("double").as("jd"),
         (sign * pow(10.0, lit(-0.4) * m) * 1e11).as("f"),
         (lit(9.21034e10) * exp(lit(-0.921034) * m) * s).as("e"),
-        element_at(cfid, i).cast("int").as("fid"),
+        p.getField("cfid").cast("int").as("fid"),
         (m.isNotNull && !isnan(m)).as("ok"))
     })
   }
@@ -184,16 +186,20 @@ object ZtfPhotometryFilters {
         col("cdsxmatch").isin(graft.filters.ztf.SimbadClasses.ExtragalacticHosts: _*) &&
         abs(b) > 10
 
-      // same-band valid history -> DC magnitudes (`dc_mag`, fink-utils)
+      // same-band valid history -> DC magnitudes (`dc_mag`, fink-utils);
+      // arrays_zip so each history array evaluates once per row
+      val z = arrays_zip(cjd.as("zjd"), cmag.as("zm"), csig.as("zs"),
+        cmagnr.as("zmr"), csigmagnr.as("zsr"), cisd.as("zisd"),
+        cfid.as("zfid"))
       val pts = filter(
-        transform(sequence(lit(1), size(cjd)), i => struct(
-          element_at(cjd, i).cast("double").as("jd"),
-          element_at(cmag, i).cast("double").as("m"),
-          element_at(csig, i).cast("double").as("s"),
-          element_at(cmagnr, i).cast("double").as("mr"),
-          element_at(csigmagnr, i).cast("double").as("sr"),
-          element_at(cisd, i).as("isd"),
-          element_at(cfid, i).cast("int").as("fid"))),
+        transform(z, p => struct(
+          p.getField("zjd").cast("double").as("jd"),
+          p.getField("zm").cast("double").as("m"),
+          p.getField("zs").cast("double").as("s"),
+          p.getField("zmr").cast("double").as("mr"),
+          p.getField("zsr").cast("double").as("sr"),
+          p.getField("zisd").as("isd"),
+          p.getField("zfid").cast("int").as("fid"))),
         p => validMag(p.getField("m")) && p.getField("fid") === lastFid)
       val dc = transform(pts, p => {
         val d = Astro.dcMag(p.getField("m"), p.getField("s"),
