@@ -57,6 +57,26 @@ object FilterRegistry {
     filters = filters ++ fs.map(f => f.name -> f)
   }
 
+  /** Register a raw Spark-SQL predicate under a name — the engine analog
+    * of the reference's SQL-string filters (O4:
+    * `df_proc.filter("dec <= 20 AND …")`, user `custom_filter` —
+    * `filter_anomaly_notification/filter.py:161-166`). Broker configs
+    * can ship ad-hoc predicates without code.
+    */
+  def registerSql(filterName: String, sqlPredicate: String,
+      desc: String = ""): AlertFilter = {
+    val f = new AlertFilter {
+      val name = filterName
+      override val description =
+        if (desc.nonEmpty) desc else s"SQL filter: $sqlPredicate"
+      val requiredColumns = Seq.empty
+      def mask(df: DataFrame): Column =
+        org.apache.spark.sql.functions.expr(sqlPredicate)
+    }
+    register(f)
+    f
+  }
+
   def all: Map[String, AlertFilter] = {
     ensureLoaded()
     filters

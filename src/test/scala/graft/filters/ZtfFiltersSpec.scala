@@ -79,6 +79,16 @@ class ZtfFiltersSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("SQL-string filters register and apply (O4)") {
+    FilterRegistry.registerSql("test.sql_cut",
+      "candidate.ndethist > 1 AND roid != 3")
+    val n = FilterRegistry.applyFilter(df, "test.sql_cut").count()
+    val expected = df.filter(
+      org.apache.spark.sql.functions.expr(
+        "candidate.ndethist > 1 AND roid != 3")).count()
+    assert(n === expected)
+  }
+
   test("registry exposes every ZTF filter by name") {
     ZtfFilters.all.foreach { f =>
       assert(FilterRegistry.get(f.name).eq(f))
