@@ -105,19 +105,30 @@ object Dedup {
   def hashedShingles(shingleArr: Column): Column =
     array_distinct(transform(shingleArr, s => xxhash64(s)))
 
-  /** Per-bit ±1 vote vector of the 64-bit SimHash: one pass over the
-    * word tokens, folding xxhash64 sign bits into a 64-wide sum.
+  /** Token xxhash64 array — materialize this as a column and feed it to
+    * [[simhashVotesFromHashes]].
     */
-  def simhashVotes(text: Column): Column = {
-    val toks = split(regexp_replace(lower(text), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    def bitVotes(h: Column): Column = array((0 until 64).map { j =>
-      when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)
+  def tokenHashes(text: Column): Column =
+    transform(split(regexp_replace(lower(text), "\\s+", " "), " "),
+      t => xxhash64(t))
+
+  /** Per-bit ±1 vote vector from a MATERIALIZED token-hash column:
+    * votes[j] = 2·|{h : bit j set}| − n, via 64 allocation-free bit-count
+    * folds (the array-of-votes-per-token formulation allocates a 64-int
+    * array per token — measured ~2× slower).
+    */
+  def simhashVotesFromHashes(hs: Column): Column = {
+    val n = size(hs)
+    array((0 until 64).map { j =>
+      val cnt = aggregate(hs, lit(0),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(1).cast("int"))
+      cnt * 2 - n
     }: _*)
-    aggregate(hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
   }
+
+  /** Per-bit ±1 vote vector of the 64-bit SimHash (convenience form). */
+  def simhashVotes(text: Column): Column =
+    simhashVotesFromHashes(tokenHashes(text))
 
   /** Sign bits of a vote vector assembled into the SimHash long. The
     * votes argument is referenced 64 times — pass an ATTRIBUTE (a
@@ -212,7 +223,8 @@ object Dedup {
     */
   def qNearDupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("votes", simhashVotes(col("text")))
+      .withColumn("hs", tokenHashes(col("text")))
+      .withColumn("votes", simhashVotesFromHashes(col("hs")))
       .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
     val chunked = d.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
