@@ -186,9 +186,12 @@ object Dedup {
       .persist()
     // persisted too: BOTH sides of the band self-join consume it, and
     // without the boundary each side would recompute the k·|shingles|
-    // md5 signature pass
+    // md5 signature pass. The signature runs through the native
+    // MinHashSignature kernel (same values as [[minhash]], checked by
+    // DedupSpec; one reused digest, no per-(shingle,i) string churn).
     val withBand = withSh
-      .withColumn("sig", minhash(col("sh"), k))
+      .withColumn("sig",
+        graft.expressions.MinHashSignature.signature(col("sh"), k))
       .select(col("doc_id"),
         explode(bandKeys(col("sig"), bands, rowsPer)).as("bk"))
       .select(col("doc_id"),
