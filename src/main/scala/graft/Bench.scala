@@ -33,10 +33,14 @@ object Bench {
       spark.catalog.clearCache()
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => }
+        // a failure must not read as a speedup: record the query in
+        // `failed` and report a -1 sentinel time instead of its (short)
+        // time-to-throw
+        try run(name) catch { case _: Throwable => failed += name }
         val dt = (System.nanoTime() - t0) / 1e9
         // isolate queries: drop any persist() a query created so later
         // queries aren't taxed by cache eviction / GC pressure (untimed)
@@ -44,12 +48,13 @@ object Bench {
         dt
       }
       // min = steady-state cost, insulated from GC/compaction noise
-      name -> times.min
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

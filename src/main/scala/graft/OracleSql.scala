@@ -384,6 +384,9 @@ object OracleSql {
   // DuckDB substring() does not accept BLOB: head_hex goes through the
   // (ASCII) string form, and tail_len uses the clamp identity
   // octet_length(substring(b, -16, 16)) == least(octet_length(b), 16).
+  // The char-vs-byte equivalence holds only for ASCII text —
+  // tools/prevalidate.py asserts documents.text is pure ASCII so any
+  // future multi-byte character fails the gate loudly, not silently.
   private val q26 =
     """SELECT doc_id,
       |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any persist() the query created (near-dup pipelines cache
+      // their shingle sets): 27 queries in one session would otherwise
+      // accumulate executor storage across the whole run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   *    equi-join on (band, band_hash) buckets — no O(n²) cross join ever;
   *  - SimHash uses the same bucket trick on 16-bit key chunks;
   *  - verification (exact Jaccard) runs only on bucket-collision pairs.
+  *
+  * Cache lifetime: the near-dup pipelines `persist()` their shingle
+  * sets (multiple consumers). The cached plans back the returned
+  * DataFrame, so they cannot be unpersisted before the caller's action;
+  * release them afterwards with `spark.catalog.clearCache()` — Bench and
+  * Verify do so between queries.
   */
 object Dedup {
 

@@ -54,8 +54,9 @@ class EarlyKnSpec extends SparkSpec {
       .toDF("ra", "dec", "lum_dist", "ang_dist")
     val out = EarlyKnFilter.earlyKnCandidates(empty)(df)
     assert(out.count() === 0L)
-    // pre-cuts alone on the fixture
-    assert(df.filter(EarlyKnFilter.preCuts).count() ===
-      df.filter(EarlyKnFilter.preCuts).count())
+    // pre-cuts alone on the 133-alert fixture: 3 (pandas replication of
+    // drb/classtar/newness/EG-host/roid cuts — see tools/dev_goldens.py
+    // methodology)
+    assert(df.filter(EarlyKnFilter.preCuts).count() === 3L)
   }
 }
