@@ -347,6 +347,46 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val q24 = {
+    // mirror of graft.expressions.SimHash64: h(t) = first 8 md5 bytes as
+    // a big-endian u64, recovered here digit-by-digit from the md5 hex
+    // string — bit j lives in hex char 16 − j/4 at in-digit position j%4.
+    // Bit 63 of the assembled signed long is the sign bit: DuckDB's <<
+    // throws on 1::BIGINT << 63, so it is added as the min-long literal
+    // (the bit positions are disjoint, so + equals OR).
+    def digit(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val cnts = (0 until 64).map { j =>
+      s"list_sum(list_transform(hs, h -> ((${digit(16 - j / 4)} >> ${j % 4}) & 1))) AS c$j"
+    }.mkString(",\n    ")
+    val bits = ((0 until 63).map { j =>
+      s"CASE WHEN 2*c$j > n THEN (1::BIGINT << $j) ELSE 0 END"
+    } :+ "CASE WHEN 2*c63 > n THEN -9223372036854775808 ELSE 0 END")
+      .mkString("(", "\n    + ", ")")
+    val hamming = "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER)"
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |h0 AS (
+       |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs, len(toks) AS n
+       |  FROM toks0),
+       |c0 AS (
+       |  SELECT doc_id, n,
+       |    $cnts
+       |  FROM h0),
+       |s0 AS (SELECT doc_id, $bits AS sh FROM c0),
+       |chunks AS (
+       |  SELECT doc_id, sh, t.chunk AS chunk,
+       |    (sh >> (t.chunk * 16)) & 65535 AS ck
+       |  FROM s0, range(0, 4) t(chunk))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  $hamming AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+       |WHERE $hamming <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val q25 = {
     val jac = jaccardSql("a.sh", "b.sh")
     s"""WITH ${shinglesCte(", source")}
@@ -394,10 +434,6 @@ object OracleSql {
       |  least(octet_length(CAST(text AS BLOB)), 16) AS tail_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q24 (SimHash) is intentionally absent: its 64-bit xxhash64 kernel has
-    * no DuckDB equivalent, so the driver records the weaker rows-only
-    * check for it.
-    */
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -422,6 +458,7 @@ object OracleSql {
     "q21_ann_lsh" -> q21,
     "q22_dedup_exact" -> q22,
     "q23_neardup_minhash" -> q23,
+    "q24_neardup_simhash" -> q24,
     "q25_jaccard_pairs" -> q25,
     "q26_multimodal_meta" -> q26,
     "q27_ivf_knn" -> q27)

@@ -52,7 +52,7 @@ object SparkEntry {
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q24 omitted (xxhash64 kernel → rows-only).
+    * the same parquet tables — every query, q24's md5 SimHash included.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -229,12 +229,17 @@ object Dedup {
   /** SimHash fingerprints + bucket-collision candidates on 16-bit chunks:
     * docs sharing any chunk of the 64-bit simhash are near-dup
     * candidates; report hamming distance ≤ 8.
+    *
+    * The fingerprint is the md5-based [[graft.expressions.SimHash64]]
+    * kernel — one digest pass per token instead of 64 aggregate folds
+    * over an xxhash64 array, and (like q23's MinHash) bit-for-bit
+    * reproducible by the DuckDB oracle from the md5 hex digits.
     */
   def qNearDupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("hs", tokenHashes(col("text")))
-      .withColumn("votes", simhashVotesFromHashes(col("hs")))
-      .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        graft.expressions.SimHash64.simhash(col("toks")).as("sh"))
     val chunked = d.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

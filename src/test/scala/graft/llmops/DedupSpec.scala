@@ -3,10 +3,11 @@ package graft.llmops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.expressions.MinHashSignature
+import graft.expressions.{MinHashSignature, SimHash64}
 
 /** The native MinHashSignature kernel must be bit-identical to the
-  * HOF/md5 formulation (which the DuckDB oracle mirrors).
+  * HOF/md5 formulation (which the DuckDB oracle mirrors), and the
+  * SimHash64 kernel to an independent plain-Scala reference.
   */
 class DedupSpec extends SparkSpec {
 
@@ -35,5 +36,46 @@ class DedupSpec extends SparkSpec {
     r.foreach { row =>
       assert(row.getSeq[String](0) === row.getSeq[String](1))
     }
+  }
+
+  /** Independent reference: BigInteger over the full md5 hex prefix —
+    * no bit twiddling shared with the kernel under test.
+    */
+  private def refSimhash(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = new Array[Int](64)
+    tokens.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(16)
+      val v = new java.math.BigInteger(hex, 16)
+      (0 until 64).foreach(j => if (v.testBit(j)) cnt(j) += 1)
+    }
+    (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (2 * cnt(j) > tokens.size) acc | (1L << j) else acc
+    }
+  }
+
+  test("native SimHash64 kernel == independent md5 reference") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq("the", "quick", "brown", "fox", "the"),
+      Seq("one"),
+      Seq.empty[String],
+      ('a' to 'z').map(_.toString) // enough tokens to exercise tie bits
+    )
+    val got = rows.toDF("toks")
+      .select(SimHash64.simhash(col("toks")).as("sh"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === rows.map(refSimhash))
+  }
+
+  test("SimHash64 on real docs: near-identical texts collide, distinct do not") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), SimHash64.simhash(col("toks")).as("sh"))
+    assert(d.count() > 0)
+    // the fingerprint must not be degenerate: more than one distinct value
+    assert(d.select("sh").distinct().count() > 1)
   }
 }

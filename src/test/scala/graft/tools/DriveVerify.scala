@@ -45,6 +45,22 @@ object DriveVerify {
       "rubin.livestream.uniform_sample")
     println("Rubin uniform_sample: " + rsample.count() + " (expect 1)")
     rsample.select("diaSourceId").explain("formatted")
+
+    // llmops dedup kernels on real documents: known value for a known
+    // token list (md5-based, engine-independent), plus the full near-dup
+    // pipelines end-to-end
+    import graft.expressions.SimHash64
+    import graft.llmops.Dedup
+    import spark.implicits._
+    val sh = Seq(Seq("the", "quick", "brown", "fox", "the")).toDF("toks")
+      .select(SimHash64.simhash(col("toks"))).head().getLong(0)
+    println(s"SimHash64(known tokens): $sh (expect 1140673395500345035)")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("minhash near-dup pairs (sf0.001): " +
+      Dedup.nearDupPairs(docs, threshold = 0.3).count())
+    println("simhash near-dup pairs (sf0.001): " +
+      Dedup.qNearDupSimhash(spark, "/root/testdata/sf0.001").count())
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
