@@ -421,6 +421,58 @@ object OracleSql {
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  private val q28 = {
+    // same deterministic hyperplanes as Dedup.qDedupEmbedding: table t
+    // uses planes 16+4t .. 16+4t+3, bit p worth 1<<p within the table
+    def bucketSql(t: Int): String = sumL((0 until 4).map { p =>
+      val plane = Similarity.hyperplane(16 + 4 * t + p, 64)
+      val proj = sumL((0 until 64).map(j =>
+        s"CAST(embedding[${j + 1}] AS DOUBLE) * ${plane(j)}"))
+      s"CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END"
+    })
+    val cos = cosineSql("ea.embedding", "eb.embedding", 64)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |k AS (
+       |  SELECT vec_id,
+       |    ${(0 until 4).map(t => s"${bucketSql(t)} AS b$t").mkString(",\n    ")}
+       |  FROM e),
+       |tb AS (
+       |  SELECT vec_id, t.tbl AS tbl,
+       |    CASE t.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bucket
+       |  FROM k, range(0, 4) t(tbl)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM tb a JOIN tb b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (
+       |  SELECT id_a, id_b, round($cos, 6) AS cos_sim
+       |  FROM cand
+       |  JOIN e ea ON id_a = ea.vec_id
+       |  JOIN e eb ON id_b = eb.vec_id)
+       |SELECT id_b AS vec_id, min(id_a) AS canonical_id, count(*) AS n_dups
+       |FROM v WHERE cos_sim >= 0.3
+       |GROUP BY id_b ORDER BY vec_id""".stripMargin
+  }
+
+  private val q29 =
+    s"""WITH ${shinglesCte()},
+       |h AS (
+       |  SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 16)) AS hsh
+       |  FROM sh0),
+       |fp0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(hsh) - 3 > 0
+       |      THEN list_transform(range(0, len(hsh) - 3),
+       |             i -> list_aggregate(list_slice(hsh, i + 1, i + 4), 'min'))
+       |      ELSE [list_aggregate(hsh, 'min')] END) AS fp
+       |  FROM h),
+       |ex AS (SELECT doc_id, unnest(fp) AS f FROM fp0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // DuckDB substring() does not accept BLOB: head_hex goes through the
   // (ASCII) string form, and tail_len uses the clamp identity
   // octet_length(substring(b, -16, 16)) == least(octet_length(b), 16).
@@ -461,5 +513,7 @@ object OracleSql {
     "q24_neardup_simhash" -> q24,
     "q25_jaccard_pairs" -> q25,
     "q26_multimodal_meta" -> q26,
-    "q27_ivf_knn" -> q27)
+    "q27_ivf_knn" -> q27,
+    "q28_dedup_embedding" -> q28,
+    "q29_fingerprint_winnow" -> q29)
 }

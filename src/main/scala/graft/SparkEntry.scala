@@ -48,6 +48,8 @@ object SparkEntry {
     "q23_neardup_minhash" -> (Dedup.qNearDupMinhash _),
     "q24_neardup_simhash" -> (Dedup.qNearDupSimhash _),
     "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _),
+    "q28_dedup_embedding" -> (Dedup.qDedupEmbedding _),
+    "q29_fingerprint_winnow" -> (TextOps.qFingerprintWinnow _),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 

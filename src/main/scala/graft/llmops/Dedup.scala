@@ -260,6 +260,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding-cosine near-duplicates with canonical assignment — the
+    * semantic-dedup modality (MinHash/SimHash catch lexical near-dups;
+    * this catches paraphrases that embed close together).
+    *
+    * Multi-table sign-LSH: `nTables` independent bucket keys per vector
+    * (disjoint hyperplane sets), candidates = pairs sharing ANY table's
+    * bucket — the banding trick from MinHash-LSH applied to cosine
+    * space. Fewer planes per table raises recall, more tables cap the
+    * miss rate at (1−p^planes)^tables; production near-dup thresholds
+    * (≥0.9) would use 8–16 planes per table, the 4×4 here is tuned to
+    * the synthetic corpus's weak correlations. Exact cosine verifies
+    * every candidate, so precision is exact; only recall is
+    * approximate. Output: one row per duplicate vector with its
+    * canonical (smallest qualifying neighbor) id.
+    *
+    * Scale shape: keys are a map stage; the explode carries (vec_id,
+    * tbl, bucket) — never the vector; the self-join is an equi-join on
+    * (tbl, bucket); vectors rejoin by id only for the verify.
+    */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val nTables = 4
+    val planesPer = 4
+    val threshold = 0.3
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .persist() // 3 consumers: key explode + both verify sides
+    val keyed = e.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshKey(col("embedding"), 64, planesPer,
+            firstPlane = 16 + t * planesPer).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val a = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ea = e.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineWithNorms(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("vec_id")
+  }
+
   /** N-gram Jaccard dedup without LSH (exact, for modest candidate sets):
     * here demonstrated per-source to bound the pair count — the partition
     * key stands in for any blocking key available at scale.

@@ -57,15 +57,19 @@ object Similarity {
 
   /** Sign-pattern LSH key over `nPlanes` hyperplanes: an int in
     * [0, 2^nPlanes). Vectors with equal keys are "same cone" candidates.
+    * `firstPlane` selects which hyperplanes participate — multi-table
+    * (banded) LSH uses disjoint plane ranges per table to trade bucket
+    * selectivity for recall.
     */
-  def lshKey(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+  def lshKey(vec: Column, dim: Int, nPlanes: Int = 8,
+      firstPlane: Int = 0): Column = {
     // each projection folds vec against an array LITERAL — a dim-term
     // unrolled expression tree here compiles past the JVM method limit
     // and drops the whole project out of codegen (measured 0.6 ms/row);
     // the zip_with/aggregate fold keeps the identical left-to-right
     // summation order, just O(dim) expression nodes instead
     val bits = (0 until nPlanes).map { p =>
-      val plane = typedLit(hyperplane(p, dim))
+      val plane = typedLit(hyperplane(firstPlane + p, dim))
       val proj = aggregate(
         zip_with(vec, plane, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)

@@ -104,6 +104,34 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint
+    * scheme of MOSS): slide a window of `w` consecutive shingle hashes
+    * and keep each window's minimum; the distinct mins are the
+    * document's fingerprint set. Guarantees any shared run of
+    * w + shingle-size − 1 tokens contributes at least one common
+    * fingerprint, while storing only ~2/(w+1) of the hashes.
+    *
+    * Hashes are md5 hex-16 prefixes (lexicographic min == numeric min,
+    * and an external SQL oracle reproduces them exactly — same currency
+    * as the MinHash signature). Pass a MATERIALIZED hash-array column:
+    * the windowing lambda slices it per window, and a raw expression
+    * here would recompute the whole hash array per element.
+    */
+  def winnowFingerprints(shingleHashes: Column, w: Int): Column = {
+    val nWin = size(shingleHashes) - (w - 1)
+    array_distinct(
+      when(nWin > 0,
+        transform(sequence(lit(0), nWin - 1),
+          i => array_min(slice(shingleHashes, i + 1, lit(w)))))
+        .otherwise(array(array_min(shingleHashes))))
+  }
+
+  /** md5 hex-16 hash per shingle (positional — winnowing is
+    * order-sensitive, so no distinct here).
+    */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => substring(md5(s), 1, 16))
+
   // ---- queries over the `documents` table ----
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -149,5 +177,29 @@ object TextOps {
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("pred_lang")
+  }
+
+  /** Winnowed-fingerprint overlap pairs (plagiarism/boilerplate
+    * detection): documents sharing ≥2 winnowing fingerprints, with the
+    * shared count. Same scalable co-count shape as the Jaccard pairs —
+    * explode the (small) fingerprint sets, equi-join on the
+    * fingerprint, count per pair; non-overlapping pairs never
+    * materialize.
+    */
+  def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val d = docs(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+      .withColumn("hsh", shingleHashes(col("sh")))
+      .select(col("doc_id"), winnowFingerprints(col("hsh"), w).as("fp"))
+      .persist() // both sides of the overlap self-join
+    val ex = d.select(col("doc_id"), explode(col("fp")).as("f"))
+    ex.as("a").join(ex.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -69,6 +69,43 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === rows.map(refSimhash))
   }
 
+  test("winnowing fingerprints: window mins, short-doc fallback, coverage guarantee") {
+    import spark.implicits._
+    // hand-checkable: 6 hashes, w=4 -> windows [1..4],[2..5],[3..6]
+    val hs = Seq("d", "b", "e", "c", "f", "a")
+    val got = Seq(Tuple1(hs)).toDF("hsh")
+      .select(TextOps.winnowFingerprints(col("hsh"), 4).as("fp"))
+      .head().getSeq[String](0)
+    assert(got === Seq("b", "a")) // min(d,b,e,c)=b, min(b,e,c,f)=b, min(e,c,f,a)=a
+    // shorter than one window -> single global min
+    val short = Seq(Tuple1(Seq("z", "y"))).toDF("hsh")
+      .select(TextOps.winnowFingerprints(col("hsh"), 4).as("fp"))
+      .head().getSeq[String](0)
+    assert(short === Seq("y"))
+    // winnowing guarantee: two docs sharing a run of >= w+n-1 tokens
+    // share at least one fingerprint
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta eta theta other2"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+      .withColumn("hsh", TextOps.shingleHashes(col("sh")))
+      .select(col("doc_id"), TextOps.winnowFingerprints(col("hsh"), 4).as("fp"))
+    val fps = d.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("embedding near-dup: verified pairs only, canonical is smallest neighbor") {
+    val out = Dedup.qDedupEmbedding(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0)) // canonical_id < vec_id
+      assert(r.getLong(2) >= 1L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("SimHash64 on real docs: near-identical texts collide, distinct do not") {
     val d = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -42,6 +42,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q28: candidate generation shuffles ids+buckets only, never vectors") {
+    val df = graft.llmops.Dedup.qDedupEmbedding(spark, dir)
+    val p = plan(df)
+    spark.catalog.clearCache()
+    // the (tbl, bucket) self-join must be a hash join on the bucket key
+    assert(p.contains("Join") && p.contains("bucket"), p)
+    // the exploded candidate stream carries no embedding column: every
+    // exchange either moves (ids, bucket) or rejoins by id
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+  }
+
+  test("q29: fingerprint overlap is an equi-join with partial count") {
+    val df = graft.llmops.TextOps.qFingerprintWinnow(spark, dir)
+    val p = plan(df)
+    spark.catalog.clearCache()
+    assert(p.contains("partial_count"), p) // map-side combine on pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p) // never all-pairs
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
