@@ -21,16 +21,20 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Σ aᵢ·bᵢ as a pure expression (double accumulation, sequential —
-    * deterministic fold order).
+  /** Σ aᵢ·bᵢ — the native [[graft.expressions.DotProduct]] kernel
+    * (double accumulation, sequential ascending fold — the same
+    * deterministic order as the HOF `aggregate(zip_with(...))`
+    * formulation it replaced, checked by SimilaritySpec).
     */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dot(a, b)
+
+  /** HOF dot kept as the parity reference for the native kernel. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
@@ -66,13 +70,11 @@ object Similarity {
     // each projection folds vec against an array LITERAL — a dim-term
     // unrolled expression tree here compiles past the JVM method limit
     // and drops the whole project out of codegen (measured 0.6 ms/row);
-    // the zip_with/aggregate fold keeps the identical left-to-right
-    // summation order, just O(dim) expression nodes instead
+    // the native dot kernel keeps the identical left-to-right summation
+    // order with O(1) expression nodes and zero per-row allocation
     val bits = (0 until nPlanes).map { p =>
       val plane = typedLit(hyperplane(firstPlane + p, dim))
-      val proj = aggregate(
-        zip_with(vec, plane, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, plane)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
