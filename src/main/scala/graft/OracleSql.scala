@@ -217,12 +217,14 @@ object OracleSql {
     """WITH t AS (
       |  SELECT doc_id, length(text) AS nc,
       |    length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS nb,
       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(nc AS BIGINT) AS n_chars,
       |  CAST(nt AS BIGINT) AS n_tokens,
+      |  CAST(nb AS BIGINT) AS n_bpe_tokens,
       |  round(CAST(nc - (nt - 1) AS DOUBLE) / nt, 6) AS mean_word_len,
       |  round(CAST(np AS DOUBLE) / nc, 6) AS punct_ratio,
       |  round(CAST(nd AS DOUBLE) / nc, 6) AS digit_ratio

@@ -24,6 +24,14 @@ object TextOps {
   def tokenEstimate(text: Column): Column =
     greatest(tokenCount(text), ceil(length(text) / 4).cast("long"))
 
+  /** GPT-2-style pre-tokenizer count: letter runs, digit runs, and
+    * single other non-space characters each count as one token — the
+    * regex shape real BPE tokenizers split on before merges. ASCII
+    * classes only, so the Java and RE2 dialects match exactly.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
   /** Quality score components: length, mean word length, punctuation and
     * digit ratios, stopword hit-rate. Returns a struct; callers threshold.
     */
@@ -140,9 +148,11 @@ object TextOps {
   /** Per-document text statistics (flagship text-analysis query). */
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"), col("text"),
+        qualityStruct(col("text")).as("q"))
       .select(col("doc_id"), col("q.n_chars").as("n_chars"),
         col("q.n_tokens").as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         col("q.mean_word_len").as("mean_word_len"),
         col("q.punct_ratio").as("punct_ratio"),
         col("q.digit_ratio").as("digit_ratio"))
@@ -188,11 +198,14 @@ object TextOps {
     */
   def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
     val w = 4
+    // fingerprints via the native kernel — same values as
+    // array_distinct(winnowFingerprints(shingleHashes(sh), w)), one
+    // digest pass, no per-window slice allocation (DedupSpec parity)
     val d = docs(spark, dir)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
-      .withColumn("hsh", shingleHashes(col("sh")))
-      .select(col("doc_id"), winnowFingerprints(col("hsh"), w).as("fp"))
+      .select(col("doc_id"),
+        graft.expressions.WinnowFingerprints.winnow(col("sh"), w).as("fp"))
       .persist() // both sides of the overlap self-join
     val ex = d.select(col("doc_id"), explode(col("fp")).as("f"))
     ex.as("a").join(ex.as("b"),

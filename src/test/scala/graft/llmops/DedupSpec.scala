@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
+  test("native winnow kernel == composed HOF formulation on real docs") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+      .withColumn("hsh", TextOps.shingleHashes(col("sh")))
+    val cmp = d.select(
+      TextOps.winnowFingerprints(col("hsh"), 4).as("hof"),
+      graft.expressions.WinnowFingerprints.winnow(col("sh"), 4).as("native"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0L)
+  }
+
   test("embedding near-dup: verified pairs only, canonical is smallest neighbor") {
     val out = Dedup.qDedupEmbedding(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
