@@ -1,0 +1,95 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
+
+/** Algebraic invariants of the native kernels over a seeded random
+  * grid (SURVEY §5) — exact properties, no tolerance:
+  *
+  *  - SimHash64 is a multiset statistic: invariant under token
+  *    permutation, and under doubling the multiset (2·cnt > 2·n is the
+  *    same sign as cnt > n... precisely: 2(2c) > 2n ⟺ 2c > n);
+  *  - MinHash signatures: order-invariant, and the signature of a
+  *    union is the elementwise min of the signatures;
+  *  - DotProduct equals the driver-side double fold in the same order,
+  *    and is symmetric;
+  *  - winnowing fingerprints are a subset of the window count bound.
+  */
+class KernelPropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val words =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private def randTokens(n: Int): Seq[String] =
+    Seq.fill(n)(words(rnd.nextInt(words.size)))
+
+  test("SimHash64: permutation- and doubling-invariant") {
+    val rows = (1 to 40).map { i =>
+      val t = randTokens(3 + rnd.nextInt(60))
+      (t, rnd.shuffle(t), t ++ t)
+    }
+    val r = rows.toDF("t", "perm", "doubled").select(
+      SimHash64.simhash(col("t")).as("a"),
+      SimHash64.simhash(col("perm")).as("b"),
+      SimHash64.simhash(col("doubled")).as("c")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) === row.getLong(1))
+      assert(row.getLong(0) === row.getLong(2))
+    }
+  }
+
+  test("MinHash: order-invariant; union signature == elementwise min") {
+    val rows = (1 to 30).map { _ =>
+      val a = randTokens(2 + rnd.nextInt(20)).map(t => s"sh:$t")
+      val b = randTokens(2 + rnd.nextInt(20)).map(t => s"sh:$t")
+      (a, rnd.shuffle(a), b, a ++ b)
+    }
+    val r = rows.toDF("a", "aPerm", "b", "ab").select(
+      MinHashSignature.signature(col("a"), 8).as("sa"),
+      MinHashSignature.signature(col("aPerm"), 8).as("saPerm"),
+      MinHashSignature.signature(col("b"), 8).as("sb"),
+      MinHashSignature.signature(col("ab"), 8).as("sab")).collect()
+    r.foreach { row =>
+      val (sa, sap, sb, sab) = (row.getSeq[String](0), row.getSeq[String](1),
+        row.getSeq[String](2), row.getSeq[String](3))
+      assert(sa === sap)
+      assert(sab === sa.zip(sb).map { case (x, y) => if (x <= y) x else y })
+    }
+  }
+
+  test("DotProduct: equals driver fold in identical order; symmetric") {
+    val rows = (1 to 40).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val got = rows.toDF("a", "b").select(
+      DotProduct.dot(col("a"), col("b")).as("ab"),
+      DotProduct.dot(col("b"), col("a")).as("ba")).collect()
+    rows.zip(got).foreach { case ((a, b), row) =>
+      var s = 0.0
+      var i = 0
+      while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      assert(row.getDouble(0) === s) // bit-exact, same fold order
+      assert(row.getDouble(0) === row.getDouble(1))
+    }
+  }
+
+  test("winnowing: count bounded by window positions, never empty") {
+    val rows = (1 to 40).map(_ => Tuple1(randTokens(1 + rnd.nextInt(30))
+      .map(t => s"g:$t")))
+    val r = rows.toDF("sh")
+      .select(col("sh"), WinnowFingerprints.winnow(col("sh"), 4).as("fp"))
+      .collect()
+    r.foreach { row =>
+      val n = row.getSeq[String](0).size
+      val fp = row.getSeq[String](1)
+      assert(fp.nonEmpty)
+      assert(fp.size <= math.max(1, n - 3))
+      assert(fp.distinct.size === fp.size)
+    }
+  }
+}
