@@ -325,14 +325,29 @@ object OracleSql {
 
   private val q23 = {
     val jac = jaccardSql("sa.sh", "sb.sh")
+    // mirror of graft.expressions.MinHashSignature: h = the 48-bit value
+    // of the first 12 md5 hex chars (digit fold — max 15·16^11 < 2^48,
+    // exact in BIGINT), permutation i = (aᵢ·(h mod M) + bᵢ) mod M with
+    // the SAME seeded affine coefficients the Scala kernel uses.
+    val m = graft.expressions.MinHashSignature.M
+    val digitFold = (1 to 12).map { p =>
+      s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (12 - p))}"
+    }.mkString("(", " + ", ")")
+    val sigEntries = (0 until 16).map { i =>
+      val a = graft.expressions.MinHashSignature.affineA(i)
+      val b = graft.expressions.MinHashSignature.affineB(i)
+      s"CAST(list_aggregate(list_transform(hm, x -> ($a * x + $b) % $m), 'min') AS VARCHAR)"
+    }.mkString("[", ",\n      ", "]")
     s"""WITH ${shinglesCte()},
+       |hm0 AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(list_transform(sh, s -> substr(md5(s), 1, 12)),
+       |      h -> $digitFold % $m) AS hm
+       |  FROM sh0),
        |sig AS (
        |  SELECT doc_id, sh,
-       |    list_transform(range(0, 16),
-       |      i -> list_aggregate(list_transform(sh,
-       |             s -> substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 16)),
-       |           'min')) AS sig
-       |  FROM sh0),
+       |    $sigEntries AS sig
+       |  FROM hm0),
        |bands AS (
        |  SELECT doc_id, t.band AS band,
        |    array_to_string(list_slice(sig, t.band * 2 + 1, t.band * 2 + 2), '|') AS bh

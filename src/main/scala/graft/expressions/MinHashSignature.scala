@@ -13,15 +13,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst kernel for the MinHash signature (SURVEY §4: the one
   * place a custom `Expression` genuinely beats composition).
   *
+  * Permutation family: ONE md5 per shingle, k affine rehashes —
+  * h = the first 12 hex chars (48 bits) of md5(shingle), permutation i
+  * is (aᵢ·(h mod M) + bᵢ) mod M with M = 2³¹−1 and seeded-deterministic
+  * aᵢ ∈ [1, M), bᵢ ∈ [0, M). Every operation is exact 64-bit integer
+  * arithmetic (aᵢ·h' + bᵢ < 2⁶²), so an external SQL oracle reproduces
+  * the signature bit-for-bit from the md5 hex digits — and the digest
+  * work per shingle drops k-fold versus hashing "i:shingle" k times
+  * (the round-2 formulation). Min collisions from the 31-bit range are
+  * harmless: the min stays well-defined and both engines compute the
+  * same values.
+  *
+  * Signature entries are decimal strings (the band keys concatenate
+  * them; equality of decimal strings == equality of values). Empty
+  * shingle sets yield the "g" sentinel per slot (unreachable for the
+  * tokenizer, which never emits an empty array).
+  *
   * Semantically IDENTICAL to the HOF formulation in
-  * [[graft.llmops.Dedup.minhash]] — for each permutation i ∈ [0, k):
-  * min over shingles s of the first 16 hex chars of md5("i:" ++ s) —
-  * which a DuckDB oracle reproduces bit-for-bit. The composed version
-  * allocates, per (shingle, i): a concat'd UTF8String, a 32-char hex
-  * string, and a substring; this kernel reuses ONE MessageDigest and
-  * compares the leading 8 digest BYTES as an unsigned long (hex is
-  * monotone in unsigned byte order), materializing k hex strings only
-  * once per row.
+  * [[graft.llmops.Dedup.minhash]], checked by DedupSpec.
   *
   * `doGenCode` emits a call to the static [[MinHashSignature.compute]]
   * helper — the expression stays inside whole-stage codegen spans
@@ -47,7 +56,32 @@ case class MinHashSignature(child: Expression, k: Int)
 
 object MinHashSignature {
 
-  private val HexChars = "0123456789abcdef".toCharArray
+  /** Mersenne prime 2³¹−1: the permutation modulus. aᵢ·h' + bᵢ with
+    * a, b, h' < M stays under 2⁶² — exact in plain 64-bit (and ANSI
+    * BIGINT) arithmetic, no 128-bit needed.
+    */
+  val M: Long = 2147483647L
+
+  /** Seeded-deterministic affine coefficients — the single source of
+    * truth for the Scala kernel, the HOF reference formulation, and
+    * the generated oracle SQL.
+    */
+  def affineA(i: Int): Long = {
+    val r = new scala.util.Random(9876L * (i + 1))
+    1L + r.nextInt((M - 1).toInt)
+  }
+
+  def affineB(i: Int): Long = {
+    val r = new scala.util.Random(54321L * (i + 1))
+    r.nextInt(M.toInt).toLong
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k,
+      _ => (Array.tabulate(k)(affineA), Array.tabulate(k)(affineB)))
 
   // per-thread digest instance: MessageDigest is stateful, not thread-safe
   private val digestTL = new ThreadLocal[MessageDigest] {
@@ -55,36 +89,27 @@ object MinHashSignature {
       MessageDigest.getInstance("MD5")
   }
 
-  /** Prefix byte arrays for "0:", "1:", … computed once per k. */
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
-
-  private def prefixes(k: Int): Array[Array[Byte]] =
-    prefixCache.computeIfAbsent(k,
-      _ => Array.tabulate(k)(i => s"$i:".getBytes("UTF-8")))
-
   /** Java-callable kernel (referenced from generated code). */
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val md = digestTL.get()
-    val pre = prefixes(k)
+    val (as, bs) = coeffs(k)
     val mins = new Array[Long](k)
-    java.util.Arrays.fill(mins, -1L) // unsigned max = sentinel "no value"
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
-      val s = shingles.getUTF8String(j).getBytes
+      md.reset()
+      md.update(shingles.getUTF8String(j).getBytes)
+      val d = md.digest()
+      // first 6 digest bytes == the value of the first 12 hex chars
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      val hm = h % M
       var i = 0
       while (i < k) {
-        md.reset()
-        md.update(pre(i))
-        md.update(s)
-        val d = md.digest()
-        // first 8 digest bytes as an unsigned big-endian long — hex-prefix
-        // order and unsigned numeric order coincide
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
-        if (java.lang.Long.compareUnsigned(v, mins(i)) < 0) mins(i) = v
+        val v = (as(i) * hm + bs(i)) % M
+        if (v < mins(i)) mins(i) = v
         i += 1
       }
       j += 1
@@ -93,21 +118,11 @@ object MinHashSignature {
     var i = 0
     while (i < k) {
       out(i) =
-        if (n == 0) UTF8String.fromString("g" * 1) // parity: empty -> "g"
-        else UTF8String.fromString(hex16(mins(i)))
+        if (n == 0) UTF8String.fromString("g") // parity: empty -> "g"
+        else UTF8String.fromString(java.lang.Long.toString(mins(i)))
       i += 1
     }
     new GenericArrayData(out)
-  }
-
-  private def hex16(v: Long): String = {
-    val cs = new Array[Char](16)
-    var i = 0
-    while (i < 16) {
-      cs(i) = HexChars(((v >>> ((15 - i) * 4)) & 0xF).toInt)
-      i += 1
-    }
-    new String(cs)
   }
 
   /** Column-facing constructor. */

@@ -49,28 +49,32 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * Permutation i is realized as the 64-bit hex prefix of
-    * md5(i ++ ":" ++ shingle) — md5 (unlike xxhash64) exists with
-    * identical output in every engine, so an external SQL oracle can
-    * reproduce the signature bit-for-bit. Lexicographic min of the
-    * fixed-width hex strings equals numeric min. One pass over the
-    * shingles per row, all inside codegen.
+  /** MinHash signature: k independent min-hashes of the shingle set —
+    * the HOF reference formulation of the native
+    * [[graft.expressions.MinHashSignature]] kernel (bit-identical,
+    * checked by DedupSpec). ONE md5 per shingle: h = the 48-bit value
+    * of the first 12 md5 hex chars, permutation i is
+    * (aᵢ·(h mod M) + bᵢ) mod M over exact 64-bit arithmetic — which is
+    * why an external SQL oracle reproduces the signature exactly.
     */
-  def minhash(shingleArr: Column, k: Int = 16): Column =
+  def minhash(shingleArr: Column, k: Int = 16): Column = {
+    import graft.expressions.{MinHashSignature => MH}
     // single pass over the shingles (k-wide running elementwise min)
     // rather than k passes: after CollapseProject inlines the shingle
     // expression, a sequence(0,k)-outer formulation would recompute the
-    // shingle array k times per row — 32× the work. "g" sorts after
-    // every hex digit, so it is the identity for the string min.
+    // shingle array k times per row — 32× the work.
     aggregate(
       shingleArr,
-      array_repeat(lit("g"), k),
+      array_repeat(lit(Long.MaxValue), k),
       (acc, s) => {
+        val hm = conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MH.M
         val hs = array((0 until k).map(i =>
-          substring(md5(concat(lit(s"$i:"), s)), 1, 16)): _*)
+          (lit(MH.affineA(i)) * hm + lit(MH.affineB(i))) % MH.M): _*)
         zip_with(acc, hs, (a, h) => least(a, h))
-      })
+      },
+      acc => transform(acc,
+        v => when(v === Long.MaxValue, lit("g")).otherwise(v.cast("string"))))
+  }
 
   /** LSH band keys: the signature split into `bands` chunks of `rowsPer`,
     * each chunk joined to one band-key string. Two docs collide in a band

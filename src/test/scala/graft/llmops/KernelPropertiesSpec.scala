@@ -57,7 +57,9 @@ class KernelPropertiesSpec extends SparkSpec {
       val (sa, sap, sb, sab) = (row.getSeq[String](0), row.getSeq[String](1),
         row.getSeq[String](2), row.getSeq[String](3))
       assert(sa === sap)
-      assert(sab === sa.zip(sb).map { case (x, y) => if (x <= y) x else y })
+      // numeric min: signature entries are variable-width decimal strings
+      assert(sab.map(_.toLong) ===
+        sa.zip(sb).map { case (x, y) => math.min(x.toLong, y.toLong) })
     }
   }
 
