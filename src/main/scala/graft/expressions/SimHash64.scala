@@ -14,8 +14,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * h(t) = the first 8 bytes of md5(t) as a big-endian unsigned 64-bit
   * value; bit j of the output is set iff strictly more than half of the
   * tokens have bit j of h(t) set (2·count > n — ties clear the bit,
-  * matching the sign convention of votes = 2·count − n > 0 in
-  * [[graft.llmops.Dedup.simhashFromVotes]]).
+  * the votes = 2·count − n > 0 sign convention).
   *
   * md5 (not an engine-private hash) makes the fingerprint bit-for-bit
   * reproducible by an external SQL oracle from the hex digits alone:

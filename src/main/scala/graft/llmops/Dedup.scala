@@ -115,47 +115,6 @@ object Dedup {
   def hashedShingles(shingleArr: Column): Column =
     array_distinct(transform(shingleArr, s => xxhash64(s)))
 
-  /** Token xxhash64 array — materialize this as a column and feed it to
-    * [[simhashVotesFromHashes]].
-    */
-  def tokenHashes(text: Column): Column =
-    transform(split(regexp_replace(lower(text), "\\s+", " "), " "),
-      t => xxhash64(t))
-
-  /** Per-bit ±1 vote vector from a MATERIALIZED token-hash column:
-    * votes[j] = 2·|{h : bit j set}| − n, via 64 allocation-free bit-count
-    * folds (the array-of-votes-per-token formulation allocates a 64-int
-    * array per token — measured ~2× slower).
-    */
-  def simhashVotesFromHashes(hs: Column): Column = {
-    val n = size(hs)
-    array((0 until 64).map { j =>
-      val cnt = aggregate(hs, lit(0),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(1).cast("int"))
-      cnt * 2 - n
-    }: _*)
-  }
-
-  /** Per-bit ±1 vote vector of the 64-bit SimHash (convenience form). */
-  def simhashVotes(text: Column): Column =
-    simhashVotesFromHashes(tokenHashes(text))
-
-  /** Sign bits of a vote vector assembled into the SimHash long. The
-    * votes argument is referenced 64 times — pass an ATTRIBUTE (a
-    * materialized column), never the raw [[simhashVotes]] expression, or
-    * the whole token fold is duplicated per bit.
-    */
-  def simhashFromVotes(votes: Column): Column =
-    (0 until 64).map { j =>
-      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /** 64-bit SimHash over word tokens: bit j of the output is the sign of
-    * the sum over tokens of ±1 according to bit j of xxhash64(token).
-    * (Convenience composition; query paths materialize the votes.)
-    */
-  def simhash64(text: Column): Column = simhashFromVotes(simhashVotes(text))
-
   // ---- queries ----
 
   /** Exact dedup: canonical doc per normalized-text fingerprint.
