@@ -97,6 +97,8 @@ object FilterRegistry {
     graft.filters.ztf.ZtfPhotometryFilters.load()
     graft.filters.ztf.ZtfHostlessFilters.load()
     graft.filters.ztf.MmFilters.load()
+    graft.filters.ztf.ZtfXmatchFilters.load()
+    graft.filters.ztf.EarlyKnFilter.load()
     graft.filters.rubin.RubinFilters.load()
     graft.classify.Classify.load()
   }

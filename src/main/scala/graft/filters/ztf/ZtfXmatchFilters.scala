@@ -83,4 +83,44 @@ object ZtfXmatchFilters {
   def dwarfAgn(catalog: DataFrame): AlertFilter = matchedFilter(
     "ztf.dwarf_agn", "Alerts matching the dwarf-AGN list",
     withDwarfAgn(_, catalog), "manga")
+
+  /** Registry bindings to the packaged default catalogs (O23 — the
+    * reference re-reads these files inside its UDF per batch; here they
+    * load once per apply and broadcast). The parameterized factories
+    * above remain the injectable form; these resolve the catalog lazily
+    * from the incoming frame's session so the string-dispatch config
+    * path (SURVEY §3.1) covers the xmatch family too.
+    */
+  private def defaultBound(n: String, desc: String,
+      factory: DataFrame => AlertFilter,
+      catalog: org.apache.spark.sql.SparkSession => DataFrame): AlertFilter =
+    new AlertFilter {
+      val name = n
+      override val description = desc + " (packaged default catalog)"
+      val requiredColumns = Seq("candid", "candidate.ra", "candidate.dec")
+      def mask(df: DataFrame): Column =
+        factory(catalog(df.sparkSession)).mask(df)
+      override def apply(df: DataFrame): DataFrame =
+        factory(catalog(df.sparkSession))(df)
+    }
+
+  import graft.xmatch.Catalogs
+
+  val all: Seq[AlertFilter] = Seq(
+    defaultBound("ztf.known_tde",
+      "Alerts matching a known TDE within 5 arcsec",
+      knownTde, Catalogs.knownTde(_)),
+    defaultBound("ztf.livestream.magnetic_cvs",
+      "Alerts matching known magnetic cataclysmic variables",
+      magneticCvs, Catalogs.magneticCvs),
+    defaultBound("ztf.symbiotic_stars",
+      "Alerts matching symbiotic / cataclysmic star catalogs",
+      symbioticStars, Catalogs.symbiotic),
+    defaultBound("ztf.dwarf_agn",
+      "Alerts matching the dwarf-AGN list",
+      dwarfAgn, Catalogs.dwarfAgn))
+
+  graft.filters.FilterRegistry.register(all: _*)
+
+  def load(): Unit = ()
 }

@@ -23,6 +23,13 @@ object DriveVerify {
     println("SN count: " + sn.count())
     sn.select("objectId").explain("formatted")
 
+    // default-bound xmatch + early-KN filters resolve by name and run
+    // end-to-end against the packaged catalogs (empty for early_kn)
+    for (n <- Seq("ztf.known_tde", "ztf.livestream.magnetic_cvs",
+        "ztf.symbiotic_stars", "ztf.dwarf_agn",
+        "ztf.livestream.early_kn_candidates"))
+      println(s"$n: " + FilterRegistry.applyFilter(df, n).count())
+
     try FilterRegistry.applyFilter(df, "ztf.nope")
     catch { case e: Exception =>
       println("PROBE unknown filter -> " + e.getMessage.take(130))
