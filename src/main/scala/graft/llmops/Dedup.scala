@@ -147,9 +147,9 @@ object Dedup {
     // ~the corpus size — the standard trade against recomputing the
     // O(k·shingles) signature per consumer.
     val withSh = df
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("toks"))).as("sh"))
+        array_distinct(
+          graft.expressions.WordShingles.shingles(col("text"))).as("sh"))
       .withColumn("shh", hashedShingles(col("sh")))
       .withColumn("n_sh", size(col("shh")))
       .persist()
@@ -200,7 +200,9 @@ object Dedup {
     */
   def qNearDupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("toks", tokens(col("text")))
+      // WordShingles with n=1 IS the token array (one-token shingles) —
+      // same native single pass, no regex tokenizer
+      .withColumn("toks", graft.expressions.WordShingles.shingles(col("text"), 1))
       .select(col("doc_id"),
         graft.expressions.SimHash64.simhash(col("toks")).as("sh"))
     val chunked = d.select(col("doc_id"), col("sh"),
@@ -290,9 +292,9 @@ object Dedup {
     // On this corpus that is ~60k co-occurrence rows instead of ~600k
     // full-pair intersections.
     val d = docs(spark, dir)
-      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("source"), col("doc_id"),
-        hashedShingles(shinglesFromTokens(col("toks"))).as("sh"))
+        hashedShingles(
+          graft.expressions.WordShingles.shingles(col("text"))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist()
     val ex = d.select(col("source"), col("doc_id"), explode(col("sh")).as("s"))

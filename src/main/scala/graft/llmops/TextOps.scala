@@ -202,8 +202,8 @@ object TextOps {
     // array_distinct(winnowFingerprints(shingleHashes(sh), w)), one
     // digest pass, no per-window slice allocation (DedupSpec parity)
     val d = docs(spark, dir)
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        graft.expressions.WordShingles.shingles(col("text")).as("sh"))
       .select(col("doc_id"),
         graft.expressions.WinnowFingerprints.winnow(col("sh"), w).as("fp"))
       .persist() // both sides of the overlap self-join

@@ -3,7 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.expressions.{MinHashSignature, SimHash64}
+import graft.expressions.{MinHashSignature, SimHash64, WordShingles}
 
 /** The native MinHashSignature kernel must be bit-identical to the
   * HOF/md5 formulation (which the DuckDB oracle mirrors), and the
@@ -36,6 +36,41 @@ class DedupSpec extends SparkSpec {
     r.foreach { row =>
       assert(row.getSeq[String](0) === row.getSeq[String](1))
     }
+  }
+
+  test("native WordShingles kernel == HOF tokens+shingles on real docs") {
+    val cmp = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .select(
+        Dedup.shinglesFromTokens(col("toks")).as("hof"),
+        WordShingles.shingles(col("text")).as("native"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0L)
+  }
+
+  test("native WordShingles kernel == HOF on whitespace edge shapes") {
+    import spark.implicits._
+    val rows = Seq(
+      "",                       // one empty token
+      "   ",                    // leading run -> ["", ""]
+      "one",
+      "one two",
+      "one two three",
+      " lead space",            // leading empty token
+      "trail space ",           // trailing empty token
+      "  MiXeD \t CASE\n runs \r here  ",
+      "a b c d e f g",
+      "tab\tsep\nnlvt\fff\rcr end")
+    val cmp = rows.toDF("text")
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .select(col("toks"),
+        Dedup.shinglesFromTokens(col("toks")).as("hof"),
+        WordShingles.shingles(col("text")).as("native"),
+        WordShingles.shingles(col("text"), 1).as("native1"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0L)
+    // n=1 shingles are exactly the token array (q24's tokenizer path)
+    assert(cmp.filter(col("toks") =!= col("native1")).count() === 0L)
   }
 
   /** Independent reference: BigInteger over the full md5 hex prefix —
