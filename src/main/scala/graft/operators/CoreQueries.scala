@@ -126,15 +126,49 @@ object CoreQueries {
   /** q7 — exact interpolated percentiles per group (O9's exact sibling;
     * the approx path is exercised in the anomaly pipeline instead, where
     * no oracle hash is required).
+    *
+    * Formulated as sorted-array order-statistic lookup, not the builtin
+    * `percentile()` aggregate: that one buffers a BOXED value→count
+    * OpenHashMap per partial (l_extendedprice is ~97% distinct, so the
+    * map is nearly row-sized) and its per-group merge+sort of boxed
+    * entries dominated the old plan at ~1.7 s. Here the partial
+    * aggregation ships primitive arrays (`collect_list`), the per-group
+    * finish is one quicksort of a primitive array (`sort_array`), and
+    * the order statistics interpolate exactly like `percentile` /
+    * `quantile_cont`: lower + frac·(upper − lower) at rank p·(n−1).
+    * Measured 2.4 s → 0.7 s at sf0.1 against a 0.5 s single-row-group
+    * scan floor. (A Window/row_number rank-selection variant was
+    * slower — 2.4 s — because three WindowExec partition buffers cost
+    * more than the sort they replace.)
+    *
+    * Scale note: EVERY exact-percentile shape — this one, the builtin's
+    * counts-map, a rank window — ultimately materializes each group on
+    * one task; that is intrinsic to exact order statistics with few
+    * groups. With few huge groups at 100 TB the engine answer is
+    * `approx_percentile` (O9, exercised in the anomaly pipeline);
+    * exact-with-oracle is the correctness sibling, sized for groups
+    * that fit an executor (the same envelope as the builtin).
     */
-  def q7Percentile(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+  def q7Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val agg = table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-        count(lit(1)).as("n"))
+      .agg(sort_array(collect_list("l_quantity")).as("qs"),
+        sort_array(collect_list("l_extendedprice")).as("ps"))
+      .withColumn("n", size(col("qs")).cast("long"))
+      .withColumn("rq", (col("n") - 1) * 0.5)
+      .withColumn("rp", (col("n") - 1) * 0.9)
+    def interp(arr: String, r: String) = {
+      val lo = element_at(col(arr), floor(col(r)).cast("int") + 1)
+      val hi = element_at(col(arr), ceil(col(r)).cast("int") + 1)
+      round(lo + (col(r) - floor(col(r))) * (hi - lo), 6)
+    }
+    agg.select(col("l_returnflag"),
+      interp("qs", "rq").as("median_qty"),
+      interp("ps", "rp").as("p90_price"),
+      col("n"))
       .orderBy("l_returnflag")
+  }
 
   /** q8 — union + dedup across two sources (O22). */
   def q8UnionDedup(spark: SparkSession, dir: String): DataFrame = {
