@@ -99,6 +99,7 @@ object FilterRegistry {
     graft.filters.ztf.MmFilters.load()
     graft.filters.ztf.ZtfXmatchFilters.load()
     graft.filters.ztf.EarlyKnFilter.load()
+    graft.filters.ztf.EarlyTdeScorer.load()
     graft.filters.rubin.RubinFilters.load()
     graft.classify.Classify.load()
   }

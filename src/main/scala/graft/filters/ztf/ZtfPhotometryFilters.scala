@@ -19,6 +19,8 @@ object ZtfPhotometryFilters {
     * 9.21034e10·exp(−0.921034·m)·σ, sign flipped for negative
     * subtractions).
     */
+  private[ztf] def fluxHistoryCol: Column = fluxHistory
+
   private def fluxHistory: Column = {
     // arrays_zip: each chist() array is a COLLECTION argument, evaluated
     // once per row — an element_at(chist(..), i) inside the lambda body

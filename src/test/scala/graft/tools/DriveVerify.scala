@@ -30,6 +30,13 @@ object DriveVerify {
         "ztf.livestream.early_kn_candidates"))
       println(s"$n: " + FilterRegistry.applyFilter(df, n).count())
 
+    // stage-1+2 early-TDE pipeline end-to-end on the tde fixture
+    val tde = spark.read.parquet("/root/reference/datatest/tde")
+    val tdeOut = graft.filters.ztf.EarlyTdeScorer.earlyTdeCandidates(tde)
+    println("early_tde_candidates (tde fixture): " + tdeOut.count() +
+      " scored candidates (expect 4)")
+    tdeOut.select("objectId", "tde_score").show(false)
+
     try FilterRegistry.applyFilter(df, "ztf.nope")
     catch { case e: Exception =>
       println("PROBE unknown filter -> " + e.getMessage.take(130))
