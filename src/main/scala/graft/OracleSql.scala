@@ -503,6 +503,53 @@ object OracleSql {
       |  least(octet_length(CAST(text AS BLOB)), 16) AS tail_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Whitespace token count, the q15/q16 length-delta formulation. */
+  private val tokSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  /** Deterministic split from the first md5 hex digit of the id —
+    * mirrors [[graft.llmops.Curation.splitLabel]] exactly (md5 of the
+    * decimal string form of doc_id in both engines).
+    */
+  private val splitSql =
+    """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+      |  THEN 'val'
+      |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+      |  THEN 'test' ELSE 'train' END""".stripMargin
+
+  private val q30 =
+    s"""SELECT lang, source, doc_id, n_tokens, rk FROM (
+       |  SELECT lang, source, doc_id, $tokSql AS n_tokens,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY $tokSql DESC, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= 5
+       |ORDER BY lang, source, rk""".stripMargin
+
+  private val q31 =
+    s"""WITH lab AS (
+       |  SELECT $splitSql AS split, doc_id, $tokSql AS n_tokens
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM lab GROUP BY split ORDER BY split""".stripMargin
+
+  private val q32 =
+    s"""WITH ${shinglesCte()},
+       |lab AS (
+       |  SELECT doc_id, $splitSql AS split, list_distinct(sh) AS s
+       |  FROM sh0 JOIN documents USING (doc_id)),
+       |pairs AS (
+       |  SELECT ev.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+       |    len(list_filter(ev.s, x -> list_contains(tr.s, x))) AS n_common
+       |  FROM lab ev, lab tr
+       |  WHERE ev.split = 'val' AND tr.split = 'train')
+       |SELECT eval_doc_id, count(*) AS n_train_matches,
+       |  max(n_common) AS max_overlap
+       |FROM pairs WHERE n_common >= 5
+       |GROUP BY eval_doc_id ORDER BY eval_doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -532,5 +579,8 @@ object OracleSql {
     "q26_multimodal_meta" -> q26,
     "q27_ivf_knn" -> q27,
     "q28_dedup_embedding" -> q28,
-    "q29_fingerprint_winnow" -> q29)
+    "q29_fingerprint_winnow" -> q29,
+    "q30_quota_sample" -> q30,
+    "q31_hash_split" -> q31,
+    "q32_decontaminate" -> q32)
 }

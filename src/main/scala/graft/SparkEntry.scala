@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, ExtraQueries}
-import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llmops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,12 @@ object SparkEntry {
     "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _),
     "q28_dedup_embedding" -> (Dedup.qDedupEmbedding _),
     "q29_fingerprint_winnow" -> (TextOps.qFingerprintWinnow _),
+    // corpus curation (quota sampling, deterministic splits,
+    // train/eval decontamination)
+    "q30_quota_sample" -> (Curation.qQuotaSample _),
+    "q31_hash_split" -> (Curation.qHashSplit _),
+    "q32_decontaminate" -> ((s: SparkSession, d: String) =>
+      Curation.qDecontaminate(s, d)),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 

@@ -1,0 +1,100 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: stratified
+  * quota sampling, deterministic hash-based splits, and train/eval
+  * decontamination. These are the three operations that turn a raw
+  * corpus into a training set — and all three are pure DataFrame
+  * algebra (window rank per stratum, a digest-derived split label, and
+  * the same scalable explode/co-count overlap shape as the near-dup
+  * verifies).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** q30 — stratified quota sample: the top `quota` documents per
+    * (lang, source) stratum by token count, deterministic tie-break on
+    * doc_id. The balancing step of corpus assembly ("cap every
+    * language×source cell"). One shuffle on the stratum key; the rank
+    * window scales with the stratum, never the corpus; skewed strata
+    * stop streaming rows past the quota in the per-partition sort.
+    */
+  def qQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** Deterministic split label from the first md5 hex digit of the
+    * document id: 16 buckets → 12 train / 2 val / 2 test. Stable across
+    * engines and runs (no RNG state), reproducible by any SQL engine
+    * with md5 — the property that matters for a split: membership is a
+    * pure function of the id, so re-running assembly never migrates a
+    * document between train and eval.
+    */
+  def splitLabel(docId: Column): Column = {
+    val digit = substring(md5(docId.cast("string").cast("binary")), 1, 1)
+    when(digit.isin("c", "d"), "val")
+      .when(digit.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /** q31 — split summary: per-split document/token totals and id range.
+    * The assembly report of [[splitLabel]]; a map stage + a 3-group agg.
+    */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(splitLabel(col("doc_id")).as("split"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("split")
+
+  /** q32 — decontamination: eval-split documents sharing ≥ `minOverlap`
+    * distinct word shingles with any train-split document, with the
+    * worst-offender overlap. THE pre-training hygiene query (eval
+    * examples leaking into train).
+    *
+    * Shape: one shingle pass (native [[graft.expressions.WordShingles]]
+    * kernel), explode the distinct 64-bit shingle hashes, equi-join
+    * train×eval on the hash, count per (eval, train) pair, aggregate
+    * per eval doc — non-overlapping pairs never materialize, and the
+    * shuffle carries (doc_id, hash), never text (the q25 co-count
+    * shape; at 100 TB this is the only formulation that works).
+    */
+  def qDecontaminate(spark: SparkSession, dir: String,
+      minOverlap: Int = 5): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), splitLabel(col("doc_id")).as("split"),
+        Dedup.hashedShingles(
+          graft.expressions.WordShingles.shingles(col("text"))).as("shh"))
+      .persist() // both sides of the overlap join
+    def side(s: String, idCol: String) = d
+      .filter(col("split") === (if (s == "eval") lit("val") else lit(s)))
+      .select(col("doc_id").as(idCol), explode(col("shh")).as("h"))
+    // "eval" = the val split (test stays untouched until final report)
+    val ev = side("eval", "eval_doc_id")
+    val tr = side("train", "train_doc_id")
+    ev.join(tr, Seq("h"))
+      .groupBy("eval_doc_id", "train_doc_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+      .groupBy("eval_doc_id")
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(col("n_common")).as("max_overlap"))
+      .orderBy("eval_doc_id")
+  }
+}

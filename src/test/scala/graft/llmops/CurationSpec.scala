@@ -1,0 +1,66 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the curation operators (value-level correctness vs
+  * DuckDB is the driver oracle's job — q30/q31/q32).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quota sample: at most 5 per stratum, rank contiguous from 1") {
+    val out = Curation.qQuotaSample(spark, dir)
+    val per = out.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getAs[Long]("n") <= 5L)
+      assert(r.getAs[Long]("mn") === 1L)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("split label: pure function of id, md5-digit buckets") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 123456L)
+    val got = ids.toDF("doc_id")
+      .select(Curation.splitLabel(col("doc_id")).as("s"))
+      .collect().map(_.getString(0))
+    val exp = ids.map { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = f"${d(0) & 0xFF}%02x".charAt(0)
+      if (hex == 'c' || hex == 'd') "val"
+      else if (hex == 'e' || hex == 'f') "test"
+      else "train"
+    }
+    assert(got.toSeq === exp)
+  }
+
+  test("hash split partitions the corpus exactly") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val out = Curation.qHashSplit(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("decontamination: matches are val-split docs overlapping train") {
+    val out = Curation.qDecontaminate(spark, dir).collect()
+    spark.catalog.clearCache()
+    // the synthetic corpus contains near-duplicates across splits
+    assert(out.nonEmpty)
+    val valIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(Curation.splitLabel(col("doc_id")) === "val")
+      .collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      assert(valIds.contains(r.getLong(0)))
+      assert(r.getAs[Long]("n_train_matches") >= 1L)
+      assert(r.getAs[Long]("max_overlap") >= 5L)
+    }
+  }
+}
