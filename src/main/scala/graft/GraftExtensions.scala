@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions._
+
+/** SQL surface for the native kernels: registers them as functions so
+  * `spark.sql("SELECT word_shingles(text), simhash64(toks) ...")` works
+  * — the idiomatic `SparkSessionExtensions` route (SURVEY §7.3: custom
+  * Catalyst `Expression`s, option (b); no custom plans/strategies are
+  * needed anywhere in this engine, the DataFrame algebra covers every
+  * whole-operator semantic).
+  *
+  * Two entry points:
+  *  - session builder: `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.GraftExtensions`;
+  *  - existing session: `GraftExtensions.register(spark)` (same
+  *    builders via the session's function registry).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  /** (name, info, builder) for every native kernel. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("word_shingles",
+      info("word_shingles", "word_shingles(text[, n]) - lowercased " +
+        "whitespace-normalized word n-shingles (default n=3; n=1 tokenizes)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => WordShingles(t, 3)
+        case Seq(t, n) => WordShingles(t, intLit(n, "shingle size"))
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text[, n])")
+      }),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(shingles[, k]) - " +
+        "k-permutation md5 MinHash signature (default k=16)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => MinHashSignature(s, 16)
+        case Seq(s, k) => MinHashSignature(s, intLit(k, "signature width"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles[, k])")
+      }),
+    ("simhash64",
+      info("simhash64", "simhash64(tokens) - 64-bit md5 SimHash fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHash64(t)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - Σ aᵢ·bᵢ over equal-length " +
+        "numeric arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("dot_product(a, b)")
+      }),
+    ("winnow_fingerprints",
+      info("winnow_fingerprints", "winnow_fingerprints(shingles[, w]) - " +
+        "distinct MOSS winnowing fingerprints over window w (default 4)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => WinnowFingerprints(s, 4)
+        case Seq(s, w) => WinnowFingerprints(s, intLit(w, "window"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(shingles[, w])")
+      }))
+
+  /** Register on an ALREADY-RUNNING session (extensions only apply at
+    * session construction).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

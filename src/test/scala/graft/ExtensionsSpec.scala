@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{SimHash64, WordShingles}
+import graft.llmops.Similarity
+
+/** The SQL function surface must evaluate through the same kernels as
+  * the Column API — each function is checked SQL-vs-Column on real
+  * fixture data.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+
+  private lazy val docs = {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("ext_docs")
+    spark.table("ext_docs")
+  }
+  private lazy val emb = {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("ext_emb")
+    spark.table("ext_emb")
+  }
+
+  test("word_shingles SQL == Column kernel (default and n=1)") {
+    docs // force view
+    val cmp = spark.sql(
+      """SELECT word_shingles(text) AS s3, word_shingles(text, 1) AS s1,
+        |  text FROM ext_docs""".stripMargin)
+      .withColumn("c3", WordShingles.shingles(col("text")))
+      .withColumn("c1", WordShingles.shingles(col("text"), 1))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("s3") =!= col("c3") ||
+      col("s1") =!= col("c1")).count() === 0L)
+  }
+
+  test("simhash64 and minhash_signature SQL == Column kernels") {
+    docs
+    val cmp = spark.sql(
+      """SELECT text,
+        |  simhash64(word_shingles(text, 1)) AS sh,
+        |  minhash_signature(array_distinct(word_shingles(text))) AS mh
+        |FROM ext_docs""".stripMargin)
+      .withColumn("csh", SimHash64.simhash(WordShingles.shingles(col("text"), 1)))
+      .withColumn("cmh", graft.expressions.MinHashSignature.signature(
+        array_distinct(WordShingles.shingles(col("text"))), 16))
+    assert(cmp.filter(col("sh") =!= col("csh") ||
+      col("mh") =!= col("cmh")).count() === 0L)
+  }
+
+  test("dot_product and winnow_fingerprints SQL == Column kernels") {
+    emb
+    val d = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS dd, embedding FROM ext_emb")
+      .withColumn("cd", Similarity.dot(col("embedding"), col("embedding")))
+    assert(d.filter(col("dd") =!= col("cd")).count() === 0L)
+    docs
+    val w = spark.sql(
+      "SELECT winnow_fingerprints(word_shingles(text)) AS fp, text FROM ext_docs")
+      .withColumn("cfp", graft.expressions.WinnowFingerprints.winnow(
+        WordShingles.shingles(col("text")), 4))
+    assert(w.filter(col("fp") =!= col("cfp")).count() === 0L)
+  }
+
+  test("non-literal size argument fails loudly") {
+    docs
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, length(text)) FROM ext_docs")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("the extensions class applies cleanly to a fresh injection point") {
+    new GraftExtensions()(new SparkSessionExtensions)
+  }
+}

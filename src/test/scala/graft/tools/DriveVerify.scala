@@ -10,6 +10,7 @@ object DriveVerify {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.parquet("/root/reference/datatest/regular")
@@ -70,6 +71,11 @@ object DriveVerify {
       .select(SimHash64.simhash(col("toks"))).head().getLong(0)
     println(s"SimHash64(known tokens): $sh (expect 1140673395500345035)")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // SQL surface injected via SparkSessionExtensions at session build
+    docs.createOrReplaceTempView("docs")
+    spark.sql(
+      """SELECT count(DISTINCT simhash64(word_shingles(text, 1))) AS n
+        |FROM docs""".stripMargin).show()
     println("minhash near-dup pairs (sf0.001): " +
       Dedup.nearDupPairs(docs, threshold = 0.3).count())
     println("simhash near-dup pairs (sf0.001): " +
