@@ -3,7 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
+import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerprints, WordShingles}
 
 /** Algebraic invariants of the native kernels over a seeded random
   * grid (SURVEY §5) — exact properties, no tolerance:
@@ -77,6 +77,33 @@ class KernelPropertiesSpec extends SparkSpec {
       while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       assert(row.getDouble(0) === s) // bit-exact, same fold order
       assert(row.getDouble(0) === row.getDouble(1))
+    }
+  }
+
+  test("WordShingles: count = max(1, tokens−n+1); n−1 separators per " +
+    "shingle; shingles are substrings of the normalized text") {
+    val rows = (1 to 60).map { _ =>
+      val toks = randTokens(1 + rnd.nextInt(30))
+      // random messy whitespace between tokens
+      val seps = Seq(" ", "  ", "\t", " \n ", "\r\n")
+      Tuple1(toks.map(t => if (rnd.nextBoolean()) t.toUpperCase else t)
+        .mkString(seps(rnd.nextInt(seps.size))))
+    }
+    val r = rows.toDF("text").select(col("text"),
+      WordShingles.shingles(col("text")).as("s3"),
+      WordShingles.shingles(col("text"), 1).as("s1")).collect()
+    r.foreach { row =>
+      val norm = row.getString(0).toLowerCase.replaceAll("\\s+", " ")
+      val nTok = norm.split(" ", -1).length
+      val s3 = row.getSeq[String](1)
+      val s1 = row.getSeq[String](2)
+      assert(s1.size === nTok)
+      assert(s3.size === math.max(1, nTok - 2))
+      if (nTok >= 3) s3.foreach { sh =>
+        assert(sh.count(_ == ' ') === 2)
+        assert(norm.contains(sh))
+      }
+      assert(s1.mkString(" ") === norm) // n=1 round-trips the text
     }
   }
 
