@@ -323,12 +323,17 @@ object OracleSql {
       |GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
       |ORDER BY canonical_doc_id""".stripMargin
 
-  private val q23 = {
+  /** The q23 MinHash-LSH near-dup pair pipeline as a reusable CTE block
+    * ending in `pairs(doc_a, doc_b, jaccard)` — shared by q23 (pair
+    * report) and q33 (connected components over the same pairs).
+    *
+    * Mirror of graft.expressions.MinHashSignature: h = the 48-bit value
+    * of the first 12 md5 hex chars (digit fold — max 15·16^11 < 2^48,
+    * exact in BIGINT), permutation i = (aᵢ·(h mod M) + bᵢ) mod M with
+    * the SAME seeded affine coefficients the Scala kernel uses.
+    */
+  private val minhashPairsCtes: String = {
     val jac = jaccardSql("sa.sh", "sb.sh")
-    // mirror of graft.expressions.MinHashSignature: h = the 48-bit value
-    // of the first 12 md5 hex chars (digit fold — max 15·16^11 < 2^48,
-    // exact in BIGINT), permutation i = (aᵢ·(h mod M) + bᵢ) mod M with
-    // the SAME seeded affine coefficients the Scala kernel uses.
     val m = graft.expressions.MinHashSignature.M
     val digitFold = (1 to 12).map { p =>
       s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (12 - p))}"
@@ -338,7 +343,7 @@ object OracleSql {
       val b = graft.expressions.MinHashSignature.affineB(i)
       s"CAST(list_aggregate(list_transform(hm, x -> ($a * x + $b) % $m), 'min') AS VARCHAR)"
     }.mkString("[", ",\n      ", "]")
-    s"""WITH ${shinglesCte()},
+    s"""${shinglesCte()},
        |hm0 AS (
        |  SELECT doc_id, sh,
        |    list_transform(list_transform(sh, s -> substr(md5(s), 1, 12)),
@@ -355,14 +360,44 @@ object OracleSql {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, $jac AS jaccard
-       |FROM cand
-       |JOIN sh0 sa ON doc_a = sa.doc_id
-       |JOIN sh0 sb ON doc_b = sb.doc_id
-       |WHERE $jac >= 0.3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, $jac AS jaccard
+       |  FROM cand
+       |  JOIN sh0 sa ON doc_a = sa.doc_id
+       |  JOIN sh0 sb ON doc_b = sb.doc_id
+       |  WHERE $jac >= 0.3)""".stripMargin
   }
+
+  private val q23 =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q33 — transitive closure over the q23 pairs via a recursive CTE;
+    * component representative = min reachable vertex (incl. self).
+    * The UNION (set) semantics of the recursive member guarantee
+    * termination.
+    */
+  private val q33 =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |    WHERE e.v <> r.u),
+       |lab AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+       |  FROM reach GROUP BY u),
+       |sz AS (
+       |  SELECT cluster_rep, count(*) AS cluster_size
+       |  FROM lab GROUP BY cluster_rep)
+       |SELECT doc_id, cluster_rep, cluster_size
+       |FROM lab JOIN sz USING (cluster_rep)
+       |ORDER BY doc_id""".stripMargin
 
   private val q24 = {
     // mirror of graft.expressions.SimHash64: h(t) = first 8 md5 bytes as
@@ -550,6 +585,114 @@ object OracleSql {
        |FROM pairs WHERE n_common >= 5
        |GROUP BY eval_doc_id ORDER BY eval_doc_id""".stripMargin
 
+  /** q34 — mirror of TextOps.qQualityFilter: identical stat formulas
+    * (same integer-subtraction-then-double-division order) and the same
+    * ordered CASE, generated from the same stopword constants.
+    */
+  private val q34 = {
+    val en = TextOps.LangStopwords.toMap.apply("en")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt,
+       |    length(text) AS nc,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+       |    replace(concat(' ', lower(text), ' '), ' ', '  ') AS dbl
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, nt,
+       |    CAST(nc - (nt - 1) AS DOUBLE) / nt AS mwl,
+       |    CAST(nd AS DOUBLE) / nc AS dr,
+       |    ${hitsSql("dbl", en)} AS sw
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, nt,
+       |    CASE WHEN nt < 20 THEN 'too_short'
+       |         WHEN nt > 90 THEN 'too_long'
+       |         WHEN mwl < 4.0 OR mwl > 5.0 THEN 'word_shape'
+       |         WHEN dr > 0.2 THEN 'digit_heavy'
+       |         WHEN sw = 0 THEN 'no_stopword'
+       |         ELSE 'ok' END AS reason
+       |  FROM s)
+       |SELECT doc_id, nt AS n_tokens,
+       |  CAST(reason = 'ok' AS INTEGER) AS keep, reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** q35 — the same union-window as-of formulation as the Spark side
+    * (NOT DuckDB's ASOF JOIN: the window form pins the tie semantics —
+    * order key (ts, event_id) — identically in both engines).
+    */
+  private val q35 =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click'
+      |        THEN struct_pack(cts := ts, cid := event_id) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |  FROM ev)
+      |SELECT event_id AS purchase_id, user_id, lc.cid AS click_id,
+      |  round((epoch_us(ts) - epoch_us(lc.cts)) / 1000000.0, 6) AS gap_s
+      |FROM w WHERE event_type = 'purchase' AND lc IS NOT NULL
+      |ORDER BY purchase_id""".stripMargin
+
+  /** q36 — bigram repetition: same positional 2-shingle construction as
+    * the WordShingles kernel (degenerate one-token doc → one "bigram" of
+    * the whole text).
+    */
+  private val q36 =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) - 1 > 0
+      |      THEN list_transform(range(0, len(toks) - 1),
+      |             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+      |      ELSE [array_to_string(toks, ' ')] END AS bg
+      |  FROM toks0),
+      |ex AS (SELECT doc_id, unnest(bg) AS b FROM bg0),
+      |c AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(max(c) AS BIGINT) AS top_count,
+      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS rep_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val q37 =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS term FROM toks0)
+      |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM ex GROUP BY term
+      |ORDER BY df DESC, tf DESC, term LIMIT 20""".stripMargin
+
+  private val q38 =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM s)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_s,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM r GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -582,5 +725,11 @@ object OracleSql {
     "q29_fingerprint_winnow" -> q29,
     "q30_quota_sample" -> q30,
     "q31_hash_split" -> q31,
-    "q32_decontaminate" -> q32)
+    "q32_decontaminate" -> q32,
+    "q33_dedup_clusters" -> q33,
+    "q34_quality_filter" -> q34,
+    "q35_asof_attribution" -> q35,
+    "q36_repetition" -> q36,
+    "q37_top_terms" -> q37,
+    "q38_sessionize" -> q38)
 }

@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{CoreQueries, ExtraQueries}
-import graft.llmops.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{CoreQueries, EventQueries, ExtraQueries}
+import graft.llmops.{Cluster, Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,16 @@ object SparkEntry {
     "q31_hash_split" -> (Curation.qHashSplit _),
     "q32_decontaminate" -> ((s: SparkSession, d: String) =>
       Curation.qDecontaminate(s, d)),
+    // near-dup graph clustering (pairs → canonical components)
+    "q33_dedup_clusters" -> (Cluster.qDedupClusters _),
+    // quality / repetition / vocabulary text analysis
+    "q34_quality_filter" -> (TextOps.qQualityFilter _),
+    "q36_repetition" -> (TextOps.qRepetition _),
+    "q37_top_terms" -> (TextOps.qTopTerms _),
+    // temporal event operators (as-of join, sessionization)
+    "q35_asof_attribution" -> (EventQueries.q35AsofAttribution _),
+    "q38_sessionize" -> ((s: SparkSession, d: String) =>
+      EventQueries.q38Sessionize(s, d)),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 

@@ -1,0 +1,85 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering over near-duplicate pairs — the step
+  * that turns pairwise similarity output into dedup DECISIONS. A pair
+  * list alone can't drive removal: near-dup relations are not
+  * transitive-closed (A~B, B~C without A~C is common), so keeping
+  * "min of each pair" both over- and under-deletes. The standard fix
+  * (every production dedup pipeline) is: build the similarity graph,
+  * take connected components, keep one canonical document per
+  * component.
+  *
+  * The iteration here is min-label propagation: every vertex starts
+  * labeled with itself; each round every vertex takes the min of its
+  * own and its neighbors' labels; fixpoint = components labeled by
+  * their min member. Each round is one equi-join + one partial-agg
+  * shuffle keyed by vertex id, and the driver only ever sees a
+  * converged/not-converged boolean — no component data. Rounds needed =
+  * graph diameter; near-dup components are shallow (stars/cliques
+  * around a template), so 2–4 rounds in practice. For adversarial
+  * long-chain graphs at 100 TB the same loop accepts the
+  * large-star/small-star edge rewriting (Kiveris+ 2014), which bounds
+  * rounds at O(log n); the per-round dataflow — join, shuffle on id,
+  * min — is unchanged, so the plumbing below is the one that matters.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns (id, cluster_rep) for every vertex appearing in ≥1 edge,
+    * where cluster_rep = min vertex id of the component.
+    *
+    * Every per-round frame is `localCheckpoint`ed: the label lineage
+    * would otherwise double each round (and re-run the upstream
+    * pair-generation job per action). Checkpointing materializes each
+    * round's labels once; the equivalent on a cluster is
+    * `checkpoint`/persist-to-reliable-storage per round.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint() // pin the (possibly expensive) edge job ONCE
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
+  /** q33 — near-dup clusters: MinHash-LSH pairs (the q23 operator, same
+    * threshold) → connected components → one row per clustered doc with
+    * its canonical representative and component size. Downstream dedup
+    * keeps exactly the `doc_id == cluster_rep` rows.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.3)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_rep"))
+      .select(col("id").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+}

@@ -189,6 +189,93 @@ object TextOps {
       .orderBy("pred_lang")
   }
 
+  /** q34 — Gopher/C4-style quality-rule gate: each document is tested
+    * against an ordered rule list (token-count bounds, mean-word-length
+    * band, digit-ratio cap, stopword presence) and labeled with the
+    * FIRST failing rule, or "ok". This is the workhorse filter of
+    * corpus curation (the Gopher rules, C4's heuristics): a pure map
+    * stage — no shuffle, full column pruning, whole-stage codegen — so
+    * at 100 TB it runs at scan speed.
+    *
+    * Thresholds are calibrated to this synthetic corpus so every
+    * length/word-shape rule actually fires (the operator shape, an
+    * ordered when-chain over cheap per-row stats, is what carries to a
+    * real corpus; digit_heavy never fires here — ratio is 0 across the
+    * corpus — but stays because dropping a rule that happens not to
+    * fire on one corpus would change the operator).
+    */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("mwl",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("digit_ratio",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+          length(col("text")))
+      .withColumn("sw_hits",
+        stopwordHits(doubledText(col("text")),
+          LangStopwords.toMap.apply("en")))
+    val reason = when(col("n_tokens") < 20, "too_short")
+      .when(col("n_tokens") > 90, "too_long")
+      .when(col("mwl") < 4.0 || col("mwl") > 5.0, "word_shape")
+      .when(col("digit_ratio") > 0.2, "digit_heavy")
+      .when(col("sw_hits") === 0, "no_stopword")
+      .otherwise("ok")
+    d.withColumn("reason", reason)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reason") === "ok").cast("int").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** q36 — repetition signal (the Gopher "top n-gram fraction"): the
+    * share of a document's bigram occurrences taken by its single most
+    * frequent bigram. High values flag boilerplate / TV-static text.
+    *
+    * Shape: one shingle pass (native [[graft.expressions.WordShingles]]
+    * kernel with n=2, positional — repetition needs occurrence counts,
+    * so no distinct), explode, two-level aggregation. Both aggregations
+    * partial-agg map-side and shuffle on (doc_id[, bigram]) — the
+    * shuffle carries ids and 64-bit-hashable strings, never documents,
+    * and per-doc state is bounded by the doc's own bigram count.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 2))
+          .as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** q37 — corpus heavy hitters: top-20 terms by document frequency
+    * (ties broken by total term frequency, then term). The vocabulary
+    * report every corpus build starts from.
+    *
+    * Shape: tokenize (native kernel, n=1), explode, ONE hash aggregate
+    * on the term computing tf=count(*) and df=count(distinct doc) via
+    * partial aggregation, then a 20-row TakeOrderedAndProject — no
+    * global sort. At 100 TB the term-key shuffle is the only wide stage
+    * and carries (term, partial counts); a skewed stopword term is
+    * still one reducer key whose partials were already combined
+    * map-side.
+    */
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(20)
+
   /** Winnowed-fingerprint overlap pairs (plagiarism/boilerplate
     * detection): documents sharing ≥2 winnowing fingerprints, with the
     * shared count. Same scalable co-count shape as the Jaccard pairs —

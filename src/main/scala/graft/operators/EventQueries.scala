@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream (time-ordered) operators over the `events` table: the
+  * as-of join and sessionization — the two temporal operators every
+  * event-analytics engine needs beyond plain windowed aggregation (q9,
+  * q14). Both are phrased as partitioned-window dataflow:
+  *
+  *  - ONE shuffle keyed by `user_id`, then per-key time order within
+  *    the partition — no range-explode join, no driver loops;
+  *  - at 100 TB this scales with the number of users (partition count),
+  *    and a per-key sort that Spark runs as part of the window exchange;
+  *    a skewed power-user key is one partition's sort, not a replanned
+  *    join.
+  *
+  * The as-of join deliberately avoids the naive formulation
+  * (inequality join `click.ts <= purchase.ts` + nearest-pick), which is
+  * a BroadcastNestedLoop/cartesian per user-key at scale: unioning both
+  * streams and running `last(_, ignoreNulls)` over the time-ordered
+  * window computes the same "latest prior" semantics in one pass.
+  */
+object EventQueries {
+
+  private val usecPerSec = 1e6
+
+  /** q35 — as-of join (event attribution): for each `purchase`, the
+    * latest `click` of the same user at or before it (order key
+    * (ts, event_id), so the semantics are deterministic even under ts
+    * ties). Emits the purchase, the matched click, and the
+    * click-to-purchase gap in seconds; purchases with no prior click
+    * are dropped (inner as-of semantics).
+    */
+  def q35AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickMark = when(col("event_type") === "click",
+      struct(col("ts").as("cts"), col("event_id").as("cid")))
+    ev.withColumn("lc", last(clickMark, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("lc").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("lc.cid").as("click_id"),
+        round((unix_micros(col("ts")) - unix_micros(col("lc.cts"))) /
+          usecPerSec, 6).as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** q38 — sessionization: group each user's events into sessions
+    * separated by gaps > 6 h (sized to this corpus's ~7 h median
+    * inter-event gap; the operator is gap-parametric), then aggregate
+    * per session. The classic two-window formulation: a lag-gap flag,
+    * a running sum of flags as the session ordinal, then a grouped
+    * aggregate on (user, session) — still the single user-key shuffle.
+    * Session bounds are emitted as formatted strings (the q9 rule:
+    * formatted timestamps compare exactly across engines).
+    */
+  def q38Sessionize(spark: SparkSession, dir: String,
+      gapSeconds: Long = 6 * 3600): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(
+      gapUs.isNull || gapUs > gapSeconds * usecPerSec.toLong, 1L)
+      .otherwise(0L)
+    CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("session_id", sum(newSession).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        round((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) /
+          usecPerSec, 6).as("duration_s"),
+        col("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

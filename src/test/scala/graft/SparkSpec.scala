@@ -14,6 +14,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    // driver testdata events.ts is parquet TIMESTAMP(NANOS) — read as
+    // long (same config as Verify/Bench; CoreQueries.events normalizes)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

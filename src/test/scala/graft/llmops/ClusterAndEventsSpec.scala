@@ -1,0 +1,117 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.EventQueries
+
+/** Round-3 operators: connected-components clustering (q33), quality
+  * gate (q34), repetition (q36), as-of attribution (q35), sessionization
+  * (q38). Goldens derived independently in DuckDB (window-free
+  * formulations where possible) — see the round-3 notes in SURVEY §8.
+  */
+class ClusterAndEventsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("connectedComponents: chain, clique and pair resolve to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 has diameter 3: forces >1 propagation round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val cc = Cluster.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q33: clusters are consistent closures of the q23 pair set") {
+    val out = Cluster.qDedupClusters(spark, dir)
+    val rows = out.collect()
+    spark.catalog.clearCache()
+    assert(rows.length === 45) // regression pin (sf0.001)
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair must land in the same cluster, and the rep
+    // must itself be a member with rep == its own rep (idempotent)
+    val pairs = Dedup.nearDupPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) === rep(b), s"pair ($a,$b) split across clusters")
+    }
+    rep.values.foreach(r => assert(rep(r) === r, s"rep $r not canonical"))
+    // rep is the min member of its component
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keys.min === r)
+    }
+  }
+
+  test("q34: first-failing-rule histogram matches the DuckDB-derived golden") {
+    val hist = TextOps.qQualityFilter(spark, dir)
+      .groupBy("reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("no_stopword" -> 18L, "ok" -> 376L,
+      "too_long" -> 47L, "too_short" -> 54L, "word_shape" -> 5L))
+  }
+
+  test("q36: bigram counts agree with token counts; ratio well-formed") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    val joined = TextOps.qRepetition(spark, dir).join(d, "doc_id").collect()
+    assert(joined.length === 500)
+    joined.foreach { r =>
+      val (nBg, top, ratio, nTok) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))
+      if (nTok >= 2) assert(nBg === nTok - 1, s"doc ${r.getLong(0)}")
+      assert(top >= 1 && top <= nBg)
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q35: window as-of equals the naive inequality-join formulation") {
+    val out = EventQueries.q35AsofAttribution(spark, dir).collect()
+    assert(out.length === 178)
+    assert(out.head.getLong(0) === 53L && out.last.getLong(0) === 999L)
+    // independent formulation: per purchase, rank clicks strictly prior
+    // in (ts, event_id) order and keep the latest
+    val ev = graft.operators.CoreQueries.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("cts").desc, col("cid").desc)
+    val naive = p.join(c, Seq("user_id"))
+      .filter(col("cts") < col("pts") ||
+        (col("cts") === col("pts") && col("cid") < col("pid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(naive(r.getLong(0)) === r.getLong(2),
+        s"purchase ${r.getLong(0)} attributed differently")
+    }
+  }
+
+  test("q38: session count and per-user structure") {
+    val out = EventQueries.q38Sessionize(spark, dir).collect()
+    assert(out.length === 585) // DuckDB golden: users + gaps>6h
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1) // n_events
+      assert(r.getDouble(4) >= 0.0) // duration_s
+    }
+    // session ids are 1..k dense per user
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ids === (1L to ids.length.toLong), s"ids $ids")
+    }
+    // event conservation: session sizes sum to the event count
+    val total = graft.operators.CoreQueries.events(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === total)
+  }
+}

@@ -63,6 +63,36 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p) // never all-pairs
   }
 
+  test("q34: the quality gate is a pure map stage — zero exchanges") {
+    val p = plan(graft.llmops.TextOps.qQualityFilter(spark, dir))
+    // only the final presentation ORDER BY may exchange (range); the
+    // stats + rule cascade must not shuffle anything
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
+  }
+
+  test("q35/q38: temporal operators shuffle ONCE on the user key") {
+    for (df <- Seq(graft.operators.EventQueries.q35AsofAttribution(spark, dir),
+        graft.operators.EventQueries.q38Sessionize(spark, dir))) {
+      val p = plan(df)
+      // one hash exchange feeds window (+ the q38 aggregation reuses it:
+      // hashpartitioning(user_id) satisfies clustering on (user, session));
+      // count in the AQE final plan only (the dump repeats the initial)
+      val finalPlan = p.split("== Initial Plan ==").head
+      val hashEx = "Exchange hashpartitioning".r
+        .findAllMatchIn(finalPlan).length
+      assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p) // never a range join
+    }
+  }
+
+  test("q37: heavy hitters end in TakeOrderedAndProject with partial agg") {
+    val p = plan(graft.llmops.TextOps.qTopTerms(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -81,6 +81,24 @@ object DriveVerify {
     println("simhash near-dup pairs (sf0.001): " +
       Dedup.qNearDupSimhash(spark, "/root/testdata/sf0.001").count())
     spark.catalog.clearCache()
+
+    // round-3 operators: clustering, quality gate, temporal ops
+    val sf = "/root/testdata/sf0.001"
+    val cl = graft.llmops.Cluster.qDedupClusters(spark, sf)
+    println("dedup clusters (sf0.001): " + cl.count() +
+      " clustered docs (expect 45)")
+    cl.show(5, false)
+    spark.catalog.clearCache()
+    graft.llmops.TextOps.qQualityFilter(spark, sf)
+      .groupBy("reason").count().orderBy("reason").show(false)
+    graft.llmops.TextOps.qTopTerms(spark, sf).show(5, false)
+    val asof = graft.operators.EventQueries.q35AsofAttribution(spark, sf)
+    println("as-of attributed purchases (sf0.001): " + asof.count() +
+      " (expect 178)")
+    asof.explain("formatted") // check: ONE hashpartitioning on user_id
+    println("sessions (sf0.001): " +
+      graft.operators.EventQueries.q38Sessionize(spark, sf).count() +
+      " (expect 585)")
     spark.stop()
   }
 }
