@@ -693,6 +693,24 @@ object OracleSql {
       |FROM r GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  private val q39 =
+    s"""SELECT coalesce(lang, 'ALL') AS lang,
+       |  coalesce(source, 'ALL') AS source,
+       |  count(*) AS n_docs,
+       |  CAST(sum($tokSql) AS BIGINT) AS total_tokens
+       |FROM documents
+       |GROUP BY ROLLUP(lang, source)
+       |ORDER BY lang, source""".stripMargin
+
+  private val q40 = {
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => s"count(*) FILTER (event_type = '$t') AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -731,5 +749,7 @@ object OracleSql {
     "q35_asof_attribution" -> q35,
     "q36_repetition" -> q36,
     "q37_top_terms" -> q37,
-    "q38_sessionize" -> q38)
+    "q38_sessionize" -> q38,
+    "q39_rollup_profile" -> q39,
+    "q40_pivot_events" -> q40)
 }

@@ -66,6 +66,9 @@ object SparkEntry {
     "q35_asof_attribution" -> (EventQueries.q35AsofAttribution _),
     "q38_sessionize" -> ((s: SparkSession, d: String) =>
       EventQueries.q38Sessionize(s, d)),
+    // grouping sets + pivot reshape
+    "q39_rollup_profile" -> (TextOps.qRollupProfile _),
+    "q40_pivot_events" -> (EventQueries.q40PivotEventMatrix _),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 

@@ -276,6 +276,24 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(20)
 
+  /** q39 — hierarchical corpus profile via ROLLUP grouping sets: per
+    * (lang, source) totals plus per-lang subtotals plus the grand
+    * total, one pass (Spark expands the grouping sets before the same
+    * partial-agg + shuffle plan — no extra scan per level). Subtotal
+    * rows label the rolled-up dimension "ALL" so the result is
+    * null-free and totally ordered.
+    */
+  def qRollupProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy("lang", "source")
+
   /** Winnowed-fingerprint overlap pairs (plagiarism/boilerplate
     * detection): documents sharing ≥2 winnowing fingerprints, with the
     * shared count. Same scalable co-count shape as the Jaccard pairs —

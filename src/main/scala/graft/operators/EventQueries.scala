@@ -53,6 +53,21 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** q40 — pivot (long→wide reshape): per-user event-type count matrix.
+    * The explicit value list keeps the plan single-pass (no extra
+    * distinct-values job) and the output schema static — which is also
+    * the 100 TB rule: pivot over an unbounded column is a schema
+    * explosion, so production pivots always declare their columns.
+    * Missing combinations are 0, not null (`na.fill` after the pivot).
+    */
+  def q40PivotEventMatrix(spark: SparkSession, dir: String): DataFrame =
+    CoreQueries.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+
   /** q38 — sessionization: group each user's events into sessions
     * separated by gaps > 6 h (sized to this corpus's ~7 h median
     * inter-event gap; the operator is gap-parametric), then aggregate

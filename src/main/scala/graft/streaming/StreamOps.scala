@@ -46,6 +46,25 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based sessionization on a live stream — the streaming face of
+    * `EventQueries.q38Sessionize`, via Spark's native `session_window`
+    * (dynamic-gap session state in the state store, merged as events
+    * arrive, emitted when the watermark passes the gap). Same
+    * semantics, unbounded input: per (user, session) event counts,
+    * bounds and value sum.
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "6 hours",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Per-key running appearance counter via flatMapGroupsWithState —
     * emits (key, total_so_far) every time the key appears in a batch.
     * (A production deployment bounds the state with a processing-time

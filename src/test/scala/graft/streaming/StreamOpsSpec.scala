@@ -55,6 +55,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("sessionizeStream merges gap-bounded sessions in the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    // 10-minute gap so the fixture minutes map cleanly onto sessions
+    val out = StreamOps.sessionizeStream(
+      in.toDF().toDF("ts", "user_id", "value"), gap = "10 minutes",
+      lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    // user 1: minutes 0, 5, 8 (one session); user 2: minute 0
+    in.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(8), 1L, 3.0),
+      (ts(0), 2L, 10.0))
+    q.processAllAvailable()
+    // user 1: minute 40 opens a NEW session (gap 32 min > 10);
+    // minute 120 advances the watermark far enough to close everything
+    in.addData((ts(40), 1L, 4.0))
+    q.processAllAvailable()
+    in.addData((ts(120), 3L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("session_out")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, 3L, 6.0)), rows) // merged 3-event session
+    assert(rows.contains((1L, 1L, 4.0)), rows) // re-opened later session
+    assert(rows.contains((2L, 1L, 10.0)), rows)
+  }
+
   test("runningCounter keeps per-key totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
