@@ -711,6 +711,63 @@ object OracleSql {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** q41 — mirror of TextOps.qTfidfPairs: same 6-decimal idf rounding,
+    * same DECIMAL(18,6) weight quantization, exact decimal norm/dot
+    * sums, doubles only at the final division.
+    */
+  private val q41 =
+    """WITH toks0 AS (
+      |  SELECT lang, source, doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT lang, source, doc_id, t.term AS term, count(*) AS tf
+      |  FROM toks0, unnest(toks) t(term)
+      |  GROUP BY lang, source, doc_id, t.term),
+      |tot AS (SELECT count(*) AS n_total FROM documents),
+      |idf AS (
+      |  SELECT term, round(ln(CAST(n_total AS DOUBLE) / df_t), 6) AS idf
+      |  FROM (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term), tot),
+      |wts AS (
+      |  SELECT lang, source, doc_id, term,
+      |    CAST(round(tf * idf, 6) AS DECIMAL(18,6)) AS w
+      |  FROM tf JOIN idf USING (term)),
+      |nrm AS (
+      |  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+      |  FROM wts GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      |  FROM wts a JOIN wts b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.term = b.term
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+      |FROM dots
+      |JOIN nrm na ON doc_a = na.doc_id
+      |JOIN nrm nb ON doc_b = nb.doc_id
+      |ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
+  private val q42 =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS day_sum_d,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, d, day_sum_d, n_events,
+      |    sum(day_sum_d) OVER win AS ma3_sum,
+      |    count(*) OVER win AS ma3_days
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type
+      |    ORDER BY date_diff('day', DATE '2024-01-01', d)
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+      |  CAST(day_sum_d AS DOUBLE) AS day_sum, n_events,
+      |  round(CAST(ma3_sum AS DOUBLE) / ma3_days, 6) AS ma3_avg
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -751,5 +808,7 @@ object OracleSql {
     "q37_top_terms" -> q37,
     "q38_sessionize" -> q38,
     "q39_rollup_profile" -> q39,
-    "q40_pivot_events" -> q40)
+    "q40_pivot_events" -> q40,
+    "q41_tfidf_pairs" -> q41,
+    "q42_moving_avg" -> q42)
 }

@@ -69,6 +69,9 @@ object SparkEntry {
     // grouping sets + pivot reshape
     "q39_rollup_profile" -> (TextOps.qRollupProfile _),
     "q40_pivot_events" -> (EventQueries.q40PivotEventMatrix _),
+    // TF-IDF sparse-vector similarity + sliding range-frame window
+    "q41_tfidf_pairs" -> (TextOps.qTfidfPairs _),
+    "q42_moving_avg" -> (EventQueries.q42MovingAverage _),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
 

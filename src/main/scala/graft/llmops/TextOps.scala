@@ -276,6 +276,63 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(20)
 
+  /** q41 — TF-IDF cosine similarity, top-20 most similar document pairs
+    * within each (lang, source) stratum. The classic sparse-vector IR
+    * operator in pure dataflow: no dense vectors ever materialize —
+    * the "vector" is the (doc, term, weight) relation, the dot product
+    * is an equi-join on the term + a grouped sum (the same co-count
+    * shape as q25/q32: pairs sharing no term never exist), and the
+    * stratum key bounds the pair space exactly like q25's blocking key.
+    *
+    * Cross-engine float determinism (the oracle contract): idf is
+    * rounded to 6 decimals (ln() may differ by 1 ulp between libm and
+    * DuckDB), weights are rounded then cast to DECIMAL(18,6), and
+    * every sum (norms, dots) runs over exact decimals — so the final
+    * doubles are bit-identical regardless of Spark's shuffle order vs
+    * DuckDB's sequential order.
+    */
+  def qTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("term"))
+      .groupBy("lang", "source", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val idf = tf.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df_t"))
+      .crossJoin(broadcast(total))
+      .withColumn("idf", round(log(col("n_total") / col("df_t")), 6))
+      .select("term", "idf")
+    // 3 consumers (norms + both dot-join sides): persist, or the
+    // tokenize→tf→idf prefix (two shuffles + a count_distinct expand)
+    // re-runs per consumer. Released by the caller's clearCache — the
+    // same cache-lifetime contract as Dedup.nearDupPairs.
+    val weights = tf.join(broadcast(idf), Seq("term"))
+      .select(col("lang"), col("source"), col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).cast("decimal(18,6)").as("w"))
+      .persist()
+    val norms = weights.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val a = weights.select(col("lang"), col("source"), col("term"),
+      col("doc_id").as("doc_a"), col("w").as("wa"))
+    val b = weights.select(col("lang"), col("source"), col("term"),
+      col("doc_id").as("doc_b"), col("w").as("wb"))
+    a.join(b, Seq("lang", "source", "term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).cast("double").as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** q39 — hierarchical corpus profile via ROLLUP grouping sets: per
     * (lang, source) totals plus per-lang subtotals plus the grand
     * total, one pass (Spark expands the grouping sets before the same

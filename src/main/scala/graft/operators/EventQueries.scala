@@ -53,6 +53,36 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** q42 — sliding RANGE-frame window: per-type daily totals with a
+    * trailing 3-day moving average. The range frame is over an integer
+    * day ordinal, so days missing from the data genuinely fall out of
+    * the frame (a ROWS frame would silently span gaps). Two-level
+    * shape: the daily rollup is a partial-agg shuffle on (day, type);
+    * the moving window then partitions by type — at 100 TB the window
+    * state per partition is the number of DAYS, not events, so this
+    * composes with any retention. Decimal day sums keep the moving
+    * averages shuffle-order independent (the oracle contract).
+    */
+  def q42MovingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val daily = CoreQueries.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_sum_d"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("d_ord")
+      .rangeBetween(-2, 0)
+    daily
+      .withColumn("d_ord", datediff(col("d"), lit("2024-01-01")).cast("long"))
+      .withColumn("ma3_sum", sum(col("day_sum_d")).over(w))
+      .withColumn("ma3_days", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("day_sum_d").cast("double").as("day_sum"),
+        col("n_events"),
+        round(col("ma3_sum").cast("double") / col("ma3_days"), 6)
+          .as("ma3_avg"))
+      .orderBy("event_type", "day")
+  }
+
   /** q40 — pivot (long→wide reshape): per-user event-type count matrix.
     * The explicit value list keeps the plan single-pass (no extra
     * distinct-values job) and the output schema static — which is also

@@ -98,6 +98,59 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("q41: top TF-IDF pair agrees with an independent dense cosine") {
+    val out = TextOps.qTfidfPairs(spark, dir).collect()
+    assert(out.length === 20)
+    val sims = out.map(_.getDouble(2))
+    assert(sims.forall(s => s > 0.0 && s <= 1.0))
+    assert(sims.toSeq === sims.sorted.reverse.toSeq) // descending
+    // recompute the top pair's cosine densely from raw term counts
+    val (pa, pb) = (out.head.getLong(0), out.head.getLong(1))
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(pa, pb)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq).toMap
+    val n = 500.0
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("term")).distinct()
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def vec(id: Long): Map[String, Double] =
+      rows(id).groupBy(identity).map { case (t, ts) =>
+        val idf = BigDecimal(math.log(n / docsAll(t)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        t -> BigDecimal(ts.size * idf)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val (va, vb) = (vec(pa), vec(pb))
+    val dot = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+    def nrm(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+    val expect = dot / (nrm(va) * nrm(vb))
+    assert(math.abs(out.head.getDouble(2) - expect) < 1e-4,
+      s"top pair ($pa,$pb): ${out.head.getDouble(2)} vs dense $expect")
+  }
+
+  test("q42: moving average recomputed from the daily rollup") {
+    val out = EventQueries.q42MovingAverage(spark, dir).collect()
+    val daily = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getLong(3))).toMap
+    assert(daily.nonEmpty)
+    out.foreach { r =>
+      val (typ, day) = (r.getString(0), r.getString(1))
+      val d = java.time.LocalDate.parse(day)
+      // trailing 3-day frame: this day and the two calendar days before,
+      // restricted to days that actually have data
+      val frame = (0 to 2).map(k => d.minusDays(k.toLong).toString)
+        .flatMap(dd => daily.get((typ, dd)).map(_._1))
+      val expect = BigDecimal(frame.sum / frame.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6,
+        s"($typ,$day): ${r.getDouble(4)} vs $expect")
+    }
+  }
+
   test("q38: session count and per-user structure") {
     val out = EventQueries.q38Sessionize(spark, dir).collect()
     assert(out.length === 585) // DuckDB golden: users + gaps>6h

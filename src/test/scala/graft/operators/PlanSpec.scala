@@ -87,6 +87,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q41: TF-IDF dot products are an equi-join, never all-pairs") {
+    val p = plan(graft.llmops.TextOps.qTfidfPairs(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q37: heavy hitters end in TakeOrderedAndProject with partial agg") {
     val p = plan(graft.llmops.TextOps.qTopTerms(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
