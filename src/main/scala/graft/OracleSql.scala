@@ -150,6 +150,17 @@ object OracleSql {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  private val q43 =
+    """SELECT c_mktsegment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   private val q11 = {
     val sep = s"round(${angSepSql("ra", "dec", "cra", "cdec")}, 6)"
     s"""WITH ev AS (
@@ -810,5 +821,6 @@ object OracleSql {
     "q39_rollup_profile" -> q39,
     "q40_pivot_events" -> q40,
     "q41_tfidf_pairs" -> q41,
-    "q42_moving_avg" -> q42)
+    "q42_moving_avg" -> q42,
+    "q43_antijoin" -> q43)
 }

@@ -28,6 +28,7 @@ object SparkEntry {
     "q8_union_dedup" -> (CoreQueries.q8UnionDedup _),
     "q9_events_json" -> (CoreQueries.q9EventsJson _),
     "q10_semijoin" -> (CoreQueries.q10SemiJoin _),
+    "q43_antijoin" -> (CoreQueries.q43AntiJoin _),
     // reference-shaped operators (O17-O21, A1-A3, §3.2 pipeline)
     "q11_xmatch_spatial" -> (ExtraQueries.q11XmatchSpatial _),
     "q12_classify_cascade" -> (ExtraQueries.q12ClassifyCascade _),

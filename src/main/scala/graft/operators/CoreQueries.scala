@@ -224,4 +224,23 @@ object CoreQueries {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
+
+  /** q43 — anti-join (TPC-H Q22 shape): customers with NO urgent
+    * orders, profiled per market segment. The semi-join's complement —
+    * Spark plans `left_anti`, which at scale is the same single hash
+    * shuffle as the semi (or a broadcast of the smaller distinct key
+    * set), never a NOT IN subquery re-scan per row. The priority
+    * filter pushes to the orders scan before the join.
+    */
+  def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
 }
