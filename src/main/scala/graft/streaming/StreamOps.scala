@@ -65,6 +65,37 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream as-of-style attribution join: purchases matched to
+    * clicks of the same user within a trailing `horizon` — the
+    * streaming sibling of `EventQueries.q35AsofAttribution`. Both
+    * sides are watermarked so Spark bounds the join state: click state
+    * is evictable once the watermark passes `horizon`, purchase state
+    * once its own event time passes. The time-range predicate is what
+    * makes the state finite — an unconstrained stream-stream join
+    * would buffer forever.
+    *
+    * Emits every (purchase, click) pair in the horizon; downstream
+    * pick-latest (e.g. the q35 window on the micro-batch output, or a
+    * max aggregation) selects the as-of winner. Inner join: purchases
+    * with no prior click in the horizon simply don't emit.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    p.join(c, expr(
+      s"""user_id = click_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $horizon""".stripMargin))
+      .drop("click_user")
+  }
+
   /** Per-key running appearance counter via flatMapGroupsWithState —
     * emits (key, total_so_far) every time the key appears in a batch.
     * (A production deployment bounds the state with a processing-time

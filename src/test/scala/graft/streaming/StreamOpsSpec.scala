@@ -83,6 +83,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 10.0)), rows)
   }
 
+  test("attributionStream joins purchases to in-horizon clicks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamOps.attributionStream(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    // batch 1: clicks only (state buffers them)
+    clicks.addData((100L, 1L, ts(0)), (101L, 1L, ts(30)), (102L, 2L, ts(5)))
+    q.processAllAvailable()
+    // batch 2: purchases — user 1 at min 45 (both clicks in the 1h
+    // horizon), user 2 at min 90 (its click at min 5 is 85 min stale)
+    purchases.addData((200L, 1L, ts(45)), (201L, 2L, ts(90)))
+    q.processAllAvailable()
+    val rows = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    q.stop()
+    assert(rows === Set(200L -> 100L, 200L -> 101L))
+  }
+
   test("runningCounter keeps per-key totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]

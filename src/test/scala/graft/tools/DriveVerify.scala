@@ -10,6 +10,8 @@ object DriveVerify {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -99,6 +101,13 @@ object DriveVerify {
     println("sessions (sf0.001): " +
       graft.operators.EventQueries.q38Sessionize(spark, sf).count() +
       " (expect 585)")
+    graft.llmops.TextOps.qRollupProfile(spark, sf)
+      .filter(col("source") === "ALL").show(false) // per-lang subtotals
+    graft.operators.EventQueries.q40PivotEventMatrix(spark, sf).show(3, false)
+    graft.llmops.TextOps.qTfidfPairs(spark, sf).show(3, false)
+    spark.catalog.clearCache()
+    graft.operators.EventQueries.q42MovingAverage(spark, sf).show(3, false)
+    graft.operators.CoreQueries.q43AntiJoin(spark, sf).show(false)
     spark.stop()
   }
 }
