@@ -43,8 +43,12 @@ object Cluster {
       .localCheckpoint() // pin the (possibly expensive) edge job ONCE
     val sym = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed with round 1 precomputed: label₀ = min(self, neighbors) —
+    // one aggregation instead of an identity init + a full round
+    var labels = sym
+      .groupBy("src")
+      .agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
       .localCheckpoint()
     var converged = false
     while (!converged) {
@@ -52,16 +56,17 @@ object Cluster {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nlabel"))
+      // carry the changed flag through the update so convergence is a
+      // filter over the checkpointed result, not a second join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < col("label"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
     }
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
