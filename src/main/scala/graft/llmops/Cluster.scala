@@ -71,6 +71,22 @@ object Cluster {
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
+  /** End-to-end corpus dedup: remove every non-canonical member of a
+    * near-dup cluster, keep everything else. The user-facing compose of
+    * [[Dedup.nearDupPairs]] + [[connectedComponents]] — the operation a
+    * training-data pipeline actually runs. Singletons (docs in no
+    * cluster) pass through on the null side of the left join.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cc = connectedComponents(
+      Dedup.nearDupPairs(docs, threshold), "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(cc, Seq("doc_id"), "left")
+      .filter(col("cluster_rep").isNull ||
+        col("cluster_rep") === col("doc_id"))
+      .drop("cluster_rep")
+  }
+
   /** q33 — near-dup clusters: MinHash-LSH pairs (the q23 operator, same
     * threshold) → connected components → one row per clustered doc with
     * its canonical representative and component size. Downstream dedup

@@ -50,6 +50,23 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus keeps exactly the canonical member of each cluster") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = Cluster.dedupCorpus(docs, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Cluster.qDedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    spark.catalog.clearCache()
+    val reps = clusters.map(_._2).toSet
+    val members = clusters.map(_._1).toSet
+    assert(kept.size === 500 - members.size + reps.size)
+    // every rep kept, every non-rep member dropped, singletons kept
+    reps.foreach(r => assert(kept.contains(r)))
+    (members -- reps).foreach(m => assert(!kept.contains(m)))
+    val singletons = (0L until 500L).toSet -- members
+    assert(singletons.nonEmpty && singletons.forall(kept.contains))
+  }
+
   test("q34: first-failing-rule histogram matches the DuckDB-derived golden") {
     val hist = TextOps.qQualityFilter(spark, dir)
       .groupBy("reason").count()

@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q43: anti-join plans as a broadcast hash join, build side filtered") {
+    val p = plan(CoreQueries.q43AntiJoin(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // the priority predicate reaches the orders scan
+    assert(p.contains("1-URGENT"), p)
+  }
+
+  test("q40: explicit-values pivot is the two-level pivotfirst plan") {
+    val p = plan(graft.operators.EventQueries.q40PivotEventMatrix(spark, dir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // pre-agg on (user, type) then pivotfirst on user: exactly two hash
+    // exchanges, and no separate distinct-values job (explicit list)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(finalPlan).length === 2,
+      p)
+    assert(finalPlan.contains("pivotfirst"), p)
+  }
+
+  test("q39: rollup expands grouping sets before one partial aggregation") {
+    val p = plan(graft.llmops.TextOps.qRollupProfile(spark, dir))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
