@@ -27,6 +27,41 @@ class ClusterAndEventsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: random graphs match brute-force union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nV = 10 + rnd.nextInt(30)
+      val nE = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(nE) {
+        val a = rnd.nextInt(nV).toLong
+        val b = rnd.nextInt(nV).toLong
+        if (a == b) (a, b + 1) else (a, b) // no self-loops
+      }
+      // brute-force union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // path-compress fully, then canonicalize to min member per root
+      val byRoot = vertices.groupBy(find)
+      val expect = byRoot.values.flatMap { vs =>
+        val rep = vs.min
+        vs.map(_ -> rep)
+      }.toMap
+      val got = Cluster.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"trial $trial: $edges")
+    }
+  }
+
   test("q33: clusters are consistent closures of the q23 pair set") {
     val out = Cluster.qDedupClusters(spark, dir)
     val rows = out.collect()
