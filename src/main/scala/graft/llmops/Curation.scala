@@ -63,6 +63,28 @@ object Curation {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("split")
 
+  /** Corpus sink: write the (curated) corpus partitioned by (lang,
+    * split) with bounded file sizes — the layout downstream training
+    * jobs read. `partitionBy` gives hive-style directory pruning on
+    * the two columns every consumer filters on (language, train/eval);
+    * `maxRecordsPerFile` bounds the largest file so a skewed (lang,
+    * split) cell becomes many readable files, not one unsplittable
+    * blob; the pre-write `repartition` on the partition columns
+    * prevents the classic small-files explosion (without it, every
+    * task writes a file into every partition directory —
+    * tasks × cells files at 100 TB).
+    */
+  def writeCorpus(docs: DataFrame, path: String,
+      maxRecordsPerFile: Long = 100000L): Unit =
+    docs
+      .withColumn("split", splitLabel(col("doc_id")))
+      .repartition(col("lang"), col("split"))
+      .write
+      .partitionBy("lang", "split")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+
   /** q32 — decontamination: eval-split documents sharing ≥ `minOverlap`
     * distinct word shingles with any train-split document, with the
     * worst-offender overlap. THE pre-training hygiene query (eval
