@@ -63,6 +63,41 @@ object Curation {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("split")
 
+  /** PII scrubbing: redact emails, phone-shaped numbers, and IPv4
+    * addresses with typed placeholders — the text-hygiene pass every
+    * training corpus runs before tokenization. Pure `regexp_replace`
+    * chain (codegen'd, zero shuffle, scan-speed at 100 TB). ASCII-only
+    * patterns; ordering matters — emails first so their user@host
+    * digits aren't half-eaten by the phone pattern.
+    *
+    * The phone pattern is NANP-shaped (3-3-4 groupings with optional
+    * country code) — international formats need per-locale patterns,
+    * exactly as production scrubbers configure them.
+    *
+    * (Spec-tested on crafted strings rather than oracle-gated: the
+    * synthetic corpus contains no PII, and regex dialects differ
+    * between engines — this operator is Java-regex semantics.)
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "(?<![0-9])(?:\\+?[0-9]{1,3}[ .-]?)?(?:\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}(?![0-9])"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+  }
+
+  /** Count of PII redactions [[redactPii]] performs on a document —
+    * the audit metric (documents over a hit threshold get dropped by
+    * policy instead of redacted). Counted as placeholders introduced,
+    * so pre-existing literal placeholders in the text don't inflate it.
+    */
+  def piiHits(text: Column): Column =
+    (regexp_count(redactPii(text), lit("<EMAIL>|<IP>|<PHONE>")) -
+      regexp_count(text, lit("<EMAIL>|<IP>|<PHONE>"))).cast("long")
+
   /** Corpus sink: write the (curated) corpus partitioned by (lang,
     * split) with bounded file sizes — the layout downstream training
     * jobs read. `partitionBy` gives hive-style directory pruning on

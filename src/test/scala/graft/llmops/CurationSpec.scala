@@ -48,6 +48,35 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("redactPii scrubs emails, phones and IPs; piiHits counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at john.doe+x@example.co.uk today", 1L,
+        "mail me at <EMAIL> today"),
+      ("server 192.168.1.200 then call (415) 555-2671", 2L,
+        "server <IP> then call <PHONE>"),
+      // NANP-shaped pattern: the UK number passes through (documented
+      // scope), the 3-3-4 number is caught
+      ("intl +44 20 7946 0958 and 555-867-5309", 1L,
+        "intl +44 20 7946 0958 and <PHONE>"),
+      ("no pii here, just text 12345", 0L,
+        "no pii here, just text 12345"),
+      ("already has <EMAIL> literal", 0L,
+        "already has <EMAIL> literal"))
+    val out = rows.map(_._1).toDF("text")
+      .select(Curation.redactPii(col("text")).as("red"),
+        Curation.piiHits(col("text")).as("hits"))
+      .collect()
+    rows.zip(out).foreach { case ((in, wantHits, wantRed), r) =>
+      assert(r.getLong(1) === wantHits, s"hits for: $in -> ${r.getString(0)}")
+      if (wantRed != null) assert(r.getString(0) === wantRed, s"for: $in")
+      // no raw email/IP survives redaction
+      assert(!r.getString(0).matches(".*@.*\\.[A-Za-z]{2,}.*") ||
+        r.getString(0).contains("<EMAIL>") && !r.getString(0)
+          .replace("<EMAIL>", "").contains("@"), s"residual: ${r.getString(0)}")
+    }
+  }
+
   test("decontamination: matches are val-split docs overlapping train") {
     val out = Curation.qDecontaminate(spark, dir).collect()
     spark.catalog.clearCache()

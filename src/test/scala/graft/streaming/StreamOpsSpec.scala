@@ -106,6 +106,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows === Set(200L -> 100L, 200L -> 101L))
   }
 
+  test("streaming curation pipeline: quality gate + dedup compose") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.{Curation, TextOps}
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // stateless quality/PII stages compose with the stateful dedup —
+    // the full curation path on a live stream
+    val curated = StreamOps.dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text")
+        .withColumn("text", Curation.redactPii(col("text")))
+        .filter(TextOps.tokenCount(col("text")) >= 3), "ts")
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts(0), "the quick brown fox jumps"),
+      (2L, ts(1), "short"), // dropped by the gate
+      (3L, ts(2), "contact bob@example.com for info"))
+    q.processAllAvailable()
+    in.addData( // dup of 1 (same normalized text) + a new doc
+      (4L, ts(3), "THE  quick   brown fox jumps"),
+      (5L, ts(4), "entirely new content here"))
+    q.processAllAvailable()
+    val rows = spark.table("curated_out")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows.keySet === Set(1L, 3L, 5L))
+    assert(rows(3L) === "contact <EMAIL> for info") // scrubbed pre-dedup
+  }
+
   test("runningCounter keeps per-key totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
