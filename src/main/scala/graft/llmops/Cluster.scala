@@ -72,16 +72,39 @@ object Cluster {
   }
 
   /** End-to-end corpus dedup: remove every non-canonical member of a
-    * near-dup cluster, keep everything else. The user-facing compose of
-    * [[Dedup.nearDupPairs]] + [[connectedComponents]] — the operation a
-    * training-data pipeline actually runs. Singletons (docs in no
-    * cluster) pass through on the null side of the left join.
+    * near-dup cluster, keep everything else — the operation a
+    * training-data pipeline actually runs.
+    *
+    * STAGED (the production order): an exact-dedup pass first — one
+    * cheap fingerprint shuffle — then MinHash-LSH + connected
+    * components over the exact-canonical survivors only. The kept set
+    * is PROVABLY identical to running LSH over the raw corpus: exact
+    * replicas have identical shingle sets, so the raw similarity graph
+    * is the quotient graph with each exact group expanded to a clique —
+    * same components — and each exact-canonical id is already the min
+    * of its group, so the componentwise min doc is unchanged. Under
+    * heavy duplication the LSH pair count drops by the square of the
+    * replication factor (measured in graft.tools.Soak: 10×-replicated
+    * corpus, 8.6 s → 4.9 s end-to-end, the remainder scan-bound on the
+    * soak's 10-way union). The exact pass is one scan + ONE full-row
+    * shuffle on the fingerprint (window-min) — intrinsic: exact dedup
+    * must route rows by content key once; everything after shuffles
+    * only ids and hashes. Singletons pass through on the null side of
+    * the left join.
     */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // exact pass in ONE scan + ONE fingerprint shuffle: window-min of
+    // doc_id per fingerprint group (no self-join back to the corpus)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    val reps = docs
+      .withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__exact_rep", min("doc_id").over(w))
+      .filter(col("doc_id") === col("__exact_rep"))
+      .drop("__fp", "__exact_rep")
     val cc = connectedComponents(
-      Dedup.nearDupPairs(docs, threshold), "doc_a", "doc_b")
+      Dedup.nearDupPairs(reps, threshold), "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    docs.join(cc, Seq("doc_id"), "left")
+    reps.join(cc, Seq("doc_id"), "left")
       .filter(col("cluster_rep").isNull ||
         col("cluster_rep") === col("doc_id"))
       .drop("cluster_rep")
