@@ -649,6 +649,20 @@ object OracleSql {
       |FROM w WHERE event_type = 'purchase' AND lc IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  /** q44 — the bounded interval join, phrased directly as the
+    * inequality join (DuckDB plans this fine at oracle scale; the Spark
+    * side uses the bucket equi-join + refine shape).
+    */
+  private val q44 =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id,
+      |  round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** q36 — bigram repetition: same positional 2-shingle construction as
     * the WordShingles kernel (degenerate one-token doc → one "bigram" of
     * the whole text).
@@ -760,6 +774,35 @@ object OracleSql {
       |JOIN nrm nb ON doc_b = nb.doc_id
       |ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
+  /** q45 — top-3 TF-IDF keywords per doc: same weight CTEs as q41, one
+    * rank window ordered (w DESC, term).
+    */
+  private val q45 =
+    """WITH toks0 AS (
+      |  SELECT lang, source, doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT lang, source, doc_id, t.term AS term, count(*) AS tf
+      |  FROM toks0, unnest(toks) t(term)
+      |  GROUP BY lang, source, doc_id, t.term),
+      |tot AS (SELECT count(*) AS n_total FROM documents),
+      |idf AS (
+      |  SELECT term, round(ln(CAST(n_total AS DOUBLE) / df_t), 6) AS idf
+      |  FROM (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term), tot),
+      |wts AS (
+      |  SELECT doc_id, term,
+      |    CAST(round(tf * idf, 6) AS DECIMAL(18,6)) AS w
+      |  FROM tf JOIN idf USING (term)),
+      |ranked AS (
+      |  SELECT doc_id, term, w,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term)
+      |      AS rank
+      |  FROM wts)
+      |SELECT doc_id, rank, term, CAST(w AS DOUBLE) AS weight
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   private val q42 =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d, event_type,
@@ -822,5 +865,7 @@ object OracleSql {
     "q40_pivot_events" -> q40,
     "q41_tfidf_pairs" -> q41,
     "q42_moving_avg" -> q42,
-    "q43_antijoin" -> q43)
+    "q43_antijoin" -> q43,
+    "q44_interval_join" -> q44,
+    "q45_top_keywords" -> q45)
 }

@@ -63,15 +63,19 @@ object SparkEntry {
     "q34_quality_filter" -> (TextOps.qQualityFilter _),
     "q36_repetition" -> (TextOps.qRepetition _),
     "q37_top_terms" -> (TextOps.qTopTerms _),
-    // temporal event operators (as-of join, sessionization)
+    // temporal event operators (as-of join, interval join, sessionization)
     "q35_asof_attribution" -> (EventQueries.q35AsofAttribution _),
+    "q44_interval_join" -> ((s: SparkSession, d: String) =>
+      EventQueries.q44IntervalJoin(s, d)),
     "q38_sessionize" -> ((s: SparkSession, d: String) =>
       EventQueries.q38Sessionize(s, d)),
     // grouping sets + pivot reshape
     "q39_rollup_profile" -> (TextOps.qRollupProfile _),
     "q40_pivot_events" -> (EventQueries.q40PivotEventMatrix _),
-    // TF-IDF sparse-vector similarity + sliding range-frame window
+    // TF-IDF sparse-vector similarity, per-doc keywords + sliding
+    // range-frame window
     "q41_tfidf_pairs" -> (TextOps.qTfidfPairs _),
+    "q45_top_keywords" -> (TextOps.qTopKeywords _),
     "q42_moving_avg" -> (EventQueries.q42MovingAverage _),
     // multimodal binary-column plumbing
     "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -292,27 +293,11 @@ object TextOps {
     * DuckDB's sequential order.
     */
   def qTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val tf = d
-      .select(col("lang"), col("source"), col("doc_id"),
-        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
-          .as("term"))
-      .groupBy("lang", "source", "doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val total = d.agg(count(lit(1)).as("n_total"))
-    val idf = tf.groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df_t"))
-      .crossJoin(broadcast(total))
-      .withColumn("idf", round(log(col("n_total") / col("df_t")), 6))
-      .select("term", "idf")
     // 3 consumers (norms + both dot-join sides): persist, or the
     // tokenize→tf→idf prefix (two shuffles + a count_distinct expand)
     // re-runs per consumer. Released by the caller's clearCache — the
     // same cache-lifetime contract as Dedup.nearDupPairs.
-    val weights = tf.join(broadcast(idf), Seq("term"))
-      .select(col("lang"), col("source"), col("doc_id"), col("term"),
-        round(col("tf") * col("idf"), 6).cast("decimal(18,6)").as("w"))
-      .persist()
+    val weights = tfidfWeights(docs(spark, dir)).persist()
     val norms = weights.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     val a = weights.select(col("lang"), col("source"), col("term"),
@@ -331,6 +316,53 @@ object TextOps {
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** TF-IDF term weights, the shared (doc, term, weight) sparse-vector
+    * relation behind q41/q45: tf per (doc, term), idf = ln(N/df) over
+    * the whole corpus, weight = tf·idf quantized to DECIMAL(18,6) so
+    * downstream sums are exact and shuffle-order independent (the
+    * cross-engine oracle contract — ln() may differ by 1 ulp between
+    * libm and DuckDB, so idf is rounded to 6 decimals first).
+    */
+  private def tfidfWeights(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("term"))
+      .groupBy("lang", "source", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val idf = tf.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df_t"))
+      .crossJoin(broadcast(total))
+      .withColumn("idf", round(log(col("n_total") / col("df_t")), 6))
+      .select("term", "idf")
+    tf.join(broadcast(idf), Seq("term"))
+      .select(col("lang"), col("source"), col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).cast("decimal(18,6)").as("w"))
+  }
+
+  /** q45 — top-3 TF-IDF keywords per document (the per-doc keyword
+    * extraction every corpus index/labeling pass needs). One window
+    * rank over the shared [[tfidfWeights]] relation: partitioned by
+    * doc, ordered by (weight desc, term) so ties are deterministic.
+    *
+    * Shape: the weights' own (doc, term) aggregation already shuffled
+    * on a doc-bearing key, and the rank window re-partitions by doc_id
+    * alone — per-doc state is the doc's vocabulary, never the corpus.
+    * No driver collect, no global sort before the final presentation
+    * ORDER BY.
+    */
+  def qTopKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term"))
+    tfidfWeights(docs(spark, dir))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("w").cast("double").as("weight"))
+      .orderBy("doc_id", "rank")
   }
 
   /** q39 — hierarchical corpus profile via ROLLUP grouping sets: per

@@ -98,6 +98,46 @@ object EventQueries {
       .na.fill(0)
       .orderBy("user_id")
 
+  /** q44 — bounded INTERVAL join (window attribution, ALL matches): for
+    * each purchase, every click by the same user in the trailing hour
+    * [ts−1h, ts] — the many-match complement of q35's latest-only as-of.
+    *
+    * Scale shape: the naive formulation is an inequality join, which
+    * Catalyst can only execute as a nested-loop per user key. Instead
+    * time is discretized into window-sized buckets: each click lands in
+    * exactly ONE bucket, each purchase probes exactly TWO consecutive
+    * buckets (a trailing window of length w spans at most two w-sized
+    * buckets), so the join is a hash equi-join on (user_id, bucket)
+    * followed by the exact time refine. No pair can emit twice — the
+    * two probed buckets are distinct — so no dedup pass is needed, and
+    * the shuffle carries ids plus one long, never the event payload.
+    * The same shape handles any bounded interval; only an UNbounded
+    * window needs the union-window as-of form (q35).
+    */
+  def q44IntervalJoin(spark: SparkSession, dir: String,
+      windowSeconds: Long = 3600): DataFrame = {
+    val winUs = windowSeconds * usecPerSec.toLong
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"),
+        floor(unix_micros(col("ts")) / winUs).as("bkt"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"),
+        explode(sequence(
+          floor((unix_micros(col("ts")) - winUs) / winUs),
+          floor(unix_micros(col("ts")) / winUs))).as("bkt"))
+    purchases.join(clicks, Seq("user_id", "bkt"))
+      .filter(unix_micros(col("cts")) >= unix_micros(col("pts")) - winUs &&
+        col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        round((unix_micros(col("pts")) - unix_micros(col("cts"))) /
+          usecPerSec, 6).as("gap_s"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** q38 — sessionization: group each user's events into sessions
     * separated by gaps > 6 h (sized to this corpus's ~7 h median
     * inter-event gap; the operator is gap-parametric), then aggregate

@@ -150,6 +150,66 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("q44: bucketed interval join equals the naive inequality join") {
+    val out = EventQueries.q44IntervalJoin(spark, dir).collect()
+    // the defining property: identical row set to the direct theta-join
+    // (which Spark would plan as a nested loop — the formulation q44
+    // exists to avoid)
+    val ev = graft.operators.CoreQueries.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val naive = p.join(c, Seq("user_id"))
+      .filter(col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") <= col("pts"))
+      .select("pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === naive)
+    assert(out.length === naive.size) // no duplicate emissions
+    out.foreach { r =>
+      val gap = r.getDouble(3)
+      assert(gap >= 0.0 && gap <= 3600.0, s"gap $gap outside the window")
+    }
+  }
+
+  test("q45: per-doc keyword ranks are dense, ordered, tf-idf-exact") {
+    val out = TextOps.qTopKeywords(spark, dir).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size === 500) // every doc has >= 1 term
+    byDoc.foreach { case (id, rows) =>
+      val ranked = rows.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq === (1 to ranked.length),
+        s"doc $id ranks not dense")
+      // weights non-increasing; term ascending within equal weights
+      ranked.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) &&
+              a.getString(2) < b.getString(2)), s"doc $id order")
+        case _ =>
+      }
+    }
+    // dense driver recomputation of one doc's top keyword (same 6-decimal
+    // quantization as the engine)
+    val docId = 7L
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val n = texts.size.toDouble
+    val df = texts.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, ts) => t -> ts.size }
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val weights = texts(docId).groupBy(identity).map { case (t, ts) =>
+      t -> q6(ts.size * q6(math.log(n / df(t))))
+    }
+    val expectTop = weights.toSeq.sortBy { case (t, w) => (-w, t) }.head
+    val gotTop = byDoc(docId).minBy(_.getInt(1))
+    assert(gotTop.getString(2) === expectTop._1)
+    assert(math.abs(gotTop.getDouble(3) - expectTop._2) < 1e-9)
+  }
+
   test("q41: top TF-IDF pair agrees with an independent dense cosine") {
     val out = TextOps.qTfidfPairs(spark, dir).collect()
     assert(out.length === 20)

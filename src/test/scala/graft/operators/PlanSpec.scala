@@ -87,6 +87,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q44: interval join is a hash equi-join on (user, bucket)") {
+    val p = plan(graft.operators.EventQueries.q44IntervalJoin(spark, dir))
+    // the bucketization exists precisely so the bounded range join never
+    // degenerates to a per-key nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p) // BHJ here; SMJ at scale — same keys
+  }
+
   test("q41: TF-IDF dot products are an equi-join, never all-pairs") {
     val p = plan(graft.llmops.TextOps.qTfidfPairs(spark, dir))
     assert(!p.contains("CartesianProduct"), p)

@@ -108,6 +108,11 @@ object DriveVerify {
     spark.catalog.clearCache()
     graft.operators.EventQueries.q42MovingAverage(spark, sf).show(3, false)
     graft.operators.CoreQueries.q43AntiJoin(spark, sf).show(false)
+    val iv = graft.operators.EventQueries.q44IntervalJoin(spark, sf)
+    println("interval-join click↔purchase matches (sf0.001): " + iv.count())
+    iv.explain("formatted") // check: SortMergeJoin/SHJ on (user_id, bkt),
+                            // no BroadcastNestedLoopJoin anywhere
+    graft.llmops.TextOps.qTopKeywords(spark, sf).show(6, false)
     spark.stop()
   }
 }
