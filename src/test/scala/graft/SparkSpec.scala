@@ -18,6 +18,10 @@ object SparkSpec {
     // long (same config as Verify/Bench; CoreQueries.events normalizes)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // saveAsTable target for BucketingSpec (static conf — must be set
+    // at session build, and must not pollute the repo checkout)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   /** ZTF alert fixture (133 alerts in this checkout — see
