@@ -24,7 +24,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so driver runs always time the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -333,8 +333,11 @@ object TextOps {
       .groupBy("lang", "source", "doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val total = d.agg(count(lit(1)).as("n_total"))
+    // tf is unique per (doc, term) by construction, so the document
+    // frequency is a plain count — count_distinct here would plan an
+    // Expand + a second aggregate pass for the same value
     val idf = tf.groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df_t"))
+      .agg(count(lit(1)).as("df_t"))
       .crossJoin(broadcast(total))
       .withColumn("idf", round(log(col("n_total") / col("df_t")), 6))
       .select("term", "idf")
