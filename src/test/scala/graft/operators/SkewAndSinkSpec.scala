@@ -44,9 +44,15 @@ class SkewAndSinkSpec extends SparkSpec {
       Curation.splitLabel(col("doc_id")))
       .filter(col("split") =!= col("expect")).count()
     assert(bad === 0L)
-    // partition pruning: a lang+split filter reads a pruned subtree
+    // partition pruning: a lang+split filter reads a pruned subtree —
+    // pinned in the plan, not just by the result (the whole point of
+    // the hive layout is that these predicates never touch file data)
     val p = back.filter(col("lang") === langs.head && col("split") === "val")
     assert(p.count() > 0)
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("lang") && pf.contains("split"), pf)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
