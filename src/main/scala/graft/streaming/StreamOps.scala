@@ -36,6 +36,32 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-duplicate dedup: drop documents whose MinHash
+    * signature collides with one already seen inside the watermark
+    * horizon. Signature equality is the high-threshold corner of
+    * near-dup (k min-hashes all equal ⇒ Jaccard ≈ 1 with k-controlled
+    * confidence), which is exactly the regime streaming ingest dedup
+    * targets — the long-tail lower-similarity pairs stay a batch
+    * concern ([[graft.llmops.Dedup.nearDupPairs]] + connected
+    * components over the landed corpus).
+    *
+    * State shape at scale: one row per distinct signature inside the
+    * watermark, keyed by the signature hash — the same bounded state
+    * store as [[dedupStream]], and the signature is computed in a
+    * stateless map stage (the native MinHashSignature kernel), so the
+    * only stateful operator is the dedup itself.
+    */
+  def nearDupStream(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour", k: Int = 16): DataFrame =
+    docs
+      .withColumn("__sig",
+        concat_ws("|", graft.expressions.MinHashSignature.signature(
+          array_distinct(
+            graft.expressions.WordShingles.shingles(col("text"))), k)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Hourly per-type counts/sums with late-data tolerance. */
   def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

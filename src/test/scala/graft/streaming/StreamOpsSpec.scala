@@ -34,6 +34,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 4L)))
   }
 
+  test("nearDupStream drops signature-colliding near-dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData((1L, ts(0), base), (2L, ts(1), "completely different words"))
+    q.processAllAvailable()
+    // batch 2: doc 3 differs from doc 1 only by whitespace/case — the
+    // shingle SET is identical, so all k min-hashes collide; doc 4 is new
+    in.addData((3L, ts(2), base.toUpperCase.replace(" ", "   ")),
+      (4L, ts(3), "yet another unrelated document"))
+    q.processAllAvailable()
+    val ids = spark.table("neardup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.sameElements(Array(1L, 2L, 4L)))
+    // the dropped doc is a true near-dup of its survivor: jaccard == 1
+    import graft.llmops.Dedup
+    val sets = Seq((1L, base), (3L, base.toUpperCase))
+      .toDF("doc_id", "text")
+      .select(Dedup.jaccard(
+        Dedup.shingles(lower(col("text"))),
+        Dedup.shingles(lit(base))).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(sets.forall(_ === 1.0))
+  }
+
   test("hourlyEventStats windows by event time with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]

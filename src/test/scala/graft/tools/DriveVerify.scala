@@ -113,6 +113,30 @@ object DriveVerify {
     iv.explain("formatted") // check: SortMergeJoin/SHJ on (user_id, bkt),
                             // no BroadcastNestedLoopJoin anywhere
     graft.llmops.TextOps.qTopKeywords(spark, sf).show(6, false)
+
+    // streaming near-dup ingest dedup across two real micro-batches
+    {
+      import java.sql.Timestamp
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = graft.streaming.StreamOps
+        .nearDupStream(in.toDF().toDF("doc_id", "ts", "text"), "ts")
+        .writeStream.format("memory").queryName("dv_neardup")
+        .outputMode("append").start()
+      // epoch-0 timestamps would tie Spark's INITIAL watermark (0 ms)
+      // and be dropped as late — use present-day event times
+      val t0 = 1700000000000L
+      in.addData((1L, new Timestamp(t0), "a b c d e"))
+      q.processAllAvailable()
+      in.addData((2L, new Timestamp(t0 + 60000), "A  B c d e"),
+        (3L, new Timestamp(t0 + 120000), "something else entirely here"))
+      q.processAllAvailable()
+      println("nearDupStream survivors (expect ids 1,3): " +
+        spark.table("dv_neardup").select("doc_id").collect()
+          .map(_.getLong(0)).sorted.mkString(","))
+      q.stop()
+    }
     spark.stop()
   }
 }
