@@ -72,6 +72,13 @@ object GraftExtensions {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
       }),
+    ("intersect_count",
+      info("intersect_count", "intersect_count(a, b) - |A ∩ B| over two " +
+        "element-distinct long arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntersectCount(a, b)
+        case _ => throw new IllegalArgumentException("intersect_count(a, b)")
+      }),
     ("winnow_fingerprints",
       info("winnow_fingerprints", "winnow_fingerprints(shingles[, w]) - " +
         "distinct MOSS winnowing fingerprints over window w (default 4)"),

@@ -106,7 +106,10 @@ object Dedup {
     * 2^-64 collisions.
     */
   def jaccardDistinct(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    // native |A∩B| kernel: same value as size(array_intersect(a,b)) on
+    // these distinct inputs, none of the per-pair intersection-array
+    // materialization (DedupSpec pins the equivalence)
+    val inter = graft.expressions.IntersectCount.intersectCount(a, b)
     val uni = na + nb - inter
     when(uni > 0, round(inter.cast("double") / uni, 6)).otherwise(lit(1.0))
   }

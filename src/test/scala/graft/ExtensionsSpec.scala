@@ -65,6 +65,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(w.filter(col("fp") =!= col("cfp")).count() === 0L)
   }
 
+  test("intersect_count SQL == Column kernel == builtin on shingle sets") {
+    docs
+    val cmp = spark.sql(
+      """SELECT doc_id,
+        |  transform(array_distinct(word_shingles(text)), s -> xxhash64(s))
+        |    AS sh
+        |FROM ext_docs""".stripMargin)
+      .select(col("doc_id"), col("sh"),
+        reverse(col("sh")).as("rsh"), slice(col("sh"), 1, 5).as("psh"))
+    val checked = cmp.select(
+      graft.expressions.IntersectCount.intersectCount(col("sh"), col("rsh"))
+        .as("self"),
+      size(col("sh")).cast("long").as("n"),
+      graft.expressions.IntersectCount.intersectCount(col("sh"), col("psh"))
+        .as("part"),
+      size(array_intersect(col("sh"), col("psh"))).cast("long").as("bpart"))
+    // order-insensitive full self-overlap + builtin equivalence
+    assert(checked.filter(col("self") =!= col("n") ||
+      col("part") =!= col("bpart")).count() === 0L)
+    cmp.createOrReplaceTempView("ext_ic")
+    val viaSql = spark.sql(
+      "SELECT intersect_count(sh, psh) AS s FROM ext_ic")
+      .collect().map(_.getLong(0))
+    val viaCol = checked.select("part").collect().map(_.getLong(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("non-literal size argument fails loudly") {
     docs
     val e = intercept[Exception] {

@@ -107,6 +107,27 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("IntersectCount: equals driver set intersection incl. sentinels") {
+    val cases = (1 to 60).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextLong()).distinct
+      val b =
+        (Seq.fill(rnd.nextInt(40))(rnd.nextLong()) ++
+          rnd.shuffle(a).take(rnd.nextInt(a.size + 1))).distinct
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),                  // empty side
+      (Seq(Long.MinValue, 0L), Seq(Long.MinValue)),    // sentinel key
+      (Seq(Long.MinValue), Seq(7L)),                   // sentinel miss
+      (Seq(1L, 2L, 3L), Seq(4L, 5L))                   // disjoint
+    )
+    val got = cases.toDF("a", "b").select(
+      graft.expressions.IntersectCount.intersectCount(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g === a.toSet.intersect(b.toSet).size.toLong, s"a=$a b=$b")
+    }
+  }
+
   test("winnowing: count bounded by window positions, never empty") {
     val rows = (1 to 40).map(_ => Tuple1(randTokens(1 + rnd.nextInt(30))
       .map(t => s"g:$t")))
