@@ -133,6 +133,44 @@ object Dedup {
       .select("canonical_doc_id", "n_copies")
       .orderBy("canonical_doc_id")
 
+  /** The landed corpus's exact-dedup index: one 64-bit fingerprint per
+    * distinct content. This is the ONLY state incremental ingest needs
+    * to carry forward — 8 bytes per distinct doc, not the text.
+    */
+  def fingerprintIndex(landed: DataFrame): DataFrame =
+    landed.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+
+  /** Incremental ingest dedup: the production shape where a NEW batch
+    * lands against an EXISTING corpus. Two stages, both on the 64-bit
+    * fingerprint: (1) left-anti join against the landed
+    * [[fingerprintIndex]] drops content the corpus already has;
+    * (2) a per-fingerprint min-id window dedups within the batch
+    * itself (a batch can carry its own duplicates). Returns the rows
+    * of `newDocs` that should land; appending their fingerprints to
+    * the index keeps the invariant for the next batch.
+    *
+    * Scale shape: both stages shuffle on the fingerprint — the anti
+    * join co-partitions 8-byte keys (or broadcasts, if the index fits),
+    * and the window reuses the same key. The text never shuffles
+    * except inside its own batch's window stage. The streaming sibling
+    * is [[graft.streaming.StreamOps.dedupStream]], which holds the
+    * same fingerprint state in the state store with a watermark
+    * horizon; this batch form has an UNBOUNDED horizon — the index is
+    * a table, so "seen" never expires.
+    */
+  def dedupIncrement(newDocs: DataFrame, fingerprintIdx: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(idCol)
+    newDocs
+      .withColumn("__fp", TextOps.fingerprint(col("text")))
+      .join(fingerprintIdx.select(col("fp").as("__fp")), Seq("__fp"),
+        "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → signature → band
     * buckets → self-equi-join within bucket → exact-Jaccard verify.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ the

@@ -24,6 +24,29 @@ class DedupSpec extends SparkSpec {
     assert(cmp.filter(col("hof") =!= col("native")).count() === 0L)
   }
 
+  test("dedupIncrement: anti-join vs landed index + within-batch dedup") {
+    import spark.implicits._
+    val landed = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(landed)
+    assert(idx.count() === 2L)
+    val batch = Seq(
+      (200L, "ALPHA   beta gamma"), // dup of landed 100 (normalized)
+      (201L, "zeta eta"),           // fresh
+      (202L, "zeta   ETA"),         // within-batch dup of 201
+      (203L, "theta iota")          // fresh
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(batch, idx)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(201L, 203L)))
+    // landing the survivors keeps the invariant: replaying the same
+    // batch against the grown index lands nothing
+    val grown = idx.unionByName(
+      Dedup.fingerprintIndex(batch.filter(col("doc_id").isin(201L, 203L))))
+      .distinct()
+    assert(Dedup.dedupIncrement(batch, grown).count() === 0L)
+  }
+
   test("native kernel handles edge shapes") {
     import spark.implicits._
     val df = Seq(

@@ -114,6 +114,16 @@ object DriveVerify {
                             // no BroadcastNestedLoopJoin anywhere
     graft.llmops.TextOps.qTopKeywords(spark, sf).show(6, false)
 
+    // incremental ingest dedup: second half of the corpus lands against
+    // the first half's fingerprint index
+    {
+      val half1 = docs.filter(col("doc_id") < 250)
+      val half2 = docs.filter(col("doc_id") >= 250)
+      val landed = Dedup.dedupIncrement(half2, Dedup.fingerprintIndex(half1))
+      println(s"dedupIncrement: ${landed.count()} of ${half2.count()} " +
+        "batch-2 docs land (rest are cross- or within-batch dups)")
+    }
+
     // streaming near-dup ingest dedup across two real micro-batches
     {
       import java.sql.Timestamp
