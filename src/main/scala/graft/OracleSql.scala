@@ -663,6 +663,38 @@ object OracleSql {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q46 — incremental ingest dedup: anti-join on the normalized text
+    * (the fingerprint preimage — same groups as Spark's xxhash64 of it,
+    * the q22 equivalence), then min-id per content within the batch.
+    */
+  private val q46 =
+    """WITH landed AS (
+      |  SELECT DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
+      |  FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id + 1000 AS doc_id, upper(text) AS text,
+      |    lang, source, n_chars
+      |  FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 3000, replace(text, ' ', '  '),
+      |    lang, source, n_chars
+      |  FROM documents WHERE doc_id >= 400),
+      |fresh AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
+      |  FROM batch
+      |  WHERE regexp_replace(lower(text), '\s+', ' ', 'g') NOT IN
+      |    (SELECT nt FROM landed)),
+      |kept AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+      |  FROM fresh)
+      |SELECT doc_id, lang, source, n_chars FROM kept WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** q36 — bigram repetition: same positional 2-shingle construction as
     * the WordShingles kernel (degenerate one-token doc → one "bigram" of
     * the whole text).
@@ -867,5 +899,6 @@ object OracleSql {
     "q42_moving_avg" -> q42,
     "q43_antijoin" -> q43,
     "q44_interval_join" -> q44,
-    "q45_top_keywords" -> q45)
+    "q45_top_keywords" -> q45,
+    "q46_dedup_increment" -> q46)
 }

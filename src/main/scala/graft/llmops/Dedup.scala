@@ -171,6 +171,35 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** q46 — [[dedupIncrement]] as a driver-testdata query. The corpus
+    * has no natural exact dups, so the batch is constructed to carry
+    * both failure modes: uppercased copies of landed docs (must drop at
+    * the anti-join — normalization equates them) and whitespace-mangled
+    * copies of the batch's own fresh docs (must drop at the
+    * within-batch window, the original id winning). What lands is
+    * exactly the unmodified fresh docs.
+    */
+  def qDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val landed = d.filter(col("doc_id") < 400)
+    val fresh = d.filter(col("doc_id") >= 400)
+    val dupOfLanded = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        upper(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dupInBatch = fresh
+      .select((col("doc_id") + 3000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val batch = dupOfLanded
+      .unionByName(fresh.select(cols.map(col): _*))
+      .unionByName(dupInBatch)
+    dedupIncrement(batch, fingerprintIndex(landed))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → signature → band
     * buckets → self-equi-join within bucket → exact-Jaccard verify.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ the
