@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   * converged/not-converged boolean — no component data. Rounds needed =
   * graph diameter; near-dup components are shallow (stars/cliques
   * around a template), so 2–4 rounds in practice. For adversarial
-  * long-chain graphs at 100 TB the same loop accepts the
+  * long-chain graphs [[connectedComponentsStar]] implements the
   * large-star/small-star edge rewriting (Kiveris+ 2014), which bounds
-  * rounds at O(log n); the per-round dataflow — join, shuffle on id,
-  * min — is unchanged, so the plumbing below is the one that matters.
+  * rounds at O(log n) with the same per-round dataflow — pick by
+  * graph shape; both return identical labels (property-pinned).
   */
 object Cluster {
 
@@ -69,6 +69,74 @@ object Cluster {
       labels = next.drop("changed")
     }
     labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris+ 2014, "Connected Components in MapReduce and
+    * Beyond") — the adversarial-graph sibling of [[connectedComponents]]:
+    * min-label propagation needs O(diameter) rounds, this needs
+    * O(log n) on any graph, so it is the variant to reach for when the
+    * duplicate graph contains long chains (template drift, near-dup
+    * chains across crawl snapshots) rather than shallow stars.
+    *
+    * Both operations are one grouped-min + one emit over the edge set:
+    *  - large-star: per vertex u, attach every LARGER neighbor v to
+    *    m = min(N(u) ∪ u) — long chains fold toward minima from
+    *    everywhere at once;
+    *  - small-star: per vertex u over its smaller neighbors only,
+    *    re-attach them (and u) to the minimum — flattening the partial
+    *    trees into stars.
+    * Fixpoint: the edge set stops changing, at which point every edge
+    * is (member, component-min). Same per-round dataflow costs as the
+    * label loop — a shuffle on the vertex key and a distinct — and the
+    * same localCheckpoint-per-round lineage rule.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var nE = e.count()
+    var converged = false
+    while (!converged) {
+      // large-star over the symmetric adjacency
+      val sym = e.unionByName(
+        e.select(col("lo").as("hi"), col("hi").as("lo")))
+      val minN = sym.groupBy(col("hi").as("u"))
+        .agg(min("lo").as("m"))
+        .select(col("u"), least(col("m"), col("u")).as("m"))
+      val large = sym
+        .join(minN, sym("hi") === minN("u"))
+        .filter(col("lo") > col("hi")) // only larger neighbors re-attach
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star over the (hi → smaller neighbors) orientation
+      val minS = large.groupBy(col("hi").as("u")).agg(min("lo").as("m"))
+      val next = large
+        .join(minS, large("hi") === minS("u"))
+        .select(col("lo").as("a"), col("m").as("b")) // smaller neighbors → min
+        .unionByName(minS.select(col("u").as("a"), col("m").as("b"))) // u → min
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint()
+      val nNext = next.count()
+      // distinct sets: equal count + empty one-way difference ⇔ equal
+      converged = nNext == nE &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      e = next
+      nE = nNext
+    }
+    // fixpoint edges are (member, component-min) stars; minima appear
+    // only on the lo side and label themselves
+    e.select(col("hi").as("id"), col("lo").as("cluster_rep"))
+      .unionByName(e.select(col("lo"), col("lo")).distinct()
+        .toDF("id", "cluster_rep"))
   }
 
   /** End-to-end corpus dedup: remove every non-canonical member of a

@@ -62,6 +62,43 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar: random graphs + 60-chain match " +
+      "union-find and the label-propagation sibling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val chain = (1L until 60L).map(i => (i + 1, i)) // diameter 59
+    val graphs = (1 to 4).map { _ =>
+      val nV = 10 + rnd.nextInt(30)
+      Seq.fill(5 + rnd.nextInt(40)) {
+        val a = rnd.nextInt(nV).toLong
+        val b = rnd.nextInt(nV).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+    } :+ chain
+    for (edges <- graphs) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = vertices.groupBy(find).values.flatMap { vs =>
+        val rep = vs.min; vs.map(_ -> rep)
+      }.toMap
+      val df = edges.toDF("a", "b")
+      val star = Cluster.connectedComponentsStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === expect, s"star CC on $edges")
+      val prop = Cluster.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"star vs label-prop on $edges")
+    }
+  }
+
   test("q33: clusters are consistent closures of the q23 pair set") {
     val out = Cluster.qDedupClusters(spark, dir)
     val rows = out.collect()
