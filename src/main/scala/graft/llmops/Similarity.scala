@@ -139,21 +139,37 @@ object Similarity {
     * those. At scale the assignment is written bucketed-by-cell so a
     * query touches nProbe partitions instead of the corpus.
     */
-  def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
+  private[llmops] def cs(a: String, b: String, na: String, nb: String) =
+    round(cosineWithNorms(col(a), col(b), col(na), col(nb)), 6)
+
+  /** IVF build stage: assign every vector to its nearest seed cell
+    * (broadcast the seeds, rank per vector). The returned assignment
+    * — (vec_id, embedding, nrm, seed_id) — IS the index; persist it
+    * bucketed by `seed_id` ([[graft.operators.Bucketing]]) and a probe
+    * reads only its nProbe cells' buckets (SimilaritySpec pins the
+    * bucket pruning).
+    */
+  def ivfAssign(e: DataFrame, seeds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
-    val seeds = e.filter(pmod(col("vec_id"), lit(97)) === 0)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
-        col("nrm").as("snrm"))
-    def cs(a: String, b: String, na: String, nb: String) =
-      round(cosineWithNorms(col(a), col(b), col(na), col(nb)), 6)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cs").desc, col("seed_id"))
-    val assign = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .withColumn("cs", cs("embedding", "semb", "nrm", "snrm"))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
+  }
+
+  /** Deterministic coarse-quantizer seeds (every 97th vector). */
+  def ivfSeeds(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
+        col("nrm").as("snrm"))
+
+  def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val seeds = ivfSeeds(e)
+    val assign = ivfAssign(e, seeds)
     val qvec = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     val qseeds = qvec.crossJoin(broadcast(seeds))

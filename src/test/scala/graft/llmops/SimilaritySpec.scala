@@ -31,6 +31,45 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("hof")).count() === 0L)
   }
 
+  test("IVF index persisted bucketed-by-cell: a probe prunes to its cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val seeds = Similarity.ivfSeeds(e)
+    val assign = Similarity.ivfAssign(e, seeds)
+    val nCells = seeds.count()
+    assert(assign.count() === e.count()) // every vector lands in a cell
+    // autoBucketedScan only keeps the bucketed layout when it sees a
+    // join/agg on the key; a probe is a FILTER on the key, so force the
+    // bucketed scan to get bucket pruning (the cluster-side setting for
+    // an IVF serving table)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      graft.operators.Bucketing.writeBucketed(
+        assign.withColumnRenamed("embedding", "emb"), // avoid nested-name clash
+        "ivf_index", "seed_id", 8)
+      val idx = spark.table("ivf_index")
+      // probe 2 of the cells: the scan must touch a strict subset of
+      // buckets — the "query reads nProbe cells, not the corpus" claim
+      val probed = idx.filter(col("seed_id").isin(0L, 97L))
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan.toString
+      val sel = plan.linesIterator
+        .find(_.contains("SelectedBucketsCount")).getOrElse("")
+      assert(sel.nonEmpty, plan)
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(sel).get
+      assert(m.group(1).toInt < m.group(2).toInt, sel)
+      // and the probe result is exactly the two cells' members
+      assert(probed.count() ===
+        assign.filter(col("seed_id").isin(0L, 97L)).count())
+      assert(nCells > 2)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_index")
+    }
+  }
+
   test("length mismatch fails loudly") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
