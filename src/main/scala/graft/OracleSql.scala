@@ -291,6 +291,28 @@ object OracleSql {
        |  round(${sumL((1 to 64).map(j => s"CAST(embedding[$j] AS DOUBLE)"))} / len(embedding), 6) AS mean_val
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** q47 — int8 quantization mirror: same absmax/127 scale, same
+    * floor(x/s + 0.5) round-to-nearest, error terms summed in index
+    * order.
+    */
+  private val q47 = {
+    val absmax = (1 to 64).map(j =>
+      s"abs(CAST(embedding[$j] AS DOUBLE))").mkString("greatest(", ", ", ")")
+    def q(j: Int) = s"floor(CAST(embedding[$j] AS DOUBLE) / scale + 0.5)"
+    val errSum = sumL((1 to 64).map(j =>
+      s"abs(CAST(embedding[$j] AS DOUBLE) - ${q(j)} * scale)"))
+    val nSat = (1 to 64).map(j =>
+      s"CASE WHEN abs(${q(j)}) >= 127.0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, $absmax / 127.0 AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, round(scale, 6) AS scale6,
+       |  CASE WHEN scale = 0 THEN 0.0
+       |       ELSE round(($errSum) / 64, 6) END AS mean_abs_err,
+       |  CASE WHEN scale = 0 THEN 0 ELSE $nSat END AS n_sat
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
   private val q19 =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id,
@@ -900,5 +922,6 @@ object OracleSql {
     "q43_antijoin" -> q43,
     "q44_interval_join" -> q44,
     "q45_top_keywords" -> q45,
-    "q46_dedup_increment" -> q46)
+    "q46_dedup_increment" -> q46,
+    "q47_quantize_int8" -> q47)
 }

@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_label_centroids" -> (Similarity.qLabelCentroids _),
     "q21_ann_lsh" -> (Similarity.qAnnLshPairs _),
     "q27_ivf_knn" -> (Similarity.qIvfKnn _),
+    "q47_quantize_int8" -> (Similarity.qQuantizeInt8 _),
     // deduplication
     "q22_dedup_exact" -> (Dedup.qDedupExact _),
     "q23_neardup_minhash" -> (Dedup.qNearDupMinhash _),

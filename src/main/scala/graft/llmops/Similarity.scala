@@ -186,6 +186,46 @@ object Similarity {
       .limit(10)
   }
 
+  /** q47 — int8 embedding quantization quality report: per-vector
+    * symmetric scale (absmax/127), round-to-nearest quantization, mean
+    * absolute reconstruction error and saturation count. The vector-
+    * compression operator of embedding storage at 100 TB — int8 cuts
+    * the footprint 4× and this is the per-vector report that decides
+    * where that is safe.
+    *
+    * Engine-reproducibility: round-to-nearest is spelled
+    * `floor(x/s + 0.5)` — floor and the divisions are exact IEEE
+    * doubles in any engine, while library `round()` half-up/half-even
+    * dialects differ. Error sums fold in index order (the q18/q19
+    * contract). Pure map stage: no shuffle, full codegen, scales with
+    * the scan.
+    */
+  def qQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val xd = (x: Column) => x.cast("double")
+    emb(spark, dir)
+      .withColumn("absmax",
+        aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(xd(x)))))
+      .withColumn("scale", col("absmax") / 127.0)
+      .withColumn("qe",
+        when(col("absmax") === 0.0,
+          transform(col("embedding"), _ => lit(0.0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(xd(x) / col("scale") + 0.5))))
+      .withColumn("err_sum",
+        aggregate(
+          zip_with(col("embedding"), col("qe"),
+            (x, q) => abs(xd(x) - q * col("scale"))),
+          lit(0.0), (a, x) => a + x))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        round(col("err_sum") / size(col("embedding")), 6)
+          .as("mean_abs_err"),
+        size(filter(col("qe"), q => abs(q) >= 127.0)).as("n_sat"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine
     * re-rank — the scale path (equi-join on bucket key; no cross join).
     * Returns top candidate pairs above threshold.
