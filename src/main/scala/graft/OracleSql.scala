@@ -671,6 +671,37 @@ object OracleSql {
       |FROM w WHERE event_type = 'purchase' AND lc IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  /** q48 — session funnel: same lag-flag session labeling as q38, then
+    * struct min/max per session (lexicographic (ts, event_id) — the
+    * same composite order key both engines use) and the per-user
+    * rollup.
+    */
+  private val q48 =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    sum(CASE WHEN prev_ts IS NULL
+      |          OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)),
+      |agg AS (
+      |  SELECT user_id, session_id,
+      |    min(CASE WHEN event_type = 'click'
+      |        THEN struct_pack(ts := ts, event_id := event_id) END) AS fc,
+      |    max(CASE WHEN event_type = 'purchase'
+      |        THEN struct_pack(ts := ts, event_id := event_id) END) AS lp
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  count(fc) AS n_click_sessions,
+      |  count(CASE WHEN fc IS NOT NULL AND lp IS NOT NULL
+      |    AND (lp.ts > fc.ts OR (lp.ts = fc.ts AND lp.event_id > fc.event_id))
+      |    THEN 1 END) AS n_converted
+      |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q44 — the bounded interval join, phrased directly as the
     * inequality join (DuckDB plans this fine at oracle scale; the Spark
     * side uses the bucket equi-join + refine shape).
@@ -923,5 +954,6 @@ object OracleSql {
     "q44_interval_join" -> q44,
     "q45_top_keywords" -> q45,
     "q46_dedup_increment" -> q46,
-    "q47_quantize_int8" -> q47)
+    "q47_quantize_int8" -> q47,
+    "q48_session_funnel" -> q48)
 }

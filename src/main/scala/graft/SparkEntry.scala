@@ -71,6 +71,8 @@ object SparkEntry {
       EventQueries.q44IntervalJoin(s, d)),
     "q38_sessionize" -> ((s: SparkSession, d: String) =>
       EventQueries.q38Sessionize(s, d)),
+    "q48_session_funnel" -> ((s: SparkSession, d: String) =>
+      EventQueries.q48SessionFunnel(s, d)),
     // grouping sets + pivot reshape
     "q39_rollup_profile" -> (TextOps.qRollupProfile _),
     "q40_pivot_events" -> (EventQueries.q40PivotEventMatrix _),

@@ -147,17 +147,26 @@ object EventQueries {
     * Session bounds are emitted as formatted strings (the q9 rule:
     * formatted timestamps compare exactly across engines).
     */
-  def q38Sessionize(spark: SparkSession, dir: String,
-      gapSeconds: Long = 6 * 3600): DataFrame = {
+  /** Gap-based session ids: the lag-flag + running-sum labeling shared
+    * by q38 and q48 — one user-key shuffle, session ids dense 1..k per
+    * user in (ts, event_id) order.
+    */
+  def withSessionIds(df: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     val newSession = when(
       gapUs.isNull || gapUs > gapSeconds * usecPerSec.toLong, 1L)
       .otherwise(0L)
-    CoreQueries.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .withColumn("session_id", sum(newSession).over(wRun))
+    df.withColumn("session_id", sum(newSession).over(wRun))
+  }
+
+  def q38Sessionize(spark: SparkSession, dir: String,
+      gapSeconds: Long = 6 * 3600): DataFrame = {
+    withSessionIds(
+      CoreQueries.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      gapSeconds)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -172,5 +181,44 @@ object EventQueries {
           usecPerSec, 6).as("duration_s"),
         col("sum_value"))
       .orderBy("user_id", "session_id")
+  }
+
+  /** q48 — session funnel (ordered-sequence analytics): per user, how
+    * many gap-bounded sessions exist, how many contain a click, and how
+    * many CONVERT — a purchase strictly after the session's first click
+    * (ties broken by event_id, the engine-wide order key).
+    *
+    * Shape: the q38 session labeling plus one grouped aggregate — the
+    * sequence predicate ("purchase after first click") needs only the
+    * first-click (ts, event_id) and each purchase's (ts, event_id), so
+    * the session group state is two scalars, never the event sequence.
+    * Everything rides the SAME single user-key exchange: session window,
+    * per-session aggregate ((user, session) clusters under user
+    * hash-partitioning), and the final per-user rollup.
+    */
+  def q48SessionFunnel(spark: SparkSession, dir: String,
+      gapSeconds: Long = 6 * 3600): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val orderKey = struct(col("ts"), col("event_id"))
+    val sessions = withSessionIds(ev, gapSeconds)
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(when(col("event_type") === "click", orderKey))
+          .as("first_click"),
+        max(when(col("event_type") === "purchase", orderKey))
+          .as("last_purchase"))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("first_click")).as("n_click_sessions"),
+        count(when(col("first_click").isNotNull &&
+          col("last_purchase").isNotNull &&
+          (col("last_purchase.ts") > col("first_click.ts") ||
+            (col("last_purchase.ts") === col("first_click.ts") &&
+              col("last_purchase.event_id") > col("first_click.event_id"))),
+          lit(1))).as("n_converted"))
+      .orderBy("user_id")
   }
 }

@@ -300,6 +300,47 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("q48: funnel counts are consistent with q38 sessions") {
+    val funnel = EventQueries.q48SessionFunnel(spark, dir).collect()
+    val sessions = EventQueries.q38Sessionize(spark, dir).collect()
+    // session conservation: per-user n_sessions equals q38's sessions
+    val perUser = sessions.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(funnel.map(_.getLong(0)).toSet === perUser.keySet)
+    funnel.foreach { r =>
+      val (u, n, nc, conv) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === perUser(u).toLong, s"user $u session count")
+      assert(conv <= nc && nc <= n, s"user $u funnel monotonicity")
+    }
+    // independent recomputation of one user's funnel from raw events
+    val u0 = funnel.head.getLong(0)
+    val ev = graft.operators.CoreQueries.events(spark, dir)
+      .filter(col("user_id") === u0)
+      .select("event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+      .sortBy(e => (e._2, e._1))
+    val gaps = ev.sliding(2).map {
+      case Array(a, b) => b._2 - a._2 > 6L * 3600 * 1000
+      case _ => false
+    }.toSeq
+    val sessionOf = gaps.scanLeft(0)((s, g) => if (g) s + 1 else s)
+    val byS = ev.zip(sessionOf).groupBy(_._2)
+    val nClick = byS.values.count(_.exists(_._1._3 == "click"))
+    val nConv = byS.values.count { es =>
+      val clicks = es.filter(_._1._3 == "click").map(e => (e._1._2, e._1._1))
+      val purch = es.filter(_._1._3 == "purchase").map(e => (e._1._2, e._1._1))
+      clicks.nonEmpty && purch.nonEmpty && {
+        implicit val ord = Ordering.Tuple2[Long, Long]
+        ord.gt(purch.max, clicks.min)
+      }
+    }
+    val r0 = funnel.find(_.getLong(0) === u0).get
+    assert(r0.getLong(1) === byS.size.toLong)
+    assert(r0.getLong(2) === nClick.toLong)
+    assert(r0.getLong(3) === nConv.toLong)
+  }
+
   test("q38: session count and per-user structure") {
     val out = EventQueries.q38Sessionize(spark, dir).collect()
     assert(out.length === 585) // DuckDB golden: users + gaps>6h

@@ -71,9 +71,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
   }
 
-  test("q35/q38: temporal operators shuffle ONCE on the user key") {
+  test("q35/q38/q48: temporal operators shuffle ONCE on the user key") {
     for (df <- Seq(graft.operators.EventQueries.q35AsofAttribution(spark, dir),
-        graft.operators.EventQueries.q38Sessionize(spark, dir))) {
+        graft.operators.EventQueries.q38Sessionize(spark, dir),
+        graft.operators.EventQueries.q48SessionFunnel(spark, dir))) {
       val p = plan(df)
       // one hash exchange feeds window (+ the q38 aggregation reuses it:
       // hashpartitioning(user_id) satisfies clustering on (user, session));
