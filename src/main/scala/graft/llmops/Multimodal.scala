@@ -108,6 +108,26 @@ object Multimodal {
         .as("features"))
   }
 
+  /** Resize plumbing over a decoded-image struct (the
+    * [[decodeImageStub]] schema): aspect-preserving fit into a
+    * `maxSide` box — the geometry math (scale factor, rounded target
+    * dims) is REAL and is what a preprocessing pipeline keys batching
+    * and memory budgets on; the pixel resample itself stays with the
+    * decode stub. Pure expressions, so the resize rides the same map
+    * stage as the decode.
+    */
+  def resizeFit(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width").cast("double")
+    val h = decoded.getField("height").cast("double")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    struct(
+      round(w * scale).cast("int").as("width"),
+      round(h * scale).cast("int").as("height"),
+      decoded.getField("channels").as("channels"),
+      decoded.getField("features").as("features"),
+      round(scale, 6).as("scale"))
+  }
+
   // ---- queries over the documents table (text payload as bytes) ----
 
   /** Multimodal metadata query for the correctness gate: the binary

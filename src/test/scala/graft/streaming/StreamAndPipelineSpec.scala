@@ -75,5 +75,22 @@ class StreamAndPipelineSpec extends SparkSpec {
       .select("d.width", "d.height", "d.features").collect()
     assert(dec.forall(r => r.getInt(0) >= 32 && r.getInt(1) >= 32 &&
       r.getSeq[Double](2).length === 8))
+
+    // resize: aspect-preserving fit into a 256 box, never upscaling
+    val rs = df
+      .select(Multimodal.decodeImageStub(col("payload")).as("d"))
+      .select(col("d"), Multimodal.resizeFit(col("d"), 256).as("r"))
+      .select("d.width", "d.height", "r.width", "r.height", "r.scale")
+      .collect()
+    rs.foreach { r =>
+      val (w0, h0, w1, h1, s) = (r.getInt(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(w1 <= 256 && h1 <= 256, s"($w0,$h0) -> ($w1,$h1)")
+      assert(s <= 1.0) // fit never upscales
+      if (w0 <= 256 && h0 <= 256) assert(w1 === w0 && h1 === h0)
+      // aspect ratio preserved up to the integer rounding of each side
+      assert(math.abs(w1 - w0 * s) <= 0.5 + 1e-9)
+      assert(math.abs(h1 - h0 * s) <= 0.5 + 1e-9)
+    }
   }
 }

@@ -114,6 +114,17 @@ object DriveVerify {
                             // no BroadcastNestedLoopJoin anywhere
     graft.llmops.TextOps.qTopKeywords(spark, sf).show(6, false)
 
+    // multimodal plumbing on real ZTF cutout blobs: sniff + decode stub
+    // + aspect-preserving resize in one map stage
+    spark.read.parquet("/root/reference/datatest/regular")
+      .select(col("cutoutScience.stampData").as("payload"))
+      .select(graft.llmops.Multimodal.formatOf(col("payload")).as("fmt"),
+        graft.llmops.Multimodal.resizeFit(
+          graft.llmops.Multimodal.decodeImageStub(col("payload")), 256)
+          .as("img"))
+      .select("fmt", "img.width", "img.height", "img.scale")
+      .show(3, false)
+
     // incremental ingest dedup: second half of the corpus lands against
     // the first half's fingerprint index
     {
