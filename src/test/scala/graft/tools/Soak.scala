@@ -15,6 +15,8 @@ object Soak {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -46,6 +48,37 @@ object Soak {
       graft.llmops.Cluster.dedupCorpus(big, threshold = 0.3).count()
     }
     println(s"kept after dedup: $kept of ${n * 10}")
+
+    // temporal operators at 10× events (user_id offset per copy: 10×
+    // the keys, same per-key density — the scale axis that matters for
+    // the single user-key exchange). Materialized as a parquet dir so
+    // the REAL query mains run unmodified against it.
+    val ev0 = graft.operators.CoreQueries.events(spark, "/root/testdata/sf0.1")
+    val soakDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_events").toString
+    (0 until 10).map { k =>
+      ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 10000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$soakDir/events.parquet")
+    println("soak events: " +
+      spark.read.parquet(s"$soakDir/events.parquet").count())
+    def onBig(name: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+      time(name) {
+        f.write.format("noop").mode("overwrite").save()
+      }
+    onBig("q35 as-of 10x") {
+      graft.operators.EventQueries.q35AsofAttribution(spark, soakDir) }
+    onBig("q38 sessionize 10x") {
+      graft.operators.EventQueries.q38Sessionize(spark, soakDir) }
+    onBig("q44 interval join 10x") {
+      graft.operators.EventQueries.q44IntervalJoin(spark, soakDir) }
+    onBig("q48 funnel 10x") {
+      graft.operators.EventQueries.q48SessionFunnel(spark, soakDir) }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(soakDir))
     spark.stop()
   }
 }
