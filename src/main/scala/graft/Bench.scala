@@ -25,9 +25,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only subset filter (comma-separated names); the driver never
-    // sets it, so driver runs always time the full suite
+    // sets it, so driver runs always time the full suite. Unknown names
+    // fail loudly — a typo timing an empty suite would read as a 0 s
+    // "result"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY unknown: $unknown")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     def run(name: String): Unit =

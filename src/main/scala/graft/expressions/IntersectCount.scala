@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst kernel for |A ∩ B| over two long-array SET columns.
   *
@@ -27,6 +28,18 @@ case class IntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count"
+
+  // analysis-time input validation makes the SQL surface safe: without
+  // it, getLong over the 4-byte slots of an int-array input returns
+  // silently wrong counts instead of an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntersectCount.compute(

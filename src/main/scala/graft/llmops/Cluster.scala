@@ -126,7 +126,10 @@ object Cluster {
         .distinct()
         .localCheckpoint()
       val nNext = next.count()
-      // distinct sets: equal count + empty one-way difference ⇔ equal
+      // distinct sets: equal count + empty one-way difference ⇔ equal.
+      // Two light actions over checkpointed frames per round — the
+      // count usually differs while converging, so the anti-join runs
+      // only on the final (stable) round in practice
       converged = nNext == nE &&
         next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
       e = next
@@ -134,9 +137,18 @@ object Cluster {
     }
     // fixpoint edges are (member, component-min) stars; minima appear
     // only on the lo side and label themselves
-    e.select(col("hi").as("id"), col("lo").as("cluster_rep"))
+    val labels = e.select(col("hi").as("id"), col("lo").as("cluster_rep"))
       .unionByName(e.select(col("lo"), col("lo")).distinct()
         .toDF("id", "cluster_rep"))
+    // self-loop-only vertices were canonicalized away with the loops,
+    // but they DID appear in >=1 edge — label them with themselves,
+    // matching connectedComponents (a near-dup pair list can carry
+    // (d, d) rows from a degenerate generator)
+    val selfOnly = edges
+      .filter(col(srcCol) === col(dstCol))
+      .select(col(srcCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+    labels.unionByName(selfOnly.select(col("id"), col("id").as("cluster_rep")))
   }
 
   /** End-to-end corpus dedup: remove every non-canonical member of a

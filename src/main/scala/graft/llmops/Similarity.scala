@@ -132,13 +132,7 @@ object Similarity {
       .orderBy("label")
   }
 
-  /** IVF (inverted-file) ANN: deterministic seed vectors act as the
-    * coarse quantizer; every vector is assigned to its nearest seed
-    * (build stage — one broadcast join + a partitioned rank window);
-    * a query probes its nProbe nearest cells and brute-forces only
-    * those. At scale the assignment is written bucketed-by-cell so a
-    * query touches nProbe partitions instead of the corpus.
-    */
+  /** 6-decimal cosine between prenormed column pairs (oracle rounding). */
   private[llmops] def cs(a: String, b: String, na: String, nb: String) =
     round(cosineWithNorms(col(a), col(b), col(na), col(nb)), 6)
 
@@ -166,6 +160,13 @@ object Similarity {
       .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
         col("nrm").as("snrm"))
 
+  /** q27 — IVF (inverted-file) ANN: deterministic seed vectors act as
+    * the coarse quantizer ([[ivfSeeds]]); every vector is assigned to
+    * its nearest seed ([[ivfAssign]]); a query probes its nProbe
+    * nearest cells and brute-forces only those. At scale the
+    * assignment is written bucketed-by-cell so a query touches nProbe
+    * buckets instead of the corpus (SimilaritySpec pins the pruning).
+    */
   def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
     val seeds = ivfSeeds(e)

@@ -138,15 +138,6 @@ object EventQueries {
       .orderBy("purchase_id", "click_id")
   }
 
-  /** q38 — sessionization: group each user's events into sessions
-    * separated by gaps > 6 h (sized to this corpus's ~7 h median
-    * inter-event gap; the operator is gap-parametric), then aggregate
-    * per session. The classic two-window formulation: a lag-gap flag,
-    * a running sum of flags as the session ordinal, then a grouped
-    * aggregate on (user, session) — still the single user-key shuffle.
-    * Session bounds are emitted as formatted strings (the q9 rule:
-    * formatted timestamps compare exactly across engines).
-    */
   /** Gap-based session ids: the lag-flag + running-sum labeling shared
     * by q38 and q48 — one user-key shuffle, session ids dense 1..k per
     * user in (ts, event_id) order.
@@ -161,6 +152,15 @@ object EventQueries {
     df.withColumn("session_id", sum(newSession).over(wRun))
   }
 
+  /** q38 — sessionization: group each user's events into sessions
+    * separated by gaps > 6 h (sized to this corpus's ~7 h median
+    * inter-event gap; the operator is gap-parametric), then aggregate
+    * per session. The classic two-window formulation
+    * ([[withSessionIds]]) plus a grouped aggregate on (user, session)
+    * — still the single user-key shuffle. Session bounds are emitted
+    * as formatted strings (the q9 rule: formatted timestamps compare
+    * exactly across engines).
+    */
   def q38Sessionize(spark: SparkSession, dir: String,
       gapSeconds: Long = 6 * 3600): DataFrame = {
     withSessionIds(

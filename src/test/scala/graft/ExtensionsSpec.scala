@@ -92,6 +92,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("intersect_count rejects non-bigint arrays at analysis time") {
+    docs
+    val e = intercept[Exception] {
+      spark.sql("SELECT intersect_count(array(1, 2), array(2, 3)) FROM ext_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
+
   test("non-literal size argument fails loudly") {
     docs
     val e = intercept[Exception] {

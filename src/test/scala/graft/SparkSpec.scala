@@ -20,9 +20,19 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
     // saveAsTable target for BucketingSpec (static conf — must be set
     // at session build, and must not pollute the repo checkout)
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.warehouse.dir", tempWarehouse)
     .getOrCreate()
+
+  /** Per-JVM temp warehouse, removed on JVM exit (DROP TABLE removes
+    * table data, not the directory; aborted runs would otherwise
+    * accumulate bucketed copies of the fixtures under /tmp).
+    */
+  private lazy val tempWarehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    dir.toString
+  }
 
   /** ZTF alert fixture (133 alerts in this checkout — see
     * tools/dev_goldens.py for how expected counts were derived).

@@ -74,7 +74,7 @@ class ClusterAndEventsSpec extends SparkSpec {
         val b = rnd.nextInt(nV).toLong
         if (a == b) (a, b + 1) else (a, b)
       }
-    } :+ chain
+    } :+ chain :+ Seq((5L, 5L), (1L, 2L), (2L, 2L)) // self-loops count as presence
     for (edges <- graphs) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -90,8 +90,11 @@ class ClusterAndEventsSpec extends SparkSpec {
         val rep = vs.min; vs.map(_ -> rep)
       }.toMap
       val df = edges.toDF("a", "b")
-      val star = Cluster.connectedComponentsStar(df, "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starRows = Cluster.connectedComponentsStar(df, "a", "b").collect()
+      // exactly one label row per vertex — a toMap alone would mask
+      // duplicate emissions
+      assert(starRows.length === vertices.size, s"row count on $edges")
+      val star = starRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === expect, s"star CC on $edges")
       val prop = Cluster.connectedComponents(df, "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
