@@ -671,6 +671,49 @@ object OracleSql {
       |FROM w WHERE event_type = 'purchase' AND lc IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  /** q49 — containment pairs over the snippet-augmented corpus: same
+    * 3-shingle construction as q25, C = |A∩B| / min(|A|,|B|), emitted
+    * when containment ≥ 0.5 but Jaccard < 0.5 (the asymmetric-subset
+    * regime). Tie rule: equal sizes keep doc_a as the small side.
+    */
+  private val q49 =
+    """WITH corpus AS (
+      |  SELECT source, doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id + 5000, substring(text, 1, 120)
+      |  FROM documents WHERE doc_id < 50),
+      |toks0 AS (
+      |  SELECT source, doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |sh0 AS (
+      |  SELECT source, doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+      |            FOR i IN range(1, len(toks) - 1)]
+      |      ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS sh
+      |  FROM toks0),
+      |ex AS (SELECT source, doc_id, unnest(sh) AS s FROM sh0),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM sh0),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b
+      |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ws AS (
+      |  SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+      |  FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id)
+      |SELECT
+      |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS small_doc,
+      |  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS big_doc,
+      |  round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
+      |FROM ws
+      |WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.5
+      |  AND CAST(inter AS DOUBLE) / (na + nb - inter) < 0.5
+      |ORDER BY small_doc, big_doc""".stripMargin
+
   /** q48 — session funnel: same lag-flag session labeling as q38, then
     * struct min/max per session (lexicographic (ts, event_id) — the
     * same composite order key both engines use) and the per-user
@@ -955,5 +998,6 @@ object OracleSql {
     "q45_top_keywords" -> q45,
     "q46_dedup_increment" -> q46,
     "q47_quantize_int8" -> q47,
-    "q48_session_funnel" -> q48)
+    "q48_session_funnel" -> q48,
+    "q49_containment" -> q49)
 }

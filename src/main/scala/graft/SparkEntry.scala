@@ -52,6 +52,7 @@ object SparkEntry {
     "q25_jaccard_pairs" -> (Dedup.qJaccardWithinSource _),
     "q28_dedup_embedding" -> (Dedup.qDedupEmbedding _),
     "q46_dedup_increment" -> (Dedup.qDedupIncrement _),
+    "q49_containment" -> (Dedup.qContainmentPairs _),
     "q29_fingerprint_winnow" -> (TextOps.qFingerprintWinnow _),
     // corpus curation (quota sampling, deterministic splits,
     // train/eval decontamination)

@@ -349,6 +349,63 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** q49 — asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over the
+    * hashed shingle sets, within-source blocked like q25. Jaccard
+    * misses subset relations (a tweet quoted inside an article has
+    * tiny Jaccard but containment ≈ 1), and containment is what
+    * quote/boilerplate-inclusion dedup policies threshold on.
+    *
+    * Same scalable co-count shape as q25 — |A∩B| arrives as a count
+    * from the shingle equi-join, so non-overlapping pairs never
+    * materialize — and both directions fall out of ONE count by
+    * dividing by each side's size. Emits (small_doc, big_doc,
+    * containment) for containment ≥ 0.5 where the Jaccard itself
+    * stays below 0.5 (pure near-dups are q23/q25's business).
+    */
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no natural subset relations, so quotes
+    // are constructed (the q46 pattern): a 120-char prefix snippet of
+    // each of the first 50 docs joins the corpus as its own document —
+    // the snippet is contained in its parent by construction, while
+    // Jaccard stays low whenever the parent is long
+    val d0 = docs(spark, dir)
+    val corpus = d0.select(col("source"), col("doc_id"), col("text"))
+      .unionByName(d0.filter(col("doc_id") < 50)
+        .select(col("source"), (col("doc_id") + 5000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text")))
+    val d = corpus
+      .select(col("source"), col("doc_id"),
+        hashedShingles(
+          graft.expressions.WordShingles.shingles(col("text"))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist()
+    val ex = d.select(col("source"), col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id"), col("n_sh"))
+    val withSizes = pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
+    val contained = least(col("na"), col("nb"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    withSizes
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("small_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("big_doc"),
+        round(col("inter").cast("double") / contained, 6).as("containment"),
+        jac.as("jac"))
+      .filter(col("containment") >= 0.5 && col("jac") < 0.5)
+      .select("small_doc", "big_doc", "containment")
+      .orderBy("small_doc", "big_doc")
+  }
+
   /** N-gram Jaccard dedup without LSH (exact, for modest candidate sets):
     * here demonstrated per-source to bound the pair count — the partition
     * key stands in for any blocking key available at scale.
