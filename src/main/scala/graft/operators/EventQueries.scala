@@ -26,6 +26,48 @@ object EventQueries {
 
   private val usecPerSec = 1e6
 
+  /** Generic AS-OF JOIN: for every left row, the latest right row of
+    * the same `key` with right.`ts` <= left.`ts` (ties on ts resolved
+    * by `tieBreak` — the latest (ts, tieBreak) right row wins; a right
+    * row exactly at the left timestamp matches). Appends `matchedCol`,
+    * a struct of the ENTIRE matched right row, null when nothing
+    * precedes — callers filter for inner semantics or keep for outer.
+    *
+    * The union + last(ignoreNulls) formulation (q35's shape, offered
+    * here as the reusable operator): both sides align on (key, ts,
+    * side, payload-struct) and union, ONE window partitioned by key
+    * ordered (ts, side, tieBreak) carries the latest right payload
+    * forward. One key shuffle, no inequality join, state per key =
+    * one struct — the reason this beats the nested-loop formulation
+    * at any scale.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, tieBreak: String,
+      matchedCol: String = "matched"): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    // right rows order BEFORE left rows at identical (ts, tieBreak):
+    // an exactly-simultaneous right row is "at or before" the left
+    val l = left.select(left(key).as("__k"), left(ts).as("__ts"),
+      left(tieBreak).as("__tb"), lit(1).as("__side"),
+      struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val r = right.select(right(key).as("__k"), right(ts).as("__ts"),
+      right(tieBreak).as("__tb"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(right(_)): _*).as("__r"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    left.columns.zipWithIndex.foldLeft(
+      matched.withColumn(matchedCol, col("__m")))(
+      (df, ci) => df.withColumn(ci._1, col("__l").getField(ci._1)))
+      .select((left.columns :+ matchedCol).map(col): _*)
+  }
+
   /** q35 — as-of join (event attribution): for each `purchase`, the
     * latest `click` of the same user at or before it (order key
     * (ts, event_id), so the semantics are deterministic even under ts

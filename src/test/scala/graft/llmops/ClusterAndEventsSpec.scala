@@ -190,6 +190,26 @@ class ClusterAndEventsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin (generic) reproduces q35 and carries the full right row") {
+    val ev = graft.operators.CoreQueries.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val out = EventQueries.asofJoin(
+      purchases, clicks, "user_id", "ts", "event_id")
+    assert(out.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "value", "matched"))
+    assert(out.count() === purchases.count()) // outer: every left row
+    val got = out.filter(col("matched").isNotNull)
+      .select(col("event_id"), col("matched.event_id").as("click_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = EventQueries.q35AsofAttribution(spark, dir)
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("q44: bucketed interval join equals the naive inequality join") {
     val out = EventQueries.q44IntervalJoin(spark, dir).collect()
     // the defining property: identical row set to the direct theta-join
