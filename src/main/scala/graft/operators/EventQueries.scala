@@ -156,24 +156,42 @@ object EventQueries {
     * The same shape handles any bounded interval; only an UNbounded
     * window needs the union-window as-of form (q35).
     */
+  /** Generic bounded INTERVAL JOIN: every (left, right) pair of the
+    * same `key` where right.`ts` lands in [left.`ts` − window,
+    * left.`ts`] — the time-bucket discretization described on q44,
+    * exposed as the reusable operator. Right rows land in ONE
+    * window-sized bucket, left rows probe exactly TWO, so the range
+    * join is a hash equi-join + exact refine with no duplicate
+    * emissions. Left/right payload columns survive with their names
+    * (caller disambiguates collisions beforehand).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      windowSeconds: Long): DataFrame = {
+    val winUs = windowSeconds * usecPerSec.toLong
+    val r = right.withColumn("__bkt",
+      floor(unix_micros(col(rightTs)) / winUs))
+    val l = left.withColumn("__bkt",
+      explode(sequence(
+        floor((unix_micros(col(leftTs)) - winUs) / winUs),
+        floor(unix_micros(col(leftTs)) / winUs))))
+    l.join(r, l("__bkt") === r("__bkt") && l(key) === r(key) &&
+        unix_micros(r(rightTs)) >= unix_micros(l(leftTs)) - winUs &&
+        r(rightTs) <= l(leftTs))
+      .drop(r(key)).drop(l("__bkt")).drop(r("__bkt"))
+  }
+
   def q44IntervalJoin(spark: SparkSession, dir: String,
       windowSeconds: Long = 3600): DataFrame = {
-    val winUs = windowSeconds * usecPerSec.toLong
     val ev = CoreQueries.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("cts"),
-        floor(unix_micros(col("ts")) / winUs).as("bkt"))
+        col("ts").as("cts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("pts"),
-        explode(sequence(
-          floor((unix_micros(col("ts")) - winUs) / winUs),
-          floor(unix_micros(col("ts")) / winUs))).as("bkt"))
-    purchases.join(clicks, Seq("user_id", "bkt"))
-      .filter(unix_micros(col("cts")) >= unix_micros(col("pts")) - winUs &&
-        col("cts") <= col("pts"))
+        col("ts").as("pts"))
+    intervalJoin(purchases, clicks, "user_id", "pts", "cts", windowSeconds)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         round((unix_micros(col("pts")) - unix_micros(col("cts"))) /
           usecPerSec, 6).as("gap_s"))
