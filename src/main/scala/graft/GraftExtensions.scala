@@ -79,6 +79,13 @@ object GraftExtensions {
         case Seq(a, b) => IntersectCount(a, b)
         case _ => throw new IllegalArgumentException("intersect_count(a, b)")
       }),
+    ("mode_count",
+      info("mode_count", "mode_count(arr) - struct(n_items, top_count): " +
+        "total and most-frequent-element occurrence counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => ModeCount(a)
+        case _ => throw new IllegalArgumentException("mode_count(arr)")
+      }),
     ("winnow_fingerprints",
       info("winnow_fingerprints", "winnow_fingerprints(shingles[, w]) - " +
         "distinct MOSS winnowing fingerprints over window w (default 4)"),

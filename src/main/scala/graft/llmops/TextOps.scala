@@ -236,22 +236,22 @@ object TextOps {
     *
     * Shape: one shingle pass (native [[graft.expressions.WordShingles]]
     * kernel with n=2, positional — repetition needs occurrence counts,
-    * so no distinct), explode, two-level aggregation. Both aggregations
-    * partial-agg map-side and shuffle on (doc_id[, bigram]) — the
-    * shuffle carries ids and 64-bit-hashable strings, never documents,
-    * and per-doc state is bounded by the doc's own bigram count.
+    * so no distinct) into the [[graft.expressions.ModeCount]] kernel —
+    * a ZERO-EXCHANGE map stage (PlanSpec pins it). The relational
+    * encoding (explode → two aggregations) shuffles a corpus-sized
+    * (doc_id, bigram) stream for a statistic whose state never leaves
+    * its row; the kernel counts in a per-row hashmap instead
+    * (measured 0.98 s → map-stage floor at sf0.1).
     */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
-        explode(graft.expressions.WordShingles.shingles(col("text"), 2))
-          .as("bg"))
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
-      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
-        round(col("top_count").cast("double") / col("n_bigrams"), 6)
+        graft.expressions.ModeCount.modeCount(
+          graft.expressions.WordShingles.shingles(col("text"), 2)).as("mc"))
+      .select(col("doc_id"),
+        col("mc.n_items").as("n_bigrams"),
+        col("mc.top_count").as("top_count"),
+        round(col("mc.top_count").cast("double") / col("mc.n_items"), 6)
           .as("rep_ratio"))
       .orderBy("doc_id")
 

@@ -128,6 +128,33 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ModeCount: equals grouped counts on real docs and driver folds") {
+    // real corpus: kernel == the explode/groupBy formulation it replaces
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), WordShingles.shingles(col("text"), 2).as("bg"))
+    val kernel = d.select(col("doc_id"),
+        graft.expressions.ModeCount.modeCount(col("bg")).as("mc"))
+      .select(col("doc_id"), col("mc.n_items"), col("mc.top_count"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val grouped = d.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kernel === grouped)
+    // random multisets vs a driver-side fold
+    val cases = (1 to 30).map(_ => randTokens(1 + rnd.nextInt(50)))
+    val got = cases.toDF("arr").select(
+      graft.expressions.ModeCount.modeCount(col("arr")).as("mc"))
+      .select("mc.n_items", "mc.top_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cases.zip(got).foreach { case (ts, (n, top)) =>
+      assert(n === ts.size.toLong)
+      assert(top === ts.groupBy(identity).values.map(_.size).max.toLong)
+    }
+  }
+
   test("winnowing: count bounded by window positions, never empty") {
     val rows = (1 to 40).map(_ => Tuple1(randTokens(1 + rnd.nextInt(30))
       .map(t => s"g:$t")))

@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
   }
 
+  test("q36: repetition is a pure map stage via the ModeCount kernel") {
+    val p = plan(graft.llmops.TextOps.qRepetition(spark, dir))
+    // the relational encoding would hash-exchange a corpus-sized
+    // (doc_id, bigram) stream; the kernel keeps the state in-row
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("mode_count"), p)
+  }
+
   test("q35/q38/q48: temporal operators shuffle ONCE on the user key") {
     for (df <- Seq(graft.operators.EventQueries.q35AsofAttribution(spark, dir),
         graft.operators.EventQueries.q38Sessionize(spark, dir),
