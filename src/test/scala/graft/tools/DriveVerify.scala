@@ -114,6 +114,15 @@ object DriveVerify {
                             // no BroadcastNestedLoopJoin anywhere
     graft.llmops.TextOps.qTopKeywords(spark, sf).show(6, false)
 
+    // typed WLS Aggregator: grouped line fit, 5-double buffer per group
+    {
+      val pts = (1 to 50).map(i => graft.operators.WlsAggregator.Pt(
+        i.toDouble, 2.0 * i + 1.0, 0.5))
+      val fit = pts.toDS().select(graft.operators.WlsAggregator.fit).head()
+      println(f"WLS aggregator fit: slope=${fit.slope}%.6f (expect 2.0), " +
+        f"intercept=${fit.intercept}%.6f (expect 1.0)")
+    }
+
     // multimodal plumbing on real ZTF cutout blobs: sniff + decode stub
     // + aspect-preserving resize in one map stage
     spark.read.parquet("/root/reference/datatest/regular")
