@@ -24,7 +24,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release any persist() the query created (near-dup pipelines cache
-      // their shingle sets): 27 queries in one session would otherwise
+      // their shingle sets): 49 queries in one session would otherwise
       // accumulate executor storage across the whole run
       spark.catalog.clearCache()
     }
