@@ -50,12 +50,12 @@ object EventQueries {
     // an exactly-simultaneous right row is "at or before" the left
     val l = left.select(left(key).as("__k"), left(ts).as("__ts"),
       left(tieBreak).as("__tb"), lit(1).as("__side"),
-      struct(left.columns.map(left(_)): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(left(_)): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val r = right.select(right(key).as("__k"), right(ts).as("__ts"),
       right(tieBreak).as("__tb"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"),
-      struct(right.columns.map(right(_)): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(right(_)): _*).as("__r"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -65,7 +65,7 @@ object EventQueries {
     left.columns.zipWithIndex.foldLeft(
       matched.withColumn(matchedCol, col("__m")))(
       (df, ci) => df.withColumn(ci._1, col("__l").getField(ci._1)))
-      .select((left.columns :+ matchedCol).map(col): _*)
+      .select((left.columns.toIndexedSeq :+ matchedCol).map(col): _*)
   }
 
   /** q35 — as-of join (event attribution): for each `purchase`, the

@@ -47,7 +47,7 @@ object CrossMatch {
       catalog: DataFrame,
       outCol: String,
       noMatch: String = "Unknown"): DataFrame = {
-    val maxRad = catalog.agg(max(col("radius_arcsec"))).head.getDouble(0)
+    val maxRad = catalog.agg(max(col("radius_arcsec"))).head().getDouble(0)
     val cat = catalog.select(
       col("name").as("__cname"),
       col("ra").cast("double").as("__cra"),
