@@ -92,6 +92,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("mode_count SQL == Column kernel == grouped counts") {
+    docs
+    val cmp = spark.sql(
+      """SELECT doc_id, mode_count(word_shingles(text, 2)) AS m, text
+        |FROM ext_docs""".stripMargin)
+      .withColumn("c", graft.expressions.ModeCount.modeCount(
+        graft.expressions.WordShingles.shingles(col("text"), 2)))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("m") =!= col("c")).count() === 0L)
+    // mode_count rejects non-string arrays at analysis time
+    val e = intercept[Exception] {
+      spark.sql("SELECT mode_count(array(1L, 2L)) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
+  }
+
   test("intersect_count rejects non-bigint arrays at analysis time") {
     docs
     val e = intercept[Exception] {
