@@ -714,6 +714,18 @@ object OracleSql {
       |  AND CAST(inter AS DOUBLE) / (na + nb - inter) < 0.5
       |ORDER BY small_doc, big_doc""".stripMargin
 
+  /** q50 — event-type transition matrix via the same lead window. */
+  private val q50 =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |  count(*) AS n
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q48 — session funnel: same lag-flag session labeling as q38, then
     * struct min/max per session (lexicographic (ts, event_id) — the
     * same composite order key both engines use) and the per-user
@@ -999,5 +1011,6 @@ object OracleSql {
     "q46_dedup_increment" -> q46,
     "q47_quantize_int8" -> q47,
     "q48_session_funnel" -> q48,
-    "q49_containment" -> q49)
+    "q49_containment" -> q49,
+    "q50_transitions" -> q50)
 }

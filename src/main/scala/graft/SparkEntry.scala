@@ -74,6 +74,7 @@ object SparkEntry {
       EventQueries.q38Sessionize(s, d)),
     "q48_session_funnel" -> ((s: SparkSession, d: String) =>
       EventQueries.q48SessionFunnel(s, d)),
+    "q50_transitions" -> (EventQueries.q50Transitions _),
     // grouping sets + pivot reshape
     "q39_rollup_profile" -> (TextOps.qRollupProfile _),
     "q40_pivot_events" -> (EventQueries.q40PivotEventMatrix _),

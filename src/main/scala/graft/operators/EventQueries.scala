@@ -95,6 +95,26 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** q50 — event-type TRANSITION matrix: per user, each consecutive
+    * (event → next event) pair in (ts, event_id) order, counted over
+    * the corpus — the Markov/bigram statistic behind next-action
+    * models and funnel design. One lead() window on the same single
+    * user-key exchange as q35/q38/q48, then a 25-key partial
+    * aggregation: the shuffle after the window carries (from, to)
+    * pairs already combined map-side.
+    */
+  def q50Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q42 — sliding RANGE-frame window: per-type daily totals with a
     * trailing 3-day moving average. The range frame is over an integer
     * day ordinal, so days missing from the data genuinely fall out of

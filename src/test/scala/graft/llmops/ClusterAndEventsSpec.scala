@@ -364,6 +364,21 @@ class ClusterAndEventsSpec extends SparkSpec {
     assert(r0.getLong(3) === nConv.toLong)
   }
 
+  test("q50: transition counts conserve events minus one per user") {
+    val out = EventQueries.q50Transitions(spark, dir).collect()
+    assert(out.length <= 25) // 5x5 type matrix
+    val types = Set("click", "error", "purchase", "signup", "view")
+    out.foreach { r =>
+      assert(types.contains(r.getString(0)) && types.contains(r.getString(1)))
+      assert(r.getLong(2) >= 1)
+    }
+    // each user's n events contribute exactly n-1 transitions
+    val ev = graft.operators.CoreQueries.events(spark, dir)
+    val users = ev.groupBy("user_id").count().collect()
+    val expectTotal = users.map(_.getLong(1) - 1).sum
+    assert(out.map(_.getLong(2)).sum === expectTotal)
+  }
+
   test("q38: session count and per-user structure") {
     val out = EventQueries.q38Sessionize(spark, dir).collect()
     assert(out.length === 585) // DuckDB golden: users + gaps>6h
