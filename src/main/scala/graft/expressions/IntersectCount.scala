@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * of every near-dup verify (`Dedup.jaccardDistinct`: |A∪B| then falls
   * out as na + nb − |A∩B| by inclusion-exclusion).
   *
-  * Contract: element-distinct, non-null long arrays (the
-  * [[graft.llmops.Dedup.hashedShingles]] invariant). Inputs with
-  * duplicates would count each duplicate hit — garbage in, garbage
-  * out, exactly like the inclusion-exclusion the caller applies.
+  * Contract: element-distinct long arrays (the
+  * [[graft.llmops.Dedup.hashedShingles]] invariant). Null slots are
+  * handled with `array_intersect` set semantics (null ∈ both sides →
+  * one shared member). Inputs with duplicates would count each
+  * duplicate hit — garbage in, garbage out, exactly like the
+  * inclusion-exclusion the caller applies.
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -60,7 +62,11 @@ object IntersectCount {
   // Long.MinValue itself is tracked by a flag so no key is unrepresentable
   private final val EMPTY = Long.MinValue
 
-  /** Java-callable kernel (referenced from generated code). */
+  /** Java-callable kernel (referenced from generated code). Null slots
+    * follow `array_intersect` set semantics: a null element counts as
+    * one shared member iff BOTH arrays contain a null (inputs are
+    * element-distinct, so at most one slot per side is null).
+    */
   def compute(a: ArrayData, b: ArrayData): Long = {
     // probe with the larger side so the table is built on the smaller
     val (small, big) =
@@ -73,29 +79,37 @@ object IntersectCount {
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, EMPTY)
     var hasEmptyKey = false
+    var hasNullKey = false
     var i = 0
     while (i < n) {
-      val k = small.getLong(i)
-      if (k == EMPTY) hasEmptyKey = true
+      if (small.isNullAt(i)) hasNullKey = true
       else {
-        var idx = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
-        while (table(idx) != EMPTY && table(idx) != k)
-          idx = (idx + 1) & mask
-        table(idx) = k
+        val k = small.getLong(i)
+        if (k == EMPTY) hasEmptyKey = true
+        else {
+          var idx = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
+          while (table(idx) != EMPTY && table(idx) != k)
+            idx = (idx + 1) & mask
+          table(idx) = k
+        }
       }
       i += 1
     }
     var count = 0L
+    var nullHit = false
     val m = big.numElements()
     var j = 0
     while (j < m) {
-      val k = big.getLong(j)
-      if (k == EMPTY) { if (hasEmptyKey) count += 1 }
+      if (big.isNullAt(j)) { if (hasNullKey && !nullHit) { count += 1; nullHit = true } }
       else {
-        var idx = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
-        while (table(idx) != EMPTY && table(idx) != k)
-          idx = (idx + 1) & mask
-        if (table(idx) == k) count += 1
+        val k = big.getLong(j)
+        if (k == EMPTY) { if (hasEmptyKey) count += 1 }
+        else {
+          var idx = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
+          while (table(idx) != EMPTY && table(idx) != k)
+            idx = (idx + 1) & mask
+          if (table(idx) == k) count += 1
+        }
       }
       j += 1
     }

@@ -159,11 +159,16 @@ object Dedup {
     * a table, so "seen" never expires.
     */
   def dedupIncrement(newDocs: DataFrame, fingerprintIdx: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // __fp / __rn are scratch names; reject inputs that already carry
+    // them rather than silently clobbering a caller column
+    require(!newDocs.columns.contains("__fp") &&
+      !newDocs.columns.contains("__rn"),
+      "dedupIncrement reserves the column names __fp and __rn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__fp").orderBy(idCol)
     newDocs
-      .withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .join(fingerprintIdx.select(col("fp").as("__fp")), Seq("__fp"),
         "left_anti")
       .withColumn("__rn", row_number().over(w))
@@ -393,16 +398,20 @@ object Dedup {
         Seq("doc_b"))
     val contained = least(col("na"), col("nb"))
     val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    // filter on the UNROUNDED ratio (exactly what the oracle's WHERE
+    // does) and round only the projected output column — thresholding
+    // the rounded value would admit true ratios in [0.4999995, 0.5)
     withSizes
       .select(
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
           .as("small_doc"),
         when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
           .as("big_doc"),
-        round(col("inter").cast("double") / contained, 6).as("containment"),
+        (col("inter").cast("double") / contained).as("containment_raw"),
         jac.as("jac"))
-      .filter(col("containment") >= 0.5 && col("jac") < 0.5)
-      .select("small_doc", "big_doc", "containment")
+      .filter(col("containment_raw") >= 0.5 && col("jac") < 0.5)
+      .select(col("small_doc"), col("big_doc"),
+        round(col("containment_raw"), 6).as("containment"))
       .orderBy("small_doc", "big_doc")
   }
 

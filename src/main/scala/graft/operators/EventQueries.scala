@@ -189,16 +189,25 @@ object EventQueries {
       key: String, leftTs: String, rightTs: String,
       windowSeconds: Long): DataFrame = {
     val winUs = windowSeconds * usecPerSec.toLong
-    val r = right.withColumn("__bkt",
-      floor(unix_micros(col(rightTs)) / winUs))
-    val l = left.withColumn("__bkt",
-      explode(sequence(
-        floor((unix_micros(col(leftTs)) - winUs) / winUs),
-        floor(unix_micros(col(leftTs)) / winUs))))
-    l.join(r, l("__bkt") === r("__bkt") && l(key) === r(key) &&
-        unix_micros(r(rightTs)) >= unix_micros(l(leftTs)) - winUs &&
-        r(rightTs) <= l(leftTs))
-      .drop(r(key)).drop(l("__bkt")).drop(r("__bkt"))
+    // Each side projects its key / bucket / microsecond-ts into DISTINCT
+    // scratch attributes before the join, so the condition never relies
+    // on Spark's shared-lineage self-join disambiguation (which logs
+    // "trivially true equals predicate" and breaks down when both
+    // inputs derive from the same scan with identical column names).
+    val r = right
+      .withColumn("__rk", col(key)).drop(key)
+      .withColumn("__rts", unix_micros(col(rightTs)))
+      .withColumn("__rbkt", floor(col("__rts") / winUs))
+    val l = left
+      .withColumn("__lk", col(key))
+      .withColumn("__lts", unix_micros(col(leftTs)))
+      .withColumn("__lbkt",
+        explode(sequence(
+          floor((col("__lts") - winUs) / winUs),
+          floor(col("__lts") / winUs))))
+    l.join(r, col("__lbkt") === col("__rbkt") && col("__lk") === col("__rk") &&
+        col("__rts") >= col("__lts") - winUs && col("__rts") <= col("__lts"))
+      .drop("__lk", "__rk", "__lts", "__rts", "__lbkt", "__rbkt")
   }
 
   def q44IntervalJoin(spark: SparkSession, dir: String,

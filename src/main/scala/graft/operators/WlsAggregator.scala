@@ -22,29 +22,48 @@ object WlsAggregator {
   /** One observation: y(x) measured with 1-σ uncertainty e. */
   case class Pt(x: Double, y: Double, e: Double)
 
-  /** WLS moment sums with weights w = 1/e². */
+  /** WLS moment sums with weights w = 1/e², plus the x range — the
+    * exact degeneracy witness (xmin == xmax ⇔ no two distinct x), which
+    * no tolerance on the rounded `sw·swxx − swx²` can provide once x
+    * carries a large offset (Julian dates: Var(x)/E[x²] ~ 1e-12).
+    */
   case class Moments(sw: Double, swx: Double, swy: Double,
-      swxx: Double, swxy: Double) {
+      swxx: Double, swxy: Double,
+      xmin: Double = Double.PositiveInfinity,
+      xmax: Double = Double.NegativeInfinity) {
     def add(p: Pt): Moments = {
       val w = 1.0 / (p.e * p.e)
       Moments(sw + w, swx + w * p.x, swy + w * p.y,
-        swxx + w * p.x * p.x, swxy + w * p.x * p.y)
+        swxx + w * p.x * p.x, swxy + w * p.x * p.y,
+        math.min(xmin, p.x), math.max(xmax, p.x))
     }
     def merge(o: Moments): Moments =
       Moments(sw + o.sw, swx + o.swx, swy + o.swy,
-        swxx + o.swxx, swxy + o.swxy)
+        swxx + o.swxx, swxy + o.swxy,
+        math.min(xmin, o.xmin), math.max(xmax, o.xmax))
   }
 
-  /** (slope, σ_slope, intercept) — σ from the unscaled covariance. */
+  /** (slope, σ_slope, intercept) — σ from the unscaled covariance.
+    * A degenerate group (no points, a single point, or all-identical x
+    * — the line is underdetermined) yields `Fit(NaN, NaN, NaN)` so the
+    * condition is detectable with `isnan`, never a silent ±Infinity.
+    */
   case class Fit(slope: Double, serr: Double, intercept: Double)
+
+  private val degenerate = Fit(Double.NaN, Double.NaN, Double.NaN)
 
   private val agg = new Aggregator[Pt, Moments, Fit] {
     def zero: Moments = Moments(0, 0, 0, 0, 0)
     def reduce(b: Moments, p: Pt): Moments = b.add(p)
     def merge(a: Moments, b: Moments): Moments = a.merge(b)
     def finish(m: Moments): Fit = {
+      // sw*swxx - swx² is sw² times the weighted variance of x; the fit
+      // is underdetermined with 0 points, a single point, or a single
+      // distinct x — witnessed exactly by xmin == xmax (the rounded
+      // denom can come out slightly positive there)
       val denom = m.sw * m.swxx - m.swx * m.swx
-      Fit(
+      if (m.sw <= 0 || denom <= 0 || !(m.xmax > m.xmin)) degenerate
+      else Fit(
         (m.sw * m.swxy - m.swx * m.swy) / denom,
         math.sqrt(m.sw / denom),
         (m.swxx * m.swy - m.swx * m.swxy) / denom)

@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupIncrement(batch, grown).count() === 0L)
   }
 
+  test("dedupIncrement: custom id/text column names and reserved guard") {
+    import spark.implicits._
+    val landed = Seq((1L, "alpha beta")).toDF("uid", "body")
+    val idx = landed.select(
+      graft.llmops.TextOps.fingerprint(col("body")).as("fp")).distinct()
+    val batch = Seq(
+      (10L, "ALPHA  beta"), // dup of landed
+      (11L, "fresh text"),
+      (12L, "fresh   TEXT") // within-batch dup of 11
+    ).toDF("uid", "body")
+    val kept = Dedup.dedupIncrement(batch, idx, idCol = "uid",
+        textCol = "body")
+      .select("uid").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(11L)))
+    // a caller column named __fp must be rejected, not clobbered
+    val clash = batch.withColumn("__fp", lit(0L))
+    assertThrows[IllegalArgumentException] {
+      Dedup.dedupIncrement(clash, idx, idCol = "uid", textCol = "body")
+    }
+  }
+
   test("native kernel handles edge shapes") {
     import spark.implicits._
     val df = Seq(

@@ -128,6 +128,29 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("IntersectCount: null slots follow array_intersect set semantics") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val cases: Seq[(Seq[Any], Seq[Any])] = Seq(
+      (Seq(1L, null, 2L), Seq(null, 2L, 5L)), // null in both -> counts once
+      (Seq(1L, null), Seq(1L, 3L)),           // null one side -> no hit
+      (Seq(null), Seq(null)),
+      (Seq(null, Long.MinValue), Seq(Long.MinValue)) // null + sentinel key
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (a, b) => Row(a, b) }),
+      schema)
+    df.select(
+        graft.expressions.IntersectCount.intersectCount(col("a"), col("b"))
+          .as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("ModeCount: equals grouped counts on real docs and driver folds") {
     // real corpus: kernel == the explode/groupBy formulation it replaces
     val d = spark.read

@@ -54,6 +54,18 @@ class WlsAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("degenerate groups yield NaN fits, never Infinity") {
+    // single point, all-identical x, and the empty relation are all
+    // underdetermined — each must surface as a detectable NaN Fit
+    val single = Seq(Pt(1.0, 2.0, 0.5)).toDS().select(WlsAggregator.fit).head()
+    assert(single.slope.isNaN && single.serr.isNaN && single.intercept.isNaN)
+    val sameX = Seq(Pt(3.0, 1.0, 0.2), Pt(3.0, 9.0, 0.4), Pt(3.0, 4.0, 1.0))
+      .toDS().select(WlsAggregator.fit).head()
+    assert(sameX.slope.isNaN && !sameX.slope.isInfinity)
+    val empty = Seq.empty[Pt].toDS().select(WlsAggregator.fit).head()
+    assert(empty.slope.isNaN && empty.serr.isNaN)
+  }
+
   test("agrees with the alert filters' HOF closed form on shared input") {
     // the same moments algebra backs ZtfPhotometryFilters.weightedSlope;
     // cross-check through the public rate-based-KN path is covered by
