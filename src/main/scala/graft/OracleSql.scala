@@ -962,6 +962,166 @@ object OracleSql {
       |  round(CAST(ma3_sum AS DOUBLE) / ma3_days, 6) AS ma3_avg
       |FROM w ORDER BY event_type, day""".stripMargin
 
+  /** q51 — per-lang Zipf OLS over top-100 terms: decimal-exact moment
+    * sums (log10 rounded to 6 decimals first), closed-form slope and
+    * intercept in double at the end — the q41 determinism contract.
+    */
+  private val q51 =
+    """WITH toks0 AS (
+      |  SELECT lang,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |ex AS (SELECT lang, unnest(toks) AS term FROM toks0),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang,
+      |    CAST(round(log10(rnk), 6) AS DECIMAL(18,6)) AS x,
+      |    CAST(round(log10(tf), 6) AS DECIMAL(18,6)) AS y
+      |  FROM (SELECT lang, tf,
+      |          row_number() OVER (PARTITION BY lang
+      |                             ORDER BY tf DESC, term) AS rnk
+      |        FROM tf) t
+      |  WHERE rnk <= 100),
+      |sums AS (
+      |  SELECT lang, count(*) AS n_terms,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy
+      |  FROM ranked GROUP BY lang)
+      |SELECT lang, n_terms,
+      |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_intercept
+      |FROM sums ORDER BY lang""".stripMargin
+
+  /** q52 — weekly retention cohorts (cohort week from the corpus
+    * epoch; retention relative to the cohort's week-0 size).
+    */
+  private val q52 =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01', cohort_d) / 7.0)
+      |      AS BIGINT) AS cohort_week,
+      |    CAST(floor(date_diff('day', cohort_d, d) / 7.0)
+      |      AS BIGINT) AS week_offset
+      |  FROM ev JOIN cohort USING (user_id)),
+      |m AS (
+      |  SELECT cohort_week, week_offset, count(*) AS n_users
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_users,
+      |  round(CAST(n_users AS DOUBLE) /
+      |    max(CASE WHEN week_offset = 0 THEN n_users END)
+      |      OVER (PARTITION BY cohort_week), 6) AS retention
+      |FROM m ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q53 — bigram-LM scoring: the model's nll is quantized to
+    * DECIMAL(18,6) so the per-doc tf-weighted sums are exact; the
+    * 2-shingle construction mirrors WordShingles(text, 2) exactly
+    * (q49's n=3 form with the window shortened to 2).
+    */
+  private val q53 =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 2
+      |    THEN [list_aggregate(toks[i:i+1], 'string_agg', ' ')
+      |          FOR i IN range(1, len(toks))]
+      |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS bgs
+      |  FROM toks0),
+      |ex AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+      |dtf AS (SELECT doc_id, bg, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |c12 AS (SELECT bg, sum(tf) AS c12 FROM dtf GROUP BY 1),
+      |model AS (
+      |  SELECT bg,
+      |    CAST(round(ln(
+      |      CAST(sum(c12) OVER (PARTITION BY split_part(bg, ' ', 1))
+      |        AS DOUBLE) / CAST(c12 AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS nll
+      |  FROM c12)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(tf * nll) AS DOUBLE) / sum(tf), 6) AS avg_nll
+      |FROM dtf JOIN model USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q54 — bloom-routed exact decontamination. The bloom is a pure
+    * routing optimization on the Spark side; the RESULT equals a plain
+    * anti-join on the normalized text, which is what this mirrors
+    * (the 64-bit fingerprint stands in for the text, as in q22).
+    */
+  private val q54 =
+    s"""WITH lab AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm,
+       |    $splitSql AS split
+       |  FROM documents),
+       |batch AS (
+       |  SELECT doc_id, lang, source, norm FROM lab WHERE split = 'train'
+       |  UNION ALL
+       |  SELECT doc_id + 7000, lang, source, norm FROM lab
+       |  WHERE split IN ('val', 'test') AND doc_id % 2 = 0),
+       |ev AS (SELECT DISTINCT norm FROM lab WHERE split IN ('val', 'test'))
+       |SELECT doc_id, lang, source FROM batch
+       |WHERE norm NOT IN (SELECT norm FROM ev)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q55 — decile-boundary length calibration: boundaries via
+    * quantile_cont (the q7-proven (n−1)·q convention), bucket = 1 +
+    * #(boundaries strictly below the value), then per-bucket stats.
+    */
+  private val q55 =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |      AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.1), 6) AS b1,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.2), 6) AS b2,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.3), 6) AS b3,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.4), 6) AS b4,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.5), 6) AS b5,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.6), 6) AS b6,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.7), 6) AS b7,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.8), 6) AS b8,
+      |    round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.9), 6) AS b9
+      |  FROM d),
+      |bucketed AS (
+      |  SELECT doc_id, n_chars, n_tokens,
+      |    CAST(1 + (CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b3 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b4 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b5 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b6 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b7 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b8 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN n_tokens > b9 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS decile
+      |  FROM d, b)
+      |SELECT decile, count(*) AS n_docs,
+      |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+      |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+      |FROM bucketed GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** q56 — grouped exact quantiles per (lang, source) stratum. */
+  private val q56 =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS p25_chars,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 6) AS p50_chars,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS p75_chars
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1012,5 +1172,11 @@ object OracleSql {
     "q47_quantize_int8" -> q47,
     "q48_session_funnel" -> q48,
     "q49_containment" -> q49,
-    "q50_transitions" -> q50)
+    "q50_transitions" -> q50,
+    "q51_zipf_fit" -> q51,
+    "q52_retention" -> q52,
+    "q53_lm_score" -> q53,
+    "q54_bloom_decontam" -> q54,
+    "q55_length_calibration" -> q55,
+    "q56_stratum_quantiles" -> q56)
 }

@@ -84,7 +84,17 @@ object SparkEntry {
     "q45_top_keywords" -> (TextOps.qTopKeywords _),
     "q42_moving_avg" -> (EventQueries.q42MovingAverage _),
     // multimodal binary-column plumbing
-    "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _))
+    "q26_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    // corpus statistics / LM-flavored measurement passes
+    "q51_zipf_fit" -> ((s: SparkSession, d: String) =>
+      llmops.LmOps.q51ZipfFit(s, d)),
+    "q53_lm_score" -> (llmops.LmOps.q53LmScore _),
+    "q55_length_calibration" -> (llmops.LmOps.q55LengthCalibration _),
+    "q56_stratum_quantiles" -> (llmops.LmOps.q56StratumQuantiles _),
+    // retention cohort matrix (two-level temporal aggregation)
+    "q52_retention" -> (EventQueries.q52RetentionCohorts _),
+    // bloom-routed exact decontamination (runtime-filter pattern)
+    "q54_bloom_decontam" -> (Curation.qBloomDecontaminate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

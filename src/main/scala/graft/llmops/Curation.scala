@@ -120,6 +120,89 @@ object Curation {
       .mode("overwrite")
       .parquet(path)
 
+  /** Distributed bloom filter over a LONG key column, via Catalyst's
+    * own `BloomFilterAggregate` — the machinery Spark's runtime
+    * row-level filtering injects, driven here explicitly: partial
+    * bloom buffers build on executors and MERGE (one blob per
+    * partition crosses the wire, never the keys), and the final blob
+    * comes back as a single binary row for literal embedding.
+    */
+  def buildBloomBytes(keys: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val br = org.apache.spark.sql.graftbridge.ExpressionBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      br.expression(col(keyCol)),
+      br.expression(lit(expectedItems)),
+      br.expression(lit(numBits))).toAggregateExpression()
+    keys.select(br.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` predicate against a serialized bloom blob
+    * ([[buildBloomBytes]]) — codegen'd Catalyst expression, no UDF.
+    */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val br = org.apache.spark.sql.graftbridge.ExpressionBridge
+    br.column(BloomFilterMightContain(
+      br.expression(lit(bloomBytes)), br.expression(key)))
+  }
+
+  /** Bloom-routed EXACT anti-join on a long key: rows whose key fails
+    * the bloom are *definitely* not in `blockKeys` (no false negatives)
+    * and bypass the join entirely; only the ~fpp false positives plus
+    * the true matches reach the exact anti-join. Result is row-for-row
+    * equal to a plain left_anti join — the bloom only routes.
+    *
+    * This is THE scale pattern for decontaminating a 100 TB batch
+    * against a small blocklist: the full batch never shuffles (the
+    * bloom predicate runs at scan speed in the map stage), and the
+    * anti-join input shrinks from the corpus to fpp·corpus + matches.
+    */
+  def bloomAntiJoin(batch: DataFrame, keyCol: String,
+      blockKeys: DataFrame, blockKeyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = buildBloomBytes(
+      blockKeys.select(col(blockKeyCol)), blockKeyCol, expectedItems, fpp)
+    val pred = mightContain(bloom, col(keyCol))
+    val clean = batch.filter(!pred)
+    val suspects = batch.filter(pred)
+      .join(blockKeys.select(col(blockKeyCol).as(keyCol)), Seq(keyCol),
+        "left_anti")
+    clean.unionByName(suspects)
+  }
+
+  /** q54 — bloom-routed exact-duplicate decontamination: a train
+    * candidate batch (the train split plus verbatim copies of half the
+    * eval docs under fresh ids — leaked eval text, the contamination
+    * failure mode) is cleaned against the eval split's fingerprint set
+    * via [[bloomAntiJoin]] on the 64-bit normalized-text fingerprint.
+    * Survivors are exactly the true train docs. Complements q32: that
+    * catches fuzzy (shingle-overlap) leaks with a corpus-sized
+    * equi-join; this catches verbatim leaks with a map-stage bloom +
+    * tiny residual anti-join.
+    */
+  def qBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        splitLabel(col("doc_id")).as("split"))
+    val evalDocs = d.filter(col("split").isin("val", "test"))
+    val batch = d.filter(col("split") === "train")
+      .unionByName(evalDocs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 7000))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val evalFps = evalDocs
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    // expectedItems is a sizing HINT (correctness is unaffected): the
+    // eval split is ~4/16 of the corpus by construction of splitLabel
+    bloomAntiJoin(batch, "fp", evalFps, "fp",
+        expectedItems = 4096L, fpp = 0.01)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** q32 — decontamination: eval-split documents sharing ≥ `minOverlap`
     * distinct word shingles with any train-split document, with the
     * worst-offender overlap. THE pre-training hygiene query (eval

@@ -115,6 +115,45 @@ object EventQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** q52 — weekly retention cohorts: users grouped by the week of
+    * their first event (weeks indexed from the corpus epoch), then the
+    * distinct-user count at each week offset since that first event,
+    * with retention as a fraction of the cohort's week-0 size — the
+    * standard product-analytics cohort matrix, and the two-level
+    * temporal aggregation shape.
+    *
+    * Scale shape: ONE user-key aggregation pins each user's cohort day
+    * (min over the user, map-side combined); the join back to the
+    * user's events is user-key co-partitioned (AQE may broadcast the
+    * per-user table when small — at 100 TB both sides are already
+    * hashed on user_id, so it stays a co-located shuffle join); the
+    * (user, cohort, offset) distinct and the matrix aggregate then
+    * carry 3 small longs per row. The week-0 cohort size arrives via a
+    * window over the ~weeks² matrix — driver-scale state, no second
+    * scan.
+    */
+  def q52RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("2024-01-01")
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"),
+        floor(datediff(col("cohort_d"), epoch) / 7).as("cohort_week"),
+        floor(datediff(col("d"), col("cohort_d")) / 7).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val w0 = Window.partitionBy("cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(w0))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q42 — sliding RANGE-frame window: per-type daily totals with a
     * trailing 3-day moving average. The range frame is over an integer
     * day ordinal, so days missing from the data genuinely fall out of

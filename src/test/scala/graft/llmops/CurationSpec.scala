@@ -77,6 +77,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bloom: no false negatives; bloomAntiJoin == plain left_anti") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val block = (1 to 300).map(_ => rnd.nextLong()).distinct
+    val hits = rnd.shuffle(block).take(100)
+    val batch = ((1 to 2000).map(_ => rnd.nextLong()) ++ hits)
+      .distinct.toDF("k").repartition(5) // exercise partial-bloom merge
+    val blockDf = block.toDF("bk")
+    val bloom = Curation.buildBloomBytes(blockDf, "bk", 512L)
+    // NO false negative: every true member passes the bloom
+    val misses = blockDf
+      .filter(!Curation.mightContain(bloom, col("bk"))).count()
+    assert(misses === 0L)
+    val viaBloom = Curation.bloomAntiJoin(batch, "k", blockDf, "bk", 512L)
+      .collect().map(_.getLong(0)).sorted
+    val plain = batch.join(blockDf.select(col("bk").as("k")), Seq("k"),
+      "left_anti").collect().map(_.getLong(0)).sorted
+    assert(viaBloom.sameElements(plain))
+    assert(viaBloom.length === batch.count() - hits.length)
+  }
+
+  test("bloom decontamination drops exactly the leaked eval copies") {
+    val out = Curation.qBloomDecontaminate(spark, dir)
+      .collect().map(_.getLong(0))
+    val trainIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(Curation.splitLabel(col("doc_id")) === "train")
+      .collect().map(_.getLong(0))
+    // survivors are exactly the true train docs: every +7000 leaked
+    // copy of an eval doc is removed
+    assert(out.sorted.sameElements(trainIds.sorted))
+  }
+
   test("decontamination: matches are val-split docs overlapping train") {
     val out = Curation.qDecontaminate(spark, dir).collect()
     spark.catalog.clearCache()

@@ -1,0 +1,128 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the LM-flavored corpus statistics (value parity vs
+  * DuckDB is the driver oracle's job — q51/q53/q55/q56; these pin the
+  * mathematical invariants and the independent closed forms).
+  */
+class LmOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("zipf fit: slope negative, matches a driver-side OLS on the same points") {
+    val out = LmOps.q51ZipfFit(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"lang ${r.getString(0)}: frequency must fall with rank")
+    }
+    // independent replication for one language: rank the terms in the
+    // driver, OLS over (log10 rank, log10 tf) with the same 6-decimal
+    // quantization
+    val lang = out.head.getString(0)
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = tf.sortBy { case (t, c) => (-c, t) }.take(100).zipWithIndex
+      .map { case ((_, c), i) =>
+        def q6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (q6(math.log10(i + 1.0)), q6(math.log10(c.toDouble)))
+      }
+    val n = ranked.length.toDouble
+    val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+    val sxx = ranked.map(p => p._1 * p._1).sum
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = out.find(_.getString(0) == lang).get.getAs[Double]("zipf_slope")
+    assert(math.abs(got - slope) < 1e-4, s"lang $lang: $got vs $slope")
+  }
+
+  test("bigram model: P(w2|w1) sums to 1 per left token") {
+    val bg = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 2))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val sums = LmOps.bigramModel(bg)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        exp(-col("nll").cast("double")).as("p"))
+      .groupBy("w1").agg(sum("p").as("total"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      // nll is quantized to 6 decimals, so the sum is 1 ± n·5e-7
+      assert(math.abs(r.getAs[Double]("total") - 1.0) < 1e-3,
+        s"w1=${r.getString(0)}")
+    }
+  }
+
+  test("lm score: every doc scored, avg_nll within the model's range") {
+    val out = LmOps.q53LmScore(spark, dir)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.count() === n)
+    out.collect().foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll >= 0.0 && nll < 20.0, s"doc ${r.getLong(0)}: $nll")
+    }
+  }
+
+  test("length calibration: buckets partition the corpus, ~10% each") {
+    val out = LmOps.q55LengthCalibration(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total === n)
+    assert(out.map(_.getAs[Long]("decile")).toSeq.sorted ===
+      (1L to out.length))
+    // boundaries are exact deciles: each bucket holds ~n/10 (value
+    // ties can shift a few docs between adjacent buckets)
+    out.foreach { r =>
+      val d = r.getAs[Long]("n_docs")
+      assert(d > 0 && d < n / 3, s"decile ${r.getAs[Long]("decile")}: $d")
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+  }
+
+  test("stratum quantiles: p25<=p50<=p75, each within the stratum range") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ranges = docs.groupBy("lang", "source")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2).toDouble, r.getLong(3).toDouble)).toMap
+    val out = LmOps.q56StratumQuantiles(spark, dir).collect()
+    assert(out.length === ranges.size)
+    out.foreach { r =>
+      val (mn, mx) = ranges((r.getString(0), r.getString(1)))
+      val (p25, p50, p75) = (r.getAs[Double]("p25_chars"),
+        r.getAs[Double]("p50_chars"), r.getAs[Double]("p75_chars"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 >= mn && p75 <= mx)
+    }
+  }
+
+  test("retention cohorts: week0 retention is 1, offsets bounded by span") {
+    val out = graft.operators.EventQueries
+      .q52RetentionCohorts(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byCohort = out.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (cw, rows) =>
+      val w0 = rows.find(_.getAs[Long]("week_offset") == 0L)
+      assert(w0.isDefined, s"cohort $cw has no week-0 row")
+      assert(w0.get.getAs[Double]("retention") === 1.0)
+      rows.foreach { r =>
+        val ret = r.getAs[Double]("retention")
+        assert(ret > 0.0 && ret <= 1.0)
+        // 30-day corpus → offsets 0..4
+        assert(r.getAs[Long]("week_offset") >= 0L &&
+          r.getAs[Long]("week_offset") <= 4L)
+      }
+    }
+  }
+}

@@ -167,6 +167,28 @@ object DriveVerify {
           .map(_.getLong(0)).sorted.mkString(","))
       q.stop()
     }
+    // LM-flavored corpus stats: Zipf fit + bigram-LM scoring extremes
+    {
+      val sf = "/root/testdata/sf0.001"
+      graft.llmops.LmOps.q51ZipfFit(spark, sf).show(5, false)
+      val scored = graft.llmops.LmOps.q53LmScore(spark, sf)
+        .orderBy(col("avg_nll").desc)
+      println("highest-surprise docs under the corpus bigram model:")
+      scored.show(3, false)
+      spark.catalog.clearCache()
+    }
+
+    // bloom-routed decontamination: the clean path must plan as a map
+    // stage with the might_contain predicate (no join for clean rows)
+    {
+      val sf = "/root/testdata/sf0.001"
+      val out = graft.llmops.Curation.qBloomDecontaminate(spark, sf)
+      println(s"bloom decontamination survivors: ${out.count()} docs")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "bloom predicate missing from the physical plan")
+      println("physical plan contains might_contain: true")
+    }
     spark.stop()
   }
 }
