@@ -77,6 +77,21 @@ object Soak {
       graft.operators.EventQueries.q44IntervalJoin(spark, soakDir) }
     onBig("q48 funnel 10x") {
       graft.operators.EventQueries.q48SessionFunnel(spark, soakDir) }
+    onBig("q52 retention 10x") {
+      graft.operators.EventQueries.q52RetentionCohorts(spark, soakDir) }
+
+    // LM scoring + bloom decontamination on the 10× document corpus
+    // (write the corpus so the query mains run unmodified against it)
+    val docDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_docs").toString
+    big.write.mode("overwrite").parquet(s"$docDir/documents.parquet")
+    onBig("q53 bigram-LM score 10x") {
+      graft.llmops.LmOps.q53LmScore(spark, docDir) }
+    spark.catalog.clearCache() // release q53's persisted bigram relation
+    onBig("q54 bloom decontaminate 10x") {
+      graft.llmops.Curation.qBloomDecontaminate(spark, docDir) }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(docDir))
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(soakDir))
     spark.stop()
