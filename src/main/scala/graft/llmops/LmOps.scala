@@ -144,6 +144,19 @@ object LmOps {
     * the exact boundary pass becomes `approx_percentile` with the rest
     * unchanged.)
     */
+  /** The 100 TB boundary pass for [[q55LengthCalibration]]: Greenwald-
+    * Khanna `percentile_approx` replaces the exact sorted-array order
+    * statistic (constant executor memory vs collecting the column), and
+    * every downstream stage — broadcast, bucketing, per-bucket agg — is
+    * unchanged. `accuracy` bounds the relative rank error at
+    * 1/accuracy.
+    */
+  def approxDecileBoundaries(df: DataFrame, valueCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(valueCol).cast("double"),
+        array((1 to 9).map(k => lit(k / 10.0)): _*), lit(accuracy)).as("bs"))
+      .select((1 to 9).map(k => element_at(col("bs"), k).as(s"b$k")): _*)
+
   def q55LengthCalibration(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("n_chars"),

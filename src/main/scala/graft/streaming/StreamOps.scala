@@ -122,6 +122,41 @@ object StreamOps {
       .drop("click_user")
   }
 
+  /** Windowed term counts over a document stream — the streaming face
+    * of `TextOps.qTopTerms` (heavy-hitters / trending-vocabulary
+    * monitoring of an ingest feed). Tokenization is the stateless
+    * native kernel; the only stateful operator is the watermarked
+    * (window, term) count, whose state is one row per distinct term
+    * per open window — vocabulary-bounded, not stream-bounded.
+    *
+    * Streaming cannot rank inside the aggregation (no window functions
+    * over an unbounded stream), so this emits finalized per-window
+    * counts in append mode; [[topKOfBatch]] is the foreachBatch ranking
+    * step that turns each emitted window into its top-k (the standard
+    * two-stage streaming top-k: distributed count, tiny rank).
+    */
+  def windowedTermCounts(docs: DataFrame, tsCol: String,
+      windowDur: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(tsCol),
+        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("term"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("window.start").as("window_start"), col("term"), col("tf"))
+
+  /** Rank a [[windowedTermCounts]] micro-batch to per-window top-k —
+    * runs inside `foreachBatch` on finalized windows (append mode means
+    * each window arrives exactly once, so the rank is over that
+    * window's complete vocabulary).
+    */
+  def topKOfBatch(batch: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("tf").desc, col("term"))
+    batch.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-key running appearance counter via flatMapGroupsWithState —
     * emits (key, total_so_far) every time the key appears in a batch.
     * (A production deployment bounds the state with a processing-time

@@ -89,6 +89,23 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx decile boundaries track the exact ones at high accuracy") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_tokens"))
+    val approx = LmOps.approxDecileBoundaries(d, "n_tokens").head()
+    val exact = d
+      .agg(sort_array(collect_list(col("n_tokens").cast("double"))).as("ts"))
+      .select((1 to 9).map(k =>
+        LmOps.interpQuantile(col("ts"), k / 10.0).as(s"b$k")): _*)
+      .head()
+    (0 until 9).foreach { i =>
+      // GK at accuracy 10000 on 500 rows is rank-exact; allow the
+      // nearest-observation vs interpolated-value gap
+      assert(math.abs(approx.getDouble(i) - exact.getDouble(i)) <=
+        math.max(2.0, exact.getDouble(i) * 0.02), s"b${i + 1}")
+    }
+  }
+
   test("stratum quantiles: p25<=p50<=p75, each within the stratum range") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val ranges = docs.groupBy("lang", "source")

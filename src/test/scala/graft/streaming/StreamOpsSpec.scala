@@ -165,6 +165,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(3L) === "contact <EMAIL> for info") // scrubbed pre-dedup
   }
 
+  test("windowedTermCounts + topKOfBatch: finalized windows rank exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.windowedTermCounts(
+      in.toDF().toDF("ts", "text"), "ts",
+      windowDur = "10 minutes", lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("terms_out")
+      .outputMode("append").start()
+    // window [0,10): "alpha" x3, "beta" x2, "gamma" x1
+    in.addData((ts(0), "alpha beta alpha"), (ts(4), "beta gamma alpha"))
+    q.processAllAvailable()
+    // advance event time past window-end + lateness so [0,10) finalizes
+    in.addData((ts(21), "later words entirely"))
+    q.processAllAvailable()
+    // the watermark computed from that batch applies on the NEXT one —
+    // a further batch flushes the finalized window downstream
+    in.addData((ts(22), "flush trigger"))
+    q.processAllAvailable()
+    // windows align to epoch multiples of 10 min, not to ts(0): select
+    // the earliest emitted window (the one covering ts(0)..ts(4))
+    val w0 = spark.table("terms_out")
+      .agg(min("window_start")).head().getTimestamp(0)
+    val batch = spark.table("terms_out")
+      .filter(col("window_start") === w0)
+    val top2 = StreamOps.topKOfBatch(batch, k = 2)
+      .select("term", "tf", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    q.stop()
+    assert(top2.sortBy(_._3).toSeq === Seq(("alpha", 3L, 1), ("beta", 2L, 2)))
+  }
+
   test("runningCounter keeps per-key totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
