@@ -1122,6 +1122,37 @@ object OracleSql {
       |FROM documents GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** q57 — mixture-sampling summary. u = the 24-bit value of the first
+    * 6 md5 hex chars of the id's decimal string (the q23 digit-fold
+    * pattern) / 2^24 — exactly Curation.hashUniform; the rate CASE is
+    * generated from the same MixtureRates constant the engine uses.
+    */
+  private val q57 = {
+    val fold6 = (1 to 6).map { p =>
+      s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (6 - p))}"
+    }.mkString("(", " + ", ")")
+    val rateCase = graft.llmops.Curation.MixtureRates
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE ${graft.llmops.Curation.MixtureDefaultRate} END")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $tokSql AS n_tokens,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+       |    $rateCase AS rate
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(rate) AS BIGINT) +
+       |      CASE WHEN $fold6 / 16777216.0 < rate - floor(rate)
+       |           THEN 1 ELSE 0 END AS n_copies
+       |  FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_copies) AS BIGINT) AS n_sampled,
+       |  round(CAST(sum(n_copies) AS DOUBLE) / count(*), 6)
+       |    AS effective_rate,
+       |  CAST(sum(n_copies * n_tokens) AS BIGINT) AS sampled_tokens
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1178,5 +1209,6 @@ object OracleSql {
     "q53_lm_score" -> q53,
     "q54_bloom_decontam" -> q54,
     "q55_length_calibration" -> q55,
-    "q56_stratum_quantiles" -> q56)
+    "q56_stratum_quantiles" -> q56,
+    "q57_mixture_sample" -> q57)
 }

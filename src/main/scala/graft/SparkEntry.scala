@@ -94,7 +94,9 @@ object SparkEntry {
     // retention cohort matrix (two-level temporal aggregation)
     "q52_retention" -> (EventQueries.q52RetentionCohorts _),
     // bloom-routed exact decontamination (runtime-filter pattern)
-    "q54_bloom_decontam" -> (Curation.qBloomDecontaminate _))
+    "q54_bloom_decontam" -> (Curation.qBloomDecontaminate _),
+    // data-mixing: weighted per-source sampling/upsampling summary
+    "q57_mixture_sample" -> (Curation.qMixtureSummary _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

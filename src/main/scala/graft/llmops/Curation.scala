@@ -120,6 +120,105 @@ object Curation {
       .mode("overwrite")
       .parquet(path)
 
+  /** Mixture weights per source — the data-mixing config of corpus
+    * assembly (shared with the SQL-oracle generator, single source of
+    * truth like TextOps.LangStopwords). Rates > 1 upsample (epochs),
+    * rates < 1 downsample; unlisted sources get [[MixtureDefaultRate]].
+    */
+  val MixtureRates: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 1.5, "src2" -> 1.0, "src3" -> 0.5)
+  val MixtureDefaultRate: Double = 0.25
+
+  /** 24-bit md5 uniform in [0,1) from the id — the same digest currency
+    * as [[splitLabel]]: a pure function of the id, so every sampling
+    * decision is reproducible by any engine (and stable across reruns —
+    * no RNG state, the property that keeps incremental corpus builds
+    * consistent).
+    */
+  def hashUniform(docId: Column): Column =
+    conv(substring(md5(docId.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long").cast("double") / (1 << 24)
+
+  def mixtureRate(source: Column): Column =
+    MixtureRates.foldRight(lit(MixtureDefaultRate): Column) {
+      case ((s, r), acc) => when(source === s, lit(r)).otherwise(acc)
+    }
+
+  /** Deterministic copies for a (source, id): ⌊rate⌋ guaranteed epochs
+    * plus one more for ids whose hash-uniform falls under the
+    * fractional part — rate 2.5 emits every doc twice and half the
+    * docs (hash-chosen) a third time.
+    */
+  def mixtureCopies(source: Column, docId: Column): Column = {
+    val rate = mixtureRate(source)
+    floor(rate).cast("long") +
+      when(hashUniform(docId) < rate - floor(rate), 1L).otherwise(0L)
+  }
+
+  /** Weighted mixture sampling/upsampling: one output row per emitted
+    * copy, `epoch` 1..n. A pure map + explode stage — no shuffle; the
+    * downstream writer ([[writeCorpus]]) re-buckets. This is the
+    * data-mixing operator that turns per-source weights into an
+    * assembled training corpus.
+    */
+  def sampleMixture(docs: DataFrame, idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame =
+    docs
+      .withColumn("__n", mixtureCopies(col(sourceCol), col(idCol)))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+
+  /** q57 — mixture-sampling summary: per source, the original and
+    * sampled doc/token totals and the realized rate (which converges
+    * to the configured rate as the source grows — the assembly audit
+    * report). Copies are counted without materializing them (the
+    * summary needs Σ n_copies, not the exploded rows).
+    */
+  def qMixtureSummary(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        mixtureCopies(col("source"), col("doc_id")).as("n_copies"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_sampled"),
+        round(sum(col("n_copies")).cast("double") / count(lit(1)), 6)
+          .as("effective_rate"),
+        sum(col("n_copies") * col("n_tokens")).as("sampled_tokens"))
+      .orderBy("source")
+
+  /** Greedy sequence packing: group documents into packs of at most
+    * `maxTokens` total (first-fit in `idCol` order WITHIN each
+    * partition) — the batch-assembly step before training, where pack
+    * fill ratio is the padding-waste metric. A document larger than
+    * the budget gets a pack of its own (the caller's tokenizer
+    * truncates it). Per-partition packing is the scale-correct choice:
+    * a globally optimal packing serializes on one node, while
+    * first-fit within partitions wastes at most one pack's tail per
+    * partition and runs at scan speed. Returns (pack_id, id, tokens);
+    * pack_id = partition << 32 | seq, unique across the corpus.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(tokensCol).cast("long"),
+        spark_partition_id().cast("long").as("__pid"))
+      .sortWithinPartitions(idCol)
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var packSeq = -1L
+        var used = 0L
+        it.map { case (id, toks, pid) =>
+          if (packSeq < 0 || used + toks > maxTokens) { packSeq += 1; used = 0L }
+          used += toks
+          ((pid << 32) | packSeq, id, toks)
+        }
+      }
+      .toDF("pack_id", idCol, tokensCol)
+  }
+
   /** Distributed bloom filter over a LONG key column, via Catalyst's
     * own `BloomFilterAggregate` — the machinery Spark's runtime
     * row-level filtering injects, driven here explicitly: partial

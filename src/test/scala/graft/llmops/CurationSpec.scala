@@ -77,6 +77,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling: copies honor floor(rate) and the epoch contract") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Curation.sampleMixture(d)
+    val per = out.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .collect()
+    val rates = Curation.MixtureRates.toMap
+    per.foreach { r =>
+      val rate = rates.getOrElse(r.getString(0), Curation.MixtureDefaultRate)
+      val n = r.getAs[Long]("n")
+      // every emitted doc has floor(rate) or floor(rate)+1 copies,
+      // epochs dense 1..n
+      assert(n === math.floor(rate).toLong || n === math.floor(rate).toLong + 1,
+        s"${r.getString(0)}/${r.getLong(1)}: $n copies at rate $rate")
+      assert(r.getAs[Long]("mn") === 1L && r.getAs[Long]("mx") === n)
+    }
+    // determinism: same ids selected on a rerun with other partitioning
+    val again = Curation.sampleMixture(d.repartition(7))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === first)
+    // realized rate tracks the configured rate for a listed source
+    val src0 = per.filter(_.getString(0) == "src0").map(_.getAs[Long]("n"))
+    val eff = src0.sum.toDouble / src0.length
+    assert(math.abs(eff - 2.5) < 0.35, s"src0 effective rate $eff")
+  }
+
+  test("sequence packing: budget respected, docs partitioned into packs") {
+    val budget = 200L
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.llmops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      .repartition(4)
+    val packed = Curation.packSequences(d, budget).persist()
+    // every doc appears exactly once
+    assert(packed.count() === d.count())
+    assert(packed.select("doc_id").distinct().count() === d.count())
+    val packs = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    packs.foreach { r =>
+      // a pack exceeds the budget only as a single oversize document
+      assert(r.getAs[Long]("tot") <= budget || r.getAs[Long]("n") === 1L,
+        s"pack ${r.getLong(0)}")
+    }
+    // greedy first-fit fills packs reasonably: mean fill >= 60%
+    val inBudget = packs.filter(_.getAs[Long]("tot") <= budget)
+    val fill = inBudget.map(_.getAs[Long]("tot").toDouble / budget)
+    assert(fill.sum / fill.length >= 0.6,
+      s"mean fill ${fill.sum / fill.length}")
+    packed.unpersist()
+  }
+
   test("bloom: no false negatives; bloomAntiJoin == plain left_anti") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
