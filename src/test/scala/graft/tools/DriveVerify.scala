@@ -189,6 +189,43 @@ object DriveVerify {
         "bloom predicate missing from the physical plan")
       println("physical plan contains might_contain: true")
     }
+
+    // corpus assembly: mixture sampling + sequence packing end-to-end
+    {
+      val sf = "/root/testdata/sf0.001"
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val mixed = graft.llmops.Curation.sampleMixture(d)
+        .select(col("doc_id"), col("epoch"),
+          graft.llmops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      println(s"mixture: ${mixed.count()} copies from ${d.count()} docs")
+      val packed = graft.llmops.Curation.packSequences(
+        mixed.withColumn("doc_id",
+          col("doc_id") * 100 + col("epoch")), maxTokens = 512)
+      val stats = packed.groupBy("pack_id")
+        .agg(sum("n_tokens").as("tot"))
+        .agg(count(lit(1)).as("n_packs"),
+          round(avg(col("tot") / 512.0), 3).as("mean_fill")).head()
+      println(s"packed into ${stats.getLong(0)} packs of <=512 tokens, " +
+        s"mean fill ${stats.getAs[Any](1)}")
+    }
+
+    // PQ: train-encode-search on the real embeddings
+    {
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val (cb, trace) = graft.llmops.Pq.train(emb, "embedding", dim = 64,
+        iters = 3)
+      val codes = graft.llmops.Pq.encode(emb, "embedding", cb)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble).toArray
+      val top = graft.llmops.Pq.searchWithRerank(
+        emb.filter(col("vec_id") =!= 0), "embedding",
+        codes.filter(col("vec_id") =!= 0), q0, cb, topK = 5, pool = 50)
+      println(s"PQ mse trace ${trace.map(m => f"$m%.4f").mkString("->")}; " +
+        s"top-5 for vec 0: " +
+        top.collect().map(r => s"${r.getLong(0)}").mkString(","))
+    }
     spark.stop()
   }
 }
