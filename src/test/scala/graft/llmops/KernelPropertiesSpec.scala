@@ -151,6 +151,39 @@ class KernelPropertiesSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("SparseDotMicros: equals the decimal-sum dot, incl. rounding") {
+    import java.math.{BigDecimal => JBD, BigInteger}
+    val cases = (1 to 60).map { _ =>
+      def vec(n: Int): Seq[(Long, Long)] =
+        Seq.fill(n)(rnd.nextLong() -> (rnd.nextInt(300000000).toLong + 1))
+          .distinctBy(_._1).sortBy(_._1)
+      val a = vec(1 + rnd.nextInt(40))
+      // b shares a random subset of a's keys (fresh values)
+      val shared = rnd.shuffle(a).take(rnd.nextInt(a.size + 1))
+        .map { case (k, _) => k -> (rnd.nextInt(300000000).toLong + 1) }
+      val b = (vec(rnd.nextInt(40)) ++ shared).distinctBy(_._1).sortBy(_._1)
+      (a, b)
+    } ++ Seq((Seq(1L -> 5L), Seq(2L -> 7L))) // disjoint -> 0.0
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      graft.expressions.SparseDotMicros.sparseDotMicros(
+        transform(col("a"), _.getField("_1")),
+        transform(col("a"), _.getField("_2")),
+        transform(col("b"), _.getField("_1")),
+        transform(col("b"), _.getField("_2"))))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val bm = b.toMap
+      val sum = a.map { case (k, v) =>
+        BigInteger.valueOf(v).multiply(
+          BigInteger.valueOf(bm.getOrElse(k, 0L)))
+      }.reduce(_ add _)
+      // the exact DECIMAL(38,12) -> double conversion
+      val want = new JBD(sum, 12).doubleValue()
+      assert(g === want, s"a=$a b=$b")
+    }
+  }
+
   test("ModeCount: equals grouped counts on real docs and driver folds") {
     // real corpus: kernel == the explode/groupBy formulation it replaces
     val d = spark.read
