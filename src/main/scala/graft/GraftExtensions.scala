@@ -94,6 +94,15 @@ object GraftExtensions {
         case Seq(s, w) => WinnowFingerprints(s, intLit(w, "window"))
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(shingles[, w])")
+      }),
+    ("sparse_dot_micros",
+      info("sparse_dot_micros", "sparse_dot_micros(ak, av, bk, bv) - " +
+        "sorted-sparse-vector dot over (key, value-micros) long arrays; " +
+        "returns the exact DECIMAL(38,12)->double value"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ak, av, bk, bv) => SparseDotMicros(ak, av, bk, bv)
+        case _ => throw new IllegalArgumentException(
+          "sparse_dot_micros(aKeys, aVals, bKeys, bVals)")
       }))
 
   /** Register on an ALREADY-RUNNING session (extensions only apply at

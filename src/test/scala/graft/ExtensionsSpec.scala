@@ -108,6 +108,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("array<string>"), e.getMessage)
   }
 
+  test("sparse_dot_micros SQL == Column kernel on constructed vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 5L, 9L), Seq(1000000L, 2000000L, 500000L),
+        Seq(1L, 9L), Seq(3000000L, 4000000L)),
+      (Seq(2L), Seq(7L), Seq(3L), Seq(11L))) // disjoint
+      .toDF("ak", "av", "bk", "bv")
+    df.createOrReplaceTempView("ext_sparse")
+    val cmp = spark.sql(
+      "SELECT sparse_dot_micros(ak, av, bk, bv) AS s FROM ext_sparse")
+      .collect().map(_.getDouble(0))
+    val col0 = df.select(graft.expressions.SparseDotMicros
+        .sparseDotMicros(col("ak"), col("av"), col("bk"), col("bv")))
+      .collect().map(_.getDouble(0))
+    assert(cmp.toSeq === col0.toSeq)
+    assert(cmp(0) === 11.0) // (1e6·3e6 + 5e5·4e6)·1e-12
+    assert(cmp(1) === 0.0)
+  }
+
   test("intersect_count rejects non-bigint arrays at analysis time") {
     docs
     val e = intercept[Exception] {
