@@ -123,7 +123,7 @@ class ExtensionsSpec extends SparkSpec {
         .sparseDotMicros(col("ak"), col("av"), col("bk"), col("bv")))
       .collect().map(_.getDouble(0))
     assert(cmp.toSeq === col0.toSeq)
-    assert(cmp(0) === 11.0) // (1e6·3e6 + 5e5·4e6)·1e-12
+    assert(cmp(0) === 5.0) // (1e6·3e6 + 5e5·4e6)·1e-12 = (3e12+2e12)·1e-12
     assert(cmp(1) === 0.0)
   }
 
