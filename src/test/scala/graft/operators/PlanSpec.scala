@@ -142,6 +142,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q54: bloom routes at scan speed; the residual join is anti") {
+    val p = plan(graft.llmops.Curation.qBloomDecontaminate(spark, dir))
+    // the clean path is a might_contain FILTER (map stage), the
+    // residual an anti join — never a full-corpus join
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q53: LM scoring joins on the bigram key with partial aggregation") {
+    val df = graft.llmops.LmOps.q53LmScore(spark, dir)
+    val p = plan(df)
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("q55: decile bucketing broadcasts 9 boundary doubles, no re-shuffle of docs") {
+    val p = plan(graft.llmops.LmOps.q55LengthCalibration(spark, dir))
+    // the boundary row reaches the bucketing stage via broadcast
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q57: mixture summary is map + one aggregation — no joins") {
+    val p = plan(graft.llmops.Curation.qMixtureSummary(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q51/q52: corpus fits and cohorts keep equi-join/partial-agg shapes") {
+    val p51 = plan(graft.llmops.LmOps.q51ZipfFit(spark, dir))
+    assert(!p51.contains("CartesianProduct"), p51)
+    assert(p51.contains("partial_"), p51)
+    val p52 = plan(graft.operators.EventQueries.q52RetentionCohorts(spark, dir))
+    assert(!p52.contains("CartesianProduct"), p52)
+    assert(p52.contains("partial_"), p52)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
