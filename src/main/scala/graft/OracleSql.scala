@@ -988,14 +988,20 @@ object OracleSql {
       |    sum(x * x) AS sxx, sum(x * y) AS sxy
       |  FROM ranked GROUP BY lang)
       |SELECT lang, n_terms,
-      |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
-      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |         - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-      |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_intercept
+      |  CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+      |    round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+      |    AS zipf_slope,
+      |  CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+      |    round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |      / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+      |    AS zipf_intercept
       |FROM sums ORDER BY lang""".stripMargin
 
   /** q52 — weekly retention cohorts (cohort week from the corpus

@@ -66,7 +66,10 @@ case class SparseDotMicros(aKeys: Expression, aVals: Expression,
 
 object SparseDotMicros {
 
-  /** Java-callable kernel (referenced from generated code). */
+  /** Java-callable kernel (referenced from generated code). Null slots
+    * (key or value) are skipped — a null entry contributes nothing,
+    * rather than being misread as key/value 0.
+    */
   def compute(ak: ArrayData, av: ArrayData,
       bk: ArrayData, bv: ArrayData): Double = {
     val n = ak.numElements()
@@ -75,13 +78,17 @@ object SparseDotMicros {
     var i = 0
     var j = 0
     while (i < n && j < m) {
-      val ka = ak.getLong(i)
-      val kb = bk.getLong(j)
-      if (ka == kb) {
-        sum += av.getLong(i) * bv.getLong(j)
-        i += 1; j += 1
-      } else if (ka < kb) i += 1
-      else j += 1
+      if (ak.isNullAt(i) || av.isNullAt(i)) i += 1
+      else if (bk.isNullAt(j) || bv.isNullAt(j)) j += 1
+      else {
+        val ka = ak.getLong(i)
+        val kb = bk.getLong(j)
+        if (ka == kb) {
+          sum += av.getLong(i) * bv.getLong(j)
+          i += 1; j += 1
+        } else if (ka < kb) i += 1
+        else j += 1
+      }
     }
     // correctly-rounded Σ·10⁻¹² — the DECIMAL(38,12) → double cast
     if (sum == 0L) 0.0

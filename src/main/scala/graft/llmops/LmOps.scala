@@ -62,9 +62,13 @@ object LmOps {
     val sxx = col("sxx").cast("double")
     val sxy = col("sxy").cast("double")
     val denom = n * sxx - sx * sx
+    // a language with a single ranked term is underdetermined (denom
+    // 0) — emit null, not ±Infinity (guard mirrored in the oracle SQL)
     sums.select(col("lang"), col("n_terms"),
-        round((n * sxy - sx * sy) / denom, 6).as("zipf_slope"),
-        round((sy * sxx - sx * sxy) / denom, 6).as("zipf_intercept"))
+        when(denom > 0, round((n * sxy - sx * sy) / denom, 6))
+          .as("zipf_slope"),
+        when(denom > 0, round((sy * sxx - sx * sxy) / denom, 6))
+          .as("zipf_intercept"))
       .orderBy("lang")
   }
 
