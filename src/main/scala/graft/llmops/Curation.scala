@@ -201,6 +201,7 @@ object Curation {
     */
   def packSequences(docs: DataFrame, maxTokens: Long,
       idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
     import docs.sparkSession.implicits._
     docs
       .select(col(idCol).cast("long"), col(tokensCol).cast("long"),
@@ -265,6 +266,8 @@ object Curation {
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloomBytes(
       blockKeys.select(col(blockKeyCol)), blockKeyCol, expectedItems, fpp)
+    // an EMPTY blocklist serializes to a null bloom — nothing to drop
+    if (bloom == null) return batch
     val pred = mightContain(bloom, col(keyCol))
     val clean = batch.filter(!pred)
     val suspects = batch.filter(pred)

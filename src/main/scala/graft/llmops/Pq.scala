@@ -93,6 +93,9 @@ object Pq {
     */
   def train(e: DataFrame, vecCol: String, dim: Int,
       m: Int = 8, k: Int = 16, iters: Int = 5): (Codebook, Seq[Double]) = {
+    require(m > 0 && dim % m == 0,
+      s"dim=$dim must divide evenly into m=$m subspaces")
+    require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = e.sparkSession
     val subDim = dim / m
     val sub = subvectors(e, vecCol, m, dim).persist()

@@ -153,6 +153,14 @@ class CurationSpec extends SparkSpec {
     assert(viaBloom.length === batch.count() - hits.length)
   }
 
+  test("bloomAntiJoin with an empty blocklist is the identity") {
+    import spark.implicits._
+    val batch = Seq(1L, 2L).toDF("k")
+    val out = Curation.bloomAntiJoin(batch, "k",
+      Seq.empty[Long].toDF("bk"), "bk", 16L)
+    assert(out.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
+
   test("bloom decontamination drops exactly the leaked eval copies") {
     val out = Curation.qBloomDecontaminate(spark, dir)
       .collect().map(_.getLong(0))
