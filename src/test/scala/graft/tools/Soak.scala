@@ -90,6 +90,29 @@ object Soak {
     spark.catalog.clearCache() // release q53's persisted bigram relation
     onBig("q54 bloom decontaminate 10x") {
       graft.llmops.Curation.qBloomDecontaminate(spark, docDir) }
+    // q41 on 10× docs: strata are 10× deeper, so the pair stage is
+    // ~100× (the quadratic axis of all-pairs-within-stratum — the
+    // SparseDotMicros merge is what keeps the constant small; at real
+    // scale an LSH prefilter bounds the pair space first)
+    onBig("q41 tfidf pairs 10x (~12.6M pairs)") {
+      val r = graft.llmops.TextOps.qTfidfPairs(spark, docDir)
+      r }
+    spark.catalog.clearCache()
+
+    // PQ training at 10× vectors: each Lloyd pass is one distributed
+    // job; the codebook stays driver-sized
+    {
+      val e0 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val bigE = (0 until 10).map { k =>
+        e0.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+      time("PQ train 10x (50k vecs, 3 iters)") {
+        graft.llmops.Pq.train(bigE, "embedding", dim = 64, iters = 3)
+      }
+    }
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(docDir))
     org.apache.commons.io.FileUtils
