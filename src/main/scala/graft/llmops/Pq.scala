@@ -99,14 +99,17 @@ object Pq {
     val spark = e.sparkSession
     val subDim = dim / m
     val sub = subvectors(e, vecCol, m, dim).persist()
-    // deterministic init from the k smallest vec_ids
-    val initRows = sub.filter(col("vec_id") < k)
+    // deterministic init from the k smallest DISTINCT vec_ids (works
+    // for any id space, not just 0-based)
+    val initIds = sub.select(col("vec_id")).distinct()
+      .orderBy("vec_id").limit(k).collect().map(_.getLong(0)).toSeq
+    require(initIds.size == k,
+      s"need at least $k distinct vec_ids for init, got ${initIds.size}")
+    val initRows = sub.filter(col("vec_id").isin(initIds: _*))
       .collect()
       .map(r => ((r.getInt(1), r.getLong(0)),
         r.getSeq[Double](2).toArray))
       .toMap
-    val initIds = initRows.keys.map(_._2).toSeq.distinct.sorted
-    require(initIds.size == k, s"need vec_ids 0..${k - 1} for init")
     var cw = Array.tabulate(m, k)((s, c) => initRows((s, initIds(c))))
     val mseTrace = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
