@@ -1159,6 +1159,32 @@ object OracleSql {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q58 — full outer reconciliation of pre-aggregated sides. */
+  private val q58 =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nk, count(*) AS n_customers
+      |  FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(s_nationkey AS INTEGER) AS nk, count(*) AS n_suppliers
+      |  FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nk, s.nk) AS nationkey,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
+  /** q59 — CUBE grouping sets with ALL labels (q39's rollup + the
+    * per-source subtotal slice).
+    */
+  private val q59 =
+    s"""SELECT coalesce(lang, 'ALL') AS lang,
+       |  coalesce(source, 'ALL') AS source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM (SELECT lang, source, $tokSql AS n_tokens FROM documents) t
+       |GROUP BY CUBE (lang, source)
+       |ORDER BY lang, source""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1216,5 +1242,7 @@ object OracleSql {
     "q54_bloom_decontam" -> q54,
     "q55_length_calibration" -> q55,
     "q56_stratum_quantiles" -> q56,
-    "q57_mixture_sample" -> q57)
+    "q57_mixture_sample" -> q57,
+    "q58_full_outer" -> q58,
+    "q59_cube_profile" -> q59)
 }

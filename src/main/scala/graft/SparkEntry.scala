@@ -96,7 +96,10 @@ object SparkEntry {
     // bloom-routed exact decontamination (runtime-filter pattern)
     "q54_bloom_decontam" -> (Curation.qBloomDecontaminate _),
     // data-mixing: weighted per-source sampling/upsampling summary
-    "q57_mixture_sample" -> (Curation.qMixtureSummary _))
+    "q57_mixture_sample" -> (Curation.qMixtureSummary _),
+    // full outer join reconciliation + full CUBE grouping sets
+    "q58_full_outer" -> (CoreQueries.q58FullOuter _),
+    "q59_cube_profile" -> (TextOps.qCubeProfile _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

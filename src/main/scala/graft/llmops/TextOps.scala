@@ -382,6 +382,25 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** q59 — full CUBE grouping sets: doc/token totals for every (lang,
+    * source) combination INCLUDING per-source subtotals (which ROLLUP's
+    * hierarchy omits) — the complete grouping-set lattice in one pass
+    * (Spark expands 4 grouping sets before the same partial-agg +
+    * single shuffle plan; q39's rollup is the 3-set prefix). "ALL"
+    * labels keep the result null-free and totally ordered.
+    */
+  def qCubeProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).as("n_tokens"))
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy("lang", "source")
+
   /** q39 — hierarchical corpus profile via ROLLUP grouping sets: per
     * (lang, source) totals plus per-lang subtotals plus the grand
     * total, one pass (Spark expands the grouping sets before the same

@@ -232,6 +232,30 @@ object CoreQueries {
     * set), never a NOT IN subquery re-scan per row. The priority
     * filter pushes to the orders scan before the join.
     */
+  /** q58 — FULL OUTER join: reconcile per-nation customer and supplier
+    * counts; nations present on either side survive with zero-filled
+    * gaps. The outer-join null semantics query (coalesce over both
+    * keys, the classic reconciliation report shape). Both inputs are
+    * pre-aggregated (25 rows each) so the outer join is trivially
+    * broadcastable — the scale rule for reconciliations: aggregate
+    * FIRST, outer-join the summaries, never outer-join the raw fact
+    * tables.
+    */
+  def q58FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = table(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("int").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")
