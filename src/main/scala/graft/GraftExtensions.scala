@@ -95,6 +95,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(shingles[, w])")
       }),
+    ("element_counts",
+      info("element_counts", "element_counts(arr) - map<element, count> " +
+        "of a string array's element frequencies (first-appearance order)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => ElementCounts(a)
+        case _ => throw new IllegalArgumentException("element_counts(arr)")
+      }),
     ("sparse_dot_micros",
       info("sparse_dot_micros", "sparse_dot_micros(ak, av, bk, bv) - " +
         "sorted-sparse-vector dot over (key, value-micros) long arrays; " +

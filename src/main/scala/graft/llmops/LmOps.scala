@@ -107,13 +107,15 @@ object LmOps {
     * map-side in both aggregations; tf·nll sums are decimal-exact.
     */
   def q53LmScore(spark: SparkSession, dir: String): DataFrame = {
-    // (doc, bigram, tf): 2 consumers (model build + scoring join)
+    // (doc, bigram, tf) WITHOUT a (doc, bigram) shuffle: per-doc
+    // counts are row-local state, so the native ElementCounts kernel
+    // computes them in the map stage and explode(map) hands the same
+    // relation downstream. 2 consumers (model build + scoring join).
     val bg = docs(spark, dir)
       .select(col("doc_id"),
-        explode(graft.expressions.WordShingles.shingles(col("text"), 2))
-          .as("bg"))
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("tf"))
+        explode(graft.expressions.ElementCounts.elementCounts(
+          graft.expressions.WordShingles.shingles(col("text"), 2)))
+          .as(Seq("bg", "tf")))
       .persist()
     bg.join(bigramModel(bg), Seq("bg"))
       .groupBy("doc_id")

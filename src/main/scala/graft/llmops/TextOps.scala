@@ -259,21 +259,26 @@ object TextOps {
     * (ties broken by total term frequency, then term). The vocabulary
     * report every corpus build starts from.
     *
-    * Shape: tokenize (native kernel, n=1), explode, ONE hash aggregate
-    * on the term computing tf=count(*) and df=count(distinct doc) via
-    * partial aggregation, then a 20-row TakeOrderedAndProject — no
-    * global sort. At 100 TB the term-key shuffle is the only wide stage
-    * and carries (term, partial counts); a skewed stopword term is
-    * still one reducer key whose partials were already combined
-    * map-side.
+    * Shape: tokenize + per-doc counts in ONE map stage (the native
+    * WordShingles and ElementCounts kernels), explode the count map,
+    * then a single term-key aggregate (tf = sum of pre-combined
+    * per-doc counts; df = row count, since the map emits one row per
+    * (doc, term) — no count_distinct Expand), then a 20-row
+    * TakeOrderedAndProject — no global sort. At 100 TB the term-key
+    * shuffle is the only wide stage and carries (term, partial
+    * counts); a skewed stopword term is still one reducer key whose
+    * partials were already combined map-side.
     */
   def qTopTerms(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
-        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
-          .as("term"))
+        explode(graft.expressions.ElementCounts.elementCounts(
+          graft.expressions.WordShingles.shingles(col("text"), 1)))
+          .as(Seq("term", "tf")))
+      // one row per (doc, term): tf sums the pre-combined counts and
+      // df is a plain count — no count_distinct Expand pass
       .groupBy("term")
-      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(20)
 
@@ -340,12 +345,14 @@ object TextOps {
     * libm and DuckDB, so idf is rounded to 6 decimals first).
     */
   private def tfidfWeights(d: DataFrame): DataFrame = {
+    // per-doc tf is row-local state: the ElementCounts kernel counts in
+    // the map stage and explode(map) emits (doc, term, tf) with NO
+    // (doc, term) aggregation shuffle
     val tf = d
       .select(col("lang"), col("source"), col("doc_id"),
-        explode(graft.expressions.WordShingles.shingles(col("text"), 1))
-          .as("term"))
-      .groupBy("lang", "source", "doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+        explode(graft.expressions.ElementCounts.elementCounts(
+          graft.expressions.WordShingles.shingles(col("text"), 1)))
+          .as(Seq("term", "tf")))
     val total = d.agg(count(lit(1)).as("n_total"))
     // tf is unique per (doc, term) by construction, so the document
     // frequency is a plain count — count_distinct here would plan an

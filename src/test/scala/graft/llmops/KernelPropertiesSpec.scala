@@ -151,6 +151,37 @@ class KernelPropertiesSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("ElementCounts: equals the explode/groupBy counts on real docs") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), WordShingles.shingles(col("text"), 2).as("bg"))
+    val kernel = d
+      .select(col("doc_id"),
+        explode(graft.expressions.ElementCounts.elementCounts(col("bg")))
+          .as(Seq("e", "c")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val grouped = d.select(col("doc_id"), explode(col("bg")).as("e"))
+      .groupBy("doc_id", "e").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(kernel.nonEmpty)
+    assert(kernel === grouped)
+    // null slots skipped; empty array -> empty map
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val edge = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq("a", null, "a", "b")), Row(Seq.empty[String]))),
+      StructType(Seq(StructField("arr",
+        ArrayType(StringType, containsNull = true)))))
+    val got = edge.select(
+      graft.expressions.ElementCounts.elementCounts(col("arr")).as("m"))
+      .collect().map(_.getMap[String, Long](0))
+    assert(got(0) === Map("a" -> 2L, "b" -> 1L))
+    assert(got(1).isEmpty)
+  }
+
   test("SparseDotMicros: equals the decimal-sum dot, incl. rounding") {
     import java.math.{BigDecimal => JBD, BigInteger}
     val cases = (1 to 60).map { _ =>
