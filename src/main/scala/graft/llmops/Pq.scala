@@ -173,8 +173,8 @@ object Pq {
       }
       d
     }
-    val dtabLit = array(dtab.map(row =>
-      array(row.map(lit): _*)): _*)
+    val dtabLit = array(dtab.toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit): _*)): _*)
     val score = (0 until cb.m).map(s =>
       element_at(element_at(dtabLit, s + 1),
         element_at(col("codes"), s + 1).cast("int") + 1))
@@ -197,7 +197,7 @@ object Pq {
       query: Array[Double], cb: Codebook,
       topK: Int = 10, pool: Int = 100): DataFrame = {
     val shortlist = adcSearch(codes, query, cb, pool).select("vec_id")
-    val qlit = array(query.map(lit): _*)
+    val qlit = array(query.toIndexedSeq.map(lit): _*)
     e.join(broadcast(shortlist), Seq("vec_id"))
       .select(col("vec_id"),
         round(l2sq(transform(col(vecCol), _.cast("double")), qlit), 6)
