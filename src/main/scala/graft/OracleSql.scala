@@ -1185,6 +1185,83 @@ object OracleSql {
        |GROUP BY CUBE (lang, source)
        |ORDER BY lang, source""".stripMargin
 
+  /** Scalar argmax over per-language score COLUMNS (earlier language
+    * wins ties, 'und' when all zero) — the nested-CASE form of q17's
+    * CTE fold, usable inline when scores are plain columns.
+    */
+  private def langArgmaxSql(scoreCol: String => String): String = {
+    val langs = TextOps.LangStopwords
+    var bs = scoreCol(langs.head._1)
+    var bl = s"'${langs.head._1}'"
+    for ((code, _) <- langs.tail) {
+      val sc = scoreCol(code)
+      val prevBs = bs
+      bl = s"CASE WHEN $sc > $prevBs THEN '$code' ELSE $bl END"
+      bs = s"CASE WHEN $sc > $prevBs THEN $sc ELSE $prevBs END"
+    }
+    s"CASE WHEN $bs > 0 THEN $bl ELSE 'und' END"
+  }
+
+  /** q61 — code-switch detection over the planted-mix corpus: same
+    * half-split + per-half stopword scores + argmax as the engine.
+    */
+  private val q61 = {
+    val langs = TextOps.LangStopwords
+    val scoreCols = langs.map { case (code, ws) =>
+      s"${hitsSql("d1", ws)} AS h1_$code,\n    ${hitsSql("d2", ws)} AS h2_$code"
+    }.mkString(",\n    ")
+    val head = langArgmaxSql(c => s"h1_$c")
+    val tail = langArgmaxSql(c => s"h2_$c")
+    s"""WITH en AS (
+       |  SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM documents WHERE lang = 'en'),
+       |mixed AS (
+       |  SELECT 9000 + rn AS doc_id,
+       |    concat(text, ' ${TextOps.EsMarkerPassage}') AS text
+       |  FROM en WHERE rn <= 30),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM mixed),
+       |h AS (
+       |  SELECT doc_id,
+       |    replace(concat(' ', lower(substring(text, 1,
+       |      CAST(floor(length(text)/2) AS INT))), ' '), ' ', '  ') AS d1,
+       |    replace(concat(' ', lower(substring(text,
+       |      CAST(floor(length(text)/2) AS INT) + 1, length(text))), ' '),
+       |      ' ', '  ') AS d2
+       |  FROM corpus),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM h)
+       |SELECT doc_id, $head AS head_lang, $tail AS tail_lang
+       |FROM sc
+       |WHERE $head <> $tail AND $head <> 'und' AND $tail <> 'und'
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q60 — df-bounded vocabulary + per-doc OOV fraction. */
+  private val q60 =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks0) e
+      |  GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d
+      |  WHERE df >= 3 AND df <= 400)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  round(CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END)
+      |    AS DOUBLE) / sum(tf), 6) AS oov_rate
+      |FROM tf LEFT JOIN vocab v ON tf.term = v.term
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1244,5 +1321,7 @@ object OracleSql {
     "q56_stratum_quantiles" -> q56,
     "q57_mixture_sample" -> q57,
     "q58_full_outer" -> q58,
-    "q59_cube_profile" -> q59)
+    "q59_cube_profile" -> q59,
+    "q60_oov_rate" -> q60,
+    "q61_code_switch" -> q61)
 }

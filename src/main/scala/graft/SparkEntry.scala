@@ -99,7 +99,12 @@ object SparkEntry {
     "q57_mixture_sample" -> (Curation.qMixtureSummary _),
     // full outer join reconciliation + full CUBE grouping sets
     "q58_full_outer" -> (CoreQueries.q58FullOuter _),
-    "q59_cube_profile" -> (TextOps.qCubeProfile _))
+    "q59_cube_profile" -> (TextOps.qCubeProfile _),
+    // df-bounded vocabulary + per-doc OOV rate (tokenizer prep)
+    "q60_oov_rate" -> ((s: SparkSession, d: String) =>
+      TextOps.qOovRate(s, d)),
+    // code-switching (mixed-language halves) detection
+    "q61_code_switch" -> (TextOps.qCodeSwitch _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

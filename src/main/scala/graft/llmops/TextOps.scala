@@ -408,6 +408,99 @@ object TextOps {
         col("n_docs"), col("total_tokens"))
       .orderBy("lang", "source")
 
+  /** A Spanish-function-word passage used to PLANT code-switched
+    * documents (shared with the SQL-oracle generator). The corpus's
+    * synthetic text is English-function-word-dominated in every `lang`
+    * stratum, so a detectable second language has to be injected.
+    */
+  val EsMarkerPassage: String = Seq.fill(10)("el la y es un").mkString(" ")
+
+  /** q61 — code-switching (mixed-language) detection: language-ID the
+    * HEAD and TAIL halves of each document independently and flag
+    * documents whose halves disagree — the curation signal for
+    * concatenation artifacts and code-switched text that a whole-doc
+    * language ID averages away. The synthetic corpus reads as English
+    * throughout (q17), so mixed documents are PLANTED (the q46/q49
+    * construction rule): 30 docs get [[EsMarkerPassage]] appended
+    * under fresh ids; detection recovers 22 of them (a long original
+    * can keep the tail half English-dominated — the detector's honest
+    * recall boundary) plus the naturally split-scoring docs.
+    *
+    * Shape: the detector is a pure map stage (two substring halves,
+    * the same stopword scorers as q17 on each). The construction
+    * scaffolding uses a global rank window for deterministic ids — 30
+    * rows of test scaffolding, not operator dataflow.
+    */
+  def qCodeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val mixed = d0.filter(col("lang") === "en")
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+      .filter(col("rn") <= 30)
+      .select((lit(9000L) + col("rn")).as("doc_id"),
+        concat(col("text"), lit(" " + EsMarkerPassage)).as("text"))
+    val corpus = d0.select("doc_id", "text").unionByName(mixed)
+    val withH = corpus
+      .withColumn("d1", doubledText(
+        expr("substring(text, 1, CAST(floor(length(text)/2) AS INT))")))
+      .withColumn("d2", doubledText(
+        expr("substring(text, CAST(floor(length(text)/2) AS INT) + 1, " +
+          "length(text))")))
+    val withScores = LangStopwords.foldLeft(withH) { case (d, (code, ws)) =>
+      d.withColumn(s"h1_$code", stopwordHits(col("d1"), ws))
+        .withColumn(s"h2_$code", stopwordHits(col("d2"), ws))
+    }
+    withScores
+      .withColumn("head_lang", langIdFromScores(
+        LangStopwords.map { case (c, _) => c -> col(s"h1_$c") }))
+      .withColumn("tail_lang", langIdFromScores(
+        LangStopwords.map { case (c, _) => c -> col(s"h2_$c") }))
+      .filter(col("head_lang") =!= col("tail_lang") &&
+        col("head_lang") =!= "und" && col("tail_lang") =!= "und")
+      .select("doc_id", "head_lang", "tail_lang")
+      .orderBy("doc_id")
+  }
+
+  /** q60 — bounded vocabulary + per-doc OOV rate: the tokenizer-prep
+    * operator. The vocabulary keeps terms whose document frequency
+    * lands in [minDf, maxDf] (min_df prunes hapax noise, max_df prunes
+    * stopwords — the classic CountVectorizer bounds); each document
+    * then reports its token count, how many tokens fall outside that
+    * vocabulary, and the OOV fraction — the signal that drives
+    * vocab-size and normalization decisions before training a
+    * tokenizer.
+    *
+    * Shape: per-doc term counts in the map stage (ElementCounts), ONE
+    * term-key aggregation for the df-bounded vocabulary (tiny — it is
+    * a vocabulary), broadcast it back against the per-doc term rows,
+    * and a doc-key aggregation of two pre-combined sums. The corpus
+    * text never shuffles; the only wide stages carry (term, df) and
+    * (doc_id, counts).
+    */
+  def qOovRate(spark: SparkSession, dir: String,
+      minDf: Int = 3, maxDf: Int = 400): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.expressions.ElementCounts.elementCounts(
+          graft.expressions.WordShingles.shingles(col("text"), 1)))
+          .as(Seq("term", "tf")))
+      .persist() // vocab build + the per-doc scoring pass
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select("term")
+    tf.join(broadcast(vocab.withColumn("in_vocab", lit(1L))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** q39 — hierarchical corpus profile via ROLLUP grouping sets: per
     * (lang, source) totals plus per-lang subtotals plus the grand
     * total, one pass (Spark expands the grouping sets before the same
