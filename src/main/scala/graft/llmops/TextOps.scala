@@ -89,16 +89,25 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist", "ein"),
     "es" -> Seq("el", "la", "y", "es", "un"))
 
-  /** Argmax fold over per-language score columns (earlier language wins
-    * ties). Pass ATTRIBUTES (materialized columns) as scores: the
-    * when-chain fold references each score several times, so a raw
-    * expression would be duplicated exponentially down the chain.
+  /** Argmax over per-language score columns (earlier language wins
+    * ties): max via `greatest`, label via a first-match when-chain on
+    * score == max — LINEAR expression size in the language count. (The
+    * previous struct-fold formulation duplicated the accumulated best
+    * twice per level — exponential expression size that cost ~15 s of
+    * codegen compilation once two argmaxes and a filter referenced it
+    * in one stage, q61.) Pass ATTRIBUTES (materialized columns) as
+    * scores: each score is still referenced twice.
     */
   def langIdFromScores(scores: Seq[(String, Column)]): Column = {
-    val best = scores.map { case (langCode, s) =>
-      struct(s.as("score"), lit(langCode).as("lang"))
-    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    require(scores.nonEmpty)
+    val best =
+      if (scores.size == 1) scores.head._2
+      else greatest(scores.map(_._2): _*)
+    val pick = scores.tail.foldLeft(
+      when(scores.head._2 === best, lit(scores.head._1))) {
+      case (acc, (langCode, s)) => acc.when(s === best, lit(langCode))
+    }
+    when(best > 0, pick).otherwise(lit("und"))
   }
 
   def langIdFromDoubled(doubled: Column): Column =
@@ -439,17 +448,31 @@ object TextOps {
       .select((lit(9000L) + col("rn")).as("doc_id"),
         concat(col("text"), lit(" " + EsMarkerPassage)).as("text"))
     val corpus = d0.select("doc_id", "text").unionByName(mixed)
+    // TWO materialization boundaries, one per fan-out level: without
+    // them CollapseProject cascades the halved/doubled text into all
+    // 40 stopword counters and the counters into both argmaxes and the
+    // filter — a ~700 KB physical plan re-deriving the string pipeline
+    // per reference (measured 8.7 s at sf0.1; with the boundaries,
+    // ~1.5 s). The persists are corpus-narrow (text-sized resp. 8
+    // longs per doc) and released by the caller's clearCache — the
+    // standard cache-lifetime contract (Dedup.nearDupPairs).
     val withH = corpus
       .withColumn("d1", doubledText(
         expr("substring(text, 1, CAST(floor(length(text)/2) AS INT))")))
       .withColumn("d2", doubledText(
         expr("substring(text, CAST(floor(length(text)/2) AS INT) + 1, " +
           "length(text))")))
+      .persist()
     val withScores = LangStopwords.foldLeft(withH) { case (d, (code, ws)) =>
       d.withColumn(s"h1_$code", stopwordHits(col("d1"), ws))
         .withColumn(s"h2_$code", stopwordHits(col("d2"), ws))
     }
-    withScores
+    val scored = withScores
+      .select(col("doc_id") +:
+        LangStopwords.flatMap { case (c, _) =>
+          Seq(col(s"h1_$c"), col(s"h2_$c")) }: _*)
+      .persist()
+    scored
       .withColumn("head_lang", langIdFromScores(
         LangStopwords.map { case (c, _) => c -> col(s"h1_$c") }))
       .withColumn("tail_lang", langIdFromScores(
