@@ -181,6 +181,26 @@ class PlanSpec extends SparkSpec {
     assert(p52.contains("partial_"), p52)
   }
 
+  test("q60: per-doc term counts come from the ElementCounts map stage") {
+    val df = graft.llmops.TextOps.qOovRate(spark, dir)
+    val p = plan(df)
+    spark.catalog.clearCache()
+    assert(p.contains("element_counts"), p)
+    assert(p.contains("Broadcast"), p) // vocab joins back by broadcast
+  }
+
+  test("q61: the text pipeline does not cascade into consumers") {
+    val df = graft.llmops.TextOps.qCodeSwitch(spark, dir)
+    val p = plan(df)
+    spark.catalog.clearCache()
+    // the halved/doubled text must be derived a bounded number of
+    // times, not once per stopword counter reference (the 700KB-plan
+    // regression this pins against)
+    val nSubstr = "substring\\(".r.findAllIn(p).size
+    assert(nSubstr <= 40, s"substring( appears $nSubstr times — inlining cascade")
+    assert(p.length < 120000, s"plan is ${p.length} chars")
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
