@@ -59,7 +59,18 @@ object StreamPipeline {
       filterNames: Seq[String],
       notifier: Notifier,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      validateBinding: Boolean = true): StreamingQuery = {
+    // pre-flight: every requested filter must bind against this
+    // stream's schema (the §3.1 name-binding step, checked BEFORE the
+    // query starts — a misconfigured filter list fails here with the
+    // missing columns named, not per micro-batch)
+    if (validateBinding) filterNames.foreach { n =>
+      val missing = graft.schema.AlertSchemas.missingColumns(stream.schema, n)
+      require(missing.isEmpty,
+        s"filter '$n' cannot bind against this stream: missing " +
+          missing.mkString(", "))
+    }
     var w = stream.writeStream.trigger(trigger)
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
