@@ -200,13 +200,20 @@ object Curation {
     * pack_id = partition << 32 | seq, unique across the corpus.
     */
   def packSequences(docs: DataFrame, maxTokens: Long,
-      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+      idCol: String = "doc_id", tokensCol: String = "n_tokens",
+      decreasing: Boolean = false): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     import docs.sparkSession.implicits._
-    docs
+    // decreasing = first-fit-DECREASING within the partition: sorting
+    // by size first is the classic bin-packing improvement (large docs
+    // claim packs early, small docs fill the tails) — better fill at
+    // the cost of losing the id-order locality of the default
+    val ordered = docs
       .select(col(idCol).cast("long"), col(tokensCol).cast("long"),
         spark_partition_id().cast("long").as("__pid"))
-      .sortWithinPartitions(idCol)
+    (if (decreasing)
+      ordered.sortWithinPartitions(col(tokensCol).desc, col(idCol))
+    else ordered.sortWithinPartitions(idCol))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         var packSeq = -1L

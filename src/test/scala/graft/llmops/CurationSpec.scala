@@ -130,6 +130,10 @@ class CurationSpec extends SparkSpec {
     assert(fill.sum / fill.length >= 0.6,
       s"mean fill ${fill.sum / fill.length}")
     packed.unpersist()
+    // first-fit-decreasing never needs MORE packs than id-order
+    val nFfd = Curation.packSequences(d, budget, decreasing = true)
+      .select("pack_id").distinct().count()
+    assert(nFfd <= packs.length, s"FFD $nFfd packs vs first-fit ${packs.length}")
   }
 
   test("bloom: no false negatives; bloomAntiJoin == plain left_anti") {
