@@ -1262,6 +1262,26 @@ object OracleSql {
       |FROM tf LEFT JOIN vocab v ON tf.term = v.term
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q62 — top-quartile-per-language by percent_rank on the BPE
+    * fragmentation score (same (score, doc_id) tie order).
+    */
+  private val q62 =
+    """WITH s AS (
+      |  SELECT lang, doc_id,
+      |    round(CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) / n_chars, 6) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, score,
+      |    percent_rank() OVER (PARTITION BY lang
+      |                         ORDER BY score, doc_id) AS pr
+      |  FROM s)
+      |SELECT lang, count(*) AS n_kept,
+      |  round(min(score), 6) AS score_floor,
+      |  round(max(score), 6) AS score_ceil
+      |FROM r WHERE pr <= 0.25
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1323,5 +1343,6 @@ object OracleSql {
     "q58_full_outer" -> q58,
     "q59_cube_profile" -> q59,
     "q60_oov_rate" -> q60,
-    "q61_code_switch" -> q61)
+    "q61_code_switch" -> q61,
+    "q62_quality_select" -> q62)
 }

@@ -104,7 +104,9 @@ object SparkEntry {
     "q60_oov_rate" -> ((s: SparkSession, d: String) =>
       TextOps.qOovRate(s, d)),
     // code-switching (mixed-language halves) detection
-    "q61_code_switch" -> (TextOps.qCodeSwitch _))
+    "q61_code_switch" -> (TextOps.qCodeSwitch _),
+    // relative-rank (percent_rank) top-quartile selection per stratum
+    "q62_quality_select" -> (Curation.qQualitySelect _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -227,6 +227,35 @@ object Curation {
       .toDF("pack_id", idCol, tokensCol)
   }
 
+  /** q62 — relative-rank selection: keep each language's top quartile
+    * by a quality proxy (BPE-token count per character — LOWER means
+    * less fragmented, more natural text, so it ranks higher),
+    * reporting per-language kept counts and the realized score
+    * boundary. Threshold-free selection ("best X% per
+    * stratum") is how mixed-quality corpora are cut when absolute
+    * score thresholds don't transfer across languages; the operator
+    * shape is a percent_rank window per stratum + filter — one
+    * stratum-key shuffle, window state = the stratum.
+    *
+    * Determinism: percent_rank ties on (score, doc_id), so ranks are
+    * unique; the ≤ 0.25 cut is exact in both engines.
+    */
+  def qQualitySelect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        round(TextOps.bpeTokenCount(col("text")).cast("double") /
+          col("n_chars"), 6).as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("score")), 6).as("score_floor"),
+        round(max(col("score")), 6).as("score_ceil"))
+      .orderBy("lang")
+  }
+
   /** Distributed bloom filter over a LONG key column, via Catalyst's
     * own `BloomFilterAggregate` — the machinery Spark's runtime
     * row-level filtering injects, driven here explicitly: partial
