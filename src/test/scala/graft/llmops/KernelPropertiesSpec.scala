@@ -128,6 +128,40 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("string kernels handle multi-byte text like the reference paths") {
+    import spark.implicits._
+    val texts = Seq(
+      "héllo wörld héllo wörld encore",       // latin diacritics
+      "日本語 テキスト の 分割 日本語 処理",     // CJK with spaces
+      "mixed ascii και ελληνικά και emoji 🚀 test",
+      "né break regular break")           // NBSP is NOT \s-matched ws
+    val df = texts.toDF("text")
+    // shingles(n=1) must round-trip the normalized text (byte-safe
+    // slicing would split codepoints)
+    val r = df.select(col("text"),
+      graft.expressions.WordShingles.shingles(col("text"), 1).as("t1"))
+      .collect()
+    r.foreach { row =>
+      val norm = row.getString(0).toLowerCase.replaceAll("\\s+", " ")
+      assert(row.getSeq[String](1).mkString(" ") === norm, row.getString(0))
+    }
+    // ElementCounts groups by full-codepoint equality
+    val counts = df
+      .select(explode(graft.expressions.ElementCounts.elementCounts(
+        graft.expressions.WordShingles.shingles(col("text"), 1)))
+        .as(Seq("t", "c")))
+      .groupBy("t").agg(sum("c").as("c")).collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(counts("héllo") === 2L && counts("日本語") === 2L)
+    // fingerprint: equal normalized text -> equal fp; distinct -> distinct
+    val fps = Seq("héllo  Wörld", "héllo wörld", "hello world")
+      .toDF("text")
+      .select(graft.llmops.TextOps.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(1) !== fps(2))
+  }
+
   test("IntersectCount: null slots follow array_intersect set semantics") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
