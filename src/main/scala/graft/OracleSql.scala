@@ -1282,6 +1282,35 @@ object OracleSql {
       |FROM r WHERE pr <= 0.25
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q63 — linear multi-touch attribution over the q44-style interval
+    * pairs: per-purchase equal split, credits rounded to 6 decimals in
+    * double then summed as decimals.
+    */
+  private val q63 =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id AS click_id, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS pts, value AS pvalue
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT p.purchase_id, p.pvalue, c.cts
+      |  FROM purch p JOIN clicks c
+      |    ON p.user_id = c.user_id
+      |   AND c.cts <= p.pts
+      |   AND c.cts >= p.pts - INTERVAL 1 HOUR),
+      |credited AS (
+      |  SELECT cts,
+      |    CAST(round(pvalue / (count(*) OVER (PARTITION BY purchase_id)), 6)
+      |      AS DECIMAL(18,6)) AS credit
+      |  FROM pairs)
+      |SELECT strftime(date_trunc('hour', cts), '%Y-%m-%d %H:%M:%S')
+      |    AS click_hour,
+      |  count(*) AS n_credited_clicks,
+      |  CAST(sum(credit) AS DOUBLE) AS credited_revenue
+      |FROM credited
+      |GROUP BY 1 ORDER BY click_hour""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1344,5 +1373,6 @@ object OracleSql {
     "q59_cube_profile" -> q59,
     "q60_oov_rate" -> q60,
     "q61_code_switch" -> q61,
-    "q62_quality_select" -> q62)
+    "q62_quality_select" -> q62,
+    "q63_linear_attribution" -> q63)
 }

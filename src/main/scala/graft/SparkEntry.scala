@@ -106,7 +106,10 @@ object SparkEntry {
     // code-switching (mixed-language halves) detection
     "q61_code_switch" -> (TextOps.qCodeSwitch _),
     // relative-rank (percent_rank) top-quartile selection per stratum
-    "q62_quality_select" -> (Curation.qQualitySelect _))
+    "q62_quality_select" -> (Curation.qQualitySelect _),
+    // multi-touch (linear) attribution over the interval-join pairs
+    "q63_linear_attribution" -> ((s: SparkSession, d: String) =>
+      EventQueries.q63LinearAttribution(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

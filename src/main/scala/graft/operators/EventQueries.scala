@@ -266,6 +266,47 @@ object EventQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** q63 — multi-touch (linear) attribution: each purchase's value is
+    * split EQUALLY across all clicks by the same user in the trailing
+    * hour, then credited revenue aggregates per click hour — the
+    * complement of q35's last-touch (winner-take-all) attribution and
+    * the standard marketing-mix shape.
+    *
+    * Shape: the [[intervalJoin]] bucket equi-join supplies the
+    * (purchase, click) pairs; the per-purchase click count comes from
+    * a window over the purchase key on those SAME pairs (no second
+    * join); credits are decimal-exact (value quantized before the
+    * split, credit = value/n rounded to a fixed scale so grouped sums
+    * are shuffle-order independent).
+    */
+  def q63LinearAttribution(spark: SparkSession, dir: String,
+      windowSeconds: Long = 3600): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value").as("pvalue"))
+    val pairs = intervalJoin(purchases, clicks, "user_id", "pts", "cts",
+      windowSeconds)
+    val wP = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wP))
+      // credit = round(value/n, 6) in IEEE double (identical in every
+      // engine for positive values), then decimal so the grouped sum
+      // is exact and shuffle-order independent
+      .withColumn("credit",
+        round(col("pvalue") / col("n_touch"), 6).cast("decimal(18,6)"))
+      .groupBy(date_format(date_trunc("hour", col("cts")),
+        "yyyy-MM-dd HH:mm:ss").as("click_hour"))
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        sum(col("credit")).cast("double").as("credited_revenue"))
+      .orderBy("click_hour")
+  }
+
   /** Gap-based session ids: the lag-flag + running-sum labeling shared
     * by q38 and q48 — one user-key shuffle, session ids dense 1..k per
     * user in (ts, event_id) order.
