@@ -209,6 +209,25 @@ object DriveVerify {
         s"mean fill ${stats.getAs[Any](1)}")
     }
 
+    // sketches: HLL distinct profile + CMS point queries
+    {
+      val ev = graft.operators.CoreQueries.events(spark, "/root/testdata/sf0.001")
+      graft.llmops.Sketches.hllDistinctPerKey(ev, "event_type", "user_id")
+        .select("event_type", "distinct_est").show(5, false)
+      val cms = graft.llmops.Sketches.tokenCms(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      println("CMS estimates: " + graft.llmops.Sketches
+        .cmsEstimate(cms, Seq("row", "table", "value")).toSeq.sorted
+        .map { case (t, c) => s"$t=$c" }.mkString(", "))
+    }
+
+    // temporal analytics: multi-touch attribution + quality selection
+    {
+      val sf = "/root/testdata/sf0.001"
+      graft.operators.EventQueries.q63LinearAttribution(spark, sf).show(3, false)
+      graft.llmops.Curation.qQualitySelect(spark, sf).show(5, false)
+    }
+
     // PQ: train-encode-search on the real embeddings
     {
       val emb = spark.read
