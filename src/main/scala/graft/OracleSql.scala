@@ -1311,6 +1311,20 @@ object OracleSql {
       |FROM credited
       |GROUP BY 1 ORDER BY click_hour""".stripMargin
 
+  /** q64 — TPC-H Q5 shape (local-supplier revenue per nation). */
+  private val q64 =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE c_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1374,5 +1388,6 @@ object OracleSql {
     "q60_oov_rate" -> q60,
     "q61_code_switch" -> q61,
     "q62_quality_select" -> q62,
-    "q63_linear_attribution" -> q63)
+    "q63_linear_attribution" -> q63,
+    "q64_revenue_cycle" -> q64)
 }

@@ -109,7 +109,9 @@ object SparkEntry {
     "q62_quality_select" -> (Curation.qQualitySelect _),
     // multi-touch (linear) attribution over the interval-join pairs
     "q63_linear_attribution" -> ((s: SparkSession, d: String) =>
-      EventQueries.q63LinearAttribution(s, d)))
+      EventQueries.q63LinearAttribution(s, d)),
+    // TPC-H Q5-shaped cyclic join (local-supplier revenue)
+    "q64_revenue_cycle" -> (CoreQueries.q64RevenueCycle _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -256,6 +256,43 @@ object CoreQueries {
       .orderBy("nationkey")
   }
 
+  /** q64 — TPC-H Q5 shape: local-supplier revenue per nation. The join
+    * topology is CYCLIC — lineitem joins orders (via customer) AND
+    * supplier, with the constraint that the customer's and supplier's
+    * nations coincide — which is the classic join-order stress: the
+    * cycle cannot be composed away into one snowflake (q3's trick).
+    *
+    * Shape: both dimension paths (orders⋈customer → per-order nation;
+    * supplier → per-supplier nation) pre-compose and BROADCAST; the
+    * fact table probes twice in one stage and the nation-equality
+    * cycle closes as a cheap post-join filter — lineitem still never
+    * shuffles. At warehouse scale the larger build side becomes the
+    * one co-shuffled join, same as q3's rule.
+    */
+  def q64RevenueCycle(spark: SparkSession, dir: String): DataFrame = {
+    val n = table(spark, dir, "nation").select("n_nationkey", "n_name")
+    val custNation = table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(broadcast(table(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("cust_nk"),
+        col("n_name"))
+    val suppNation = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nk"))
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(custNation), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nk") === col("supp_nk"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")
