@@ -1325,6 +1325,21 @@ object OracleSql {
       |WHERE c_nationkey = s_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q65 — correlated-scalar-subquery mirror (same multiplicative
+    * exact-decimal threshold).
+    */
+  private val q65 =
+    """SELECT p_brand, count(*) AS n_above,
+      |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 6) AS avg_above_price
+      |FROM part p
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+      |      (SELECT count(*) FROM part i WHERE i.p_brand = p.p_brand) >
+      |      (SELECT sum(CAST(p_retailprice AS DECIMAL(18,2)))
+      |       FROM part i WHERE i.p_brand = p.p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1389,5 +1404,6 @@ object OracleSql {
     "q61_code_switch" -> q61,
     "q62_quality_select" -> q62,
     "q63_linear_attribution" -> q63,
-    "q64_revenue_cycle" -> q64)
+    "q64_revenue_cycle" -> q64,
+    "q65_sql_surface" -> q65)
 }

@@ -111,7 +111,9 @@ object SparkEntry {
     "q63_linear_attribution" -> ((s: SparkSession, d: String) =>
       EventQueries.q63LinearAttribution(s, d)),
     // TPC-H Q5-shaped cyclic join (local-supplier revenue)
-    "q64_revenue_cycle" -> (CoreQueries.q64RevenueCycle _))
+    "q64_revenue_cycle" -> (CoreQueries.q64RevenueCycle _),
+    // full-SQL surface: correlated scalar subqueries (decorrelated)
+    "q65_sql_surface" -> (CoreQueries.q65SqlSurface _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -293,6 +293,34 @@ object CoreQueries {
       .orderBy("n_name")
   }
 
+  /** q65 — the SQL surface (O4) with a CORRELATED SCALAR SUBQUERY:
+    * parts priced above their brand's average retail price, via
+    * `spark.sql` over registered views — the full-SQL entry point a
+    * reference user reaches with `df.filter("...")` strings, here
+    * exercising Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery turns the per-row subquery into
+    * a brand-key aggregate + join — the plan a hand-written groupBy +
+    * join would produce, for free from the optimizer).
+    */
+  def q65SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("graft_part")
+    // "price > brand average" stated MULTIPLICATIVELY (price·n > Σ) so
+    // both sides are exact decimals — an avg() threshold would hang the
+    // row-level comparison on an order-dependent double division
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_above,
+        |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_above_price
+        |FROM graft_part p
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM graft_part i
+        |       WHERE i.p_brand = p.p_brand) >
+        |      (SELECT sum(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM graft_part i WHERE i.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")
