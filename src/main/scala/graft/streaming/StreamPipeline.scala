@@ -36,6 +36,24 @@ object StreamPipeline {
       counts.merge(filterName, passing.count(), (a, b) => a + b)
   }
 
+  /** Durable fan-out: passing alerts append to
+    * `basePath/topic=<filter>/` — the file-based analog of the
+    * broker's per-science-topic Kafka fan-out (a Kafka notifier swaps
+    * in by writing the same DataFrame to a topic; downstream consumers
+    * read their topic directory with partition pruning on `topic=`).
+    * Filter names sanitize to directory-safe form (dots → dashes).
+    */
+  class ParquetTopicNotifier(basePath: String,
+      selectColumns: Seq[String] = Seq.empty) extends Notifier {
+    def notify(filterName: String, batchId: Long, passing: DataFrame): Unit = {
+      val topic = filterName.replace('.', '-')
+      val out =
+        if (selectColumns.nonEmpty) passing.selectExpr(selectColumns: _*)
+        else passing
+      out.write.mode("append").parquet(s"$basePath/topic=$topic")
+    }
+  }
+
   /** Parquet-directory alert stream (the broker replays alert batches as
     * files; Kafka swaps in via `format("kafka")` + avro deserialization
     * without touching anything downstream).

@@ -31,6 +31,26 @@ class StreamAndPipelineSpec extends SparkSpec {
     assert(notifier.counts.get("ztf.livestream.kn_candidates") === 2L)
   }
 
+  test("parquet topic fan-out: passing alerts land per topic directory") {
+    val batch = SparkSpec.ztfRegular
+    val stream = StreamPipeline.readParquetStream(
+      spark, "/root/reference/datatest/regular", batch.schema)
+    val base = Files.createTempDirectory("graft-topics").toString
+    val notifier = new StreamPipeline.ParquetTopicNotifier(
+      base, selectColumns = Seq("objectId", "candid"))
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    val q = StreamPipeline.run(stream,
+      Seq("ztf.quality_cuts", "ztf.livestream.sn_candidates"),
+      notifier, checkpointDir = Some(ckpt))
+    q.awaitTermination(120000)
+    val qc = spark.read.parquet(s"$base/topic=ztf-quality_cuts")
+    val sn = spark.read.parquet(s"$base/topic=ztf-livestream-sn_candidates")
+    assert(qc.count() === 133L)
+    assert(sn.count() === 7L)
+    assert(qc.columns.toSeq === Seq("objectId", "candid"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("anomaly pipeline: distributed top-k with per-object dedup") {
     val df = spark.read.option("mergeSchema", "true")
       .parquet("/root/reference/datatest/regular")
