@@ -1340,6 +1340,81 @@ object OracleSql {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** q66 — gaps-and-islands mirror: same `day_ordinal − row_number`
+    * island key over distinct (user, day).
+    */
+  private val q66 =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', d)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, count(*) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS best_streak,
+      |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id HAVING max(len) >= 3
+      |ORDER BY user_id""".stripMargin
+
+  /** q67 — INTERSECT / EXCEPT audience-overlap mirror. */
+  private val q67 =
+    """WITH c AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT * FROM (
+      |  SELECT 'both' AS cohort, count(*) AS n_users
+      |  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |  UNION ALL
+      |  SELECT 'click_only', count(*)
+      |  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |  UNION ALL
+      |  SELECT 'purchase_only', count(*)
+      |  FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
+      |ORDER BY cohort""".stripMargin
+
+  /** q68 — triangle-count mirror: same sampled bipartite projection,
+    * ordered edge list, wedge join + closing-edge check.
+    */
+  private val q68 =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      |  FROM lineitem WHERE l_suppkey % 7 = 0),
+      |e AS (
+      |  SELECT a.supp AS u, b.supp AS v
+      |  FROM ps a JOIN ps b ON a.part = b.part AND a.supp < b.supp
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (
+      |  SELECT e1.u AS a, e2.u AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT s_suppkey, count(*) AS n_triangles FROM (
+      |  SELECT a AS s_suppkey FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q69 — ntile-decile mirror (same composite order key, same
+    * exact-decimal mean).
+    */
+  private val q69 =
+    """WITH t AS (
+      |  SELECT o_orderpriority AS priority, o_totalprice,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT priority, decile, count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 6) AS avg_price
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1405,5 +1480,9 @@ object OracleSql {
     "q62_quality_select" -> q62,
     "q63_linear_attribution" -> q63,
     "q64_revenue_cycle" -> q64,
-    "q65_sql_surface" -> q65)
+    "q65_sql_surface" -> q65,
+    "q66_streaks" -> q66,
+    "q67_set_ops" -> q67,
+    "q68_triangles" -> q68,
+    "q69_value_deciles" -> q69)
 }

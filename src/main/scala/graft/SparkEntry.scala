@@ -113,7 +113,15 @@ object SparkEntry {
     // TPC-H Q5-shaped cyclic join (local-supplier revenue)
     "q64_revenue_cycle" -> (CoreQueries.q64RevenueCycle _),
     // full-SQL surface: correlated scalar subqueries (decorrelated)
-    "q65_sql_surface" -> (CoreQueries.q65SqlSurface _))
+    "q65_sql_surface" -> (CoreQueries.q65SqlSurface _),
+    // gaps-and-islands day streaks (HAVING over window islands)
+    "q66_streaks" -> (EventQueries.q66Streaks _),
+    // INTERSECT / EXCEPT set operators (audience overlap)
+    "q67_set_ops" -> (EventQueries.q67SetOps _),
+    // triangle counting over a derived co-supply graph
+    "q68_triangles" -> (operators.GraphQueries.q68Triangles _),
+    // ntile equi-population deciles per priority
+    "q69_value_deciles" -> (ExtraQueries.q69ValueDeciles _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -390,4 +390,63 @@ object EventQueries {
           lit(1))).as("n_converted"))
       .orderBy("user_id")
   }
+
+  /** q66 — gaps-and-islands: per user, runs of CONSECUTIVE active days
+    * (days with >= 1 event) and the best streak — the engagement-streak
+    * statistic. The classic formulation: distinct (user, day), a
+    * per-user row_number over days, and `day_ordinal - row_number` as
+    * the island key (constant within a gap-free run, strictly
+    * increasing across gaps).
+    *
+    * Shape: the distinct and both aggregations all key on user (the
+    * window rides the same exchange), so the whole query is one
+    * user-key shuffle over (user, day) pairs — days per user, never
+    * events per user, flow into the window state. Reported only for
+    * users with a streak >= 3 to keep the result the "interesting"
+    * cohort (the filter is on an aggregate, i.e. HAVING).
+    */
+  def q66Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = CoreQueries.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("island",
+        datediff(col("d"), lit("2024-01-01")) - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("best_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .filter(col("best_streak") >= 3)
+      .orderBy("user_id")
+  }
+
+  /** q67 — set operators (INTERSECT / EXCEPT): the click/purchase
+    * audience overlap. `intersect` and `except` are their own logical
+    * operators (Catalyst plans them as distinct + left-semi/left-anti
+    * hash joins — both sides shuffle once on the full row as the key),
+    * distinct from the column-predicate semi/anti joins of q10/q43
+    * where only the probe key is compared.
+    *
+    * Scale shape: the inputs are already distinct user-id sets (the
+    * per-type distinct collapses events to users map-side first), so
+    * the set ops shuffle 8-byte keys; the three branches reuse the
+    * same two inputs and AQE plans each tiny count independently.
+    */
+  def q67SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val clickers = users("click")
+    val buyers = users("purchase")
+    def branch(label: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("cohort"), col("n_users"))
+    branch("both", clickers.intersect(buyers))
+      .unionByName(branch("click_only", clickers.except(buyers)))
+      .unionByName(branch("purchase_only", buyers.except(clickers)))
+      .orderBy("cohort")
+  }
 }

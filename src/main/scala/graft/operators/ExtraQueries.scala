@@ -128,4 +128,33 @@ object ExtraQueries {
       .orderBy(col("value").desc, col("event_id"))
       .limit(10)
   }
+
+  /** q69 — ntile deciles: order-value decile profile per order
+    * priority. `ntile(10)` is the equi-POPULATION bucketing (exactly
+    * balanced row counts, data-dependent boundaries) — the complement
+    * of q55's equi-quantile boundaries and q62's percent_rank: the
+    * three relative-rank operators a quality-binning pipeline mixes.
+    *
+    * Scale shape: the window partitions by priority, so each decile
+    * assignment is a per-priority sort inside one exchange — never a
+    * global single-partition sort (the classic ntile scale trap; an
+    * UNpartitioned ntile serializes the corpus through one task). The
+    * (ts, id)-style composite order key (totalprice, orderkey) makes
+    * tile membership deterministic under ties, which is what lets two
+    * engines agree bucket-exactly.
+    */
+  def q69ValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority").as("priority"), col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_price"))
+      .orderBy("priority", "decile")
+  }
 }

@@ -245,6 +245,23 @@ object DriveVerify {
         s"top-5 for vec 0: " +
         top.collect().map(r => s"${r.getLong(0)}").mkString(","))
     }
+
+    // round-4 additions: streaks, set ops, triangles, ntile deciles
+    {
+      val sf = "/root/testdata/sf0.001"
+      graft.operators.EventQueries.q66Streaks(spark, sf).show(3, false)
+      graft.operators.EventQueries.q67SetOps(spark, sf).show(false)
+      val tri = graft.operators.GraphQueries.q68Triangles(spark, sf)
+      println(s"triangles: ${tri.count()} participating suppliers")
+      tri.show(3, false)
+      graft.operators.ExtraQueries.q69ValueDeciles(spark, sf).show(3, false)
+      // plan check: the decile window must be hash-partitioned (no
+      // single-partition global sort)
+      val plan = graft.operators.ExtraQueries.q69ValueDeciles(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(o_orderpriority"),
+        "q69 window is not partition-parallel")
+    }
     spark.stop()
   }
 }
