@@ -1415,6 +1415,19 @@ object OracleSql {
       |    / count(*), 6) AS avg_price
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q70 — the DIRECT (non-incremental) formulation: the oracle
+    * deliberately takes the other evaluation path, so the hash-match
+    * proves partial-aggregate mergeability end to end.
+    */
+  private val q70 =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1484,5 +1497,6 @@ object OracleSql {
     "q66_streaks" -> q66,
     "q67_set_ops" -> q67,
     "q68_triangles" -> q68,
-    "q69_value_deciles" -> q69)
+    "q69_value_deciles" -> q69,
+    "q70_incremental_rollup" -> q70)
 }

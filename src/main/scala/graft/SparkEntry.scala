@@ -121,7 +121,11 @@ object SparkEntry {
     // triangle counting over a derived co-supply graph
     "q68_triangles" -> (operators.GraphQueries.q68Triangles _),
     // ntile equi-population deciles per priority
-    "q69_value_deciles" -> (ExtraQueries.q69ValueDeciles _))
+    "q69_value_deciles" -> (ExtraQueries.q69ValueDeciles _),
+    // incremental aggregate maintenance (mergeable partials, oracle
+    // takes the direct path — the match proves mergeability)
+    "q70_incremental_rollup" -> ((s: SparkSession, d: String) =>
+      EventQueries.q70IncrementalRollup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -398,12 +398,15 @@ object EventQueries {
     * the island key (constant within a gap-free run, strictly
     * increasing across gaps).
     *
-    * Shape: the distinct and both aggregations all key on user (the
-    * window rides the same exchange), so the whole query is one
-    * user-key shuffle over (user, day) pairs — days per user, never
-    * events per user, flow into the window state. Reported only for
-    * users with a streak >= 3 to keep the result the "interesting"
-    * cohort (the filter is on an aggregate, i.e. HAVING).
+    * Shape: two exchanges, each earning its place. The distinct
+    * shuffles on (user, day) WITH map-side partial dedup — the wire
+    * carries each partition's distinct day pairs, never the raw
+    * events (a user-only repartition-first variant would be one
+    * exchange but ship every event row). The window then re-keys the
+    * deduped pairs (tiny: days per user) on user alone, and both
+    * rollup aggregations reuse that clustering (hashpartitioning on
+    * user satisfies clustering on (user, island)). Reported only for
+    * users with a streak >= 3 (the filter is on an aggregate — HAVING).
     */
   def q66Streaks(spark: SparkSession, dir: String): DataFrame = {
     val days = CoreQueries.events(spark, dir)
@@ -448,5 +451,43 @@ object EventQueries {
       .unionByName(branch("click_only", clickers.except(buyers)))
       .unionByName(branch("purchase_only", buyers.except(clickers)))
       .orderBy("cohort")
+  }
+
+  /** q70 — INCREMENTAL AGGREGATION MAINTENANCE: the production shape
+    * where a per-(type, day) aggregate TABLE is maintained as batches
+    * land, and reports roll up from the stored partials — the corpus
+    * is never re-scanned. Here the landed partial table is simulated
+    * by aggregating events before the cutoff day, the fresh batch is
+    * the raw events at/after it; the merge is `union + re-aggregate`,
+    * which is exactly why the partials must be MERGEABLE aggregates:
+    * count/sum merge by sum, min/max by min/max, and the day count
+    * rides for free because day is a grain key of the partial table.
+    *
+    * The oracle computes the same report DIRECTLY from all raw events
+    * — the hash-match of the two paths is the algebraic proof that
+    * the incremental path loses nothing. (A non-mergeable statistic —
+    * a median, a distinct count kept as a scalar — would fail exactly
+    * this check; at scale those ride as sketches, cf. llmops.Sketches'
+    * HLL union.)
+    */
+  def q70IncrementalRollup(spark: SparkSession, dir: String,
+      cutoff: String = "2024-03-01"): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value").cast("decimal(18,2)").as("v"))
+    def partials(raw: DataFrame): DataFrame = raw
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val landedAgg = partials(ev.filter(col("d") < lit(cutoff)))
+    val freshAgg = partials(ev.filter(col("d") >= lit(cutoff)))
+    landedAgg.unionByName(freshAgg)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("total_value"),
+        min(col("mn")).cast("double").as("min_value"),
+        max(col("mx")).cast("double").as("max_value"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
   }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-4 operators on CRAFTED inputs with hand-derivable answers:
+  * gaps-and-islands streaks (q66), INTERSECT/EXCEPT set ops (q67),
+  * triangle counting (q68), ntile deciles (q69). The sf0.01 oracle
+  * gate checks engine parity; these pin the SEMANTICS on graphs and
+  * sequences small enough to verify by hand.
+  */
+class GraphAndStreaksSpec extends SparkSpec {
+
+  private def ts(day: Int, h: Int = 12): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("q66 island key: runs of consecutive days split on gaps") {
+    import spark.implicits._
+    // user 1: days 1,2,3 then 5,6 → best 3, two islands, 5 active
+    // user 2: days 2,4,6 → three singleton islands, filtered (best < 3)
+    // user 3: days 1..4 with a duplicate event on day 2 → best 4
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(5)), (1L, ts(6)),
+      (2L, ts(2)), (2L, ts(4)), (2L, ts(6)),
+      (3L, ts(1)), (3L, ts(2)), (3L, ts(2, 18)), (3L, ts(3)), (3L, ts(4))
+    ).toDF("user_id", "ts")
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+    val got = days
+      .withColumn("island",
+        datediff(col("d"), lit("2024-01-01")) - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("best"), count(lit(1)).as("n"),
+        sum(col("len")).as("active"))
+      .filter(col("best") >= 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((3L, 2L, 5L)), 3L -> ((4L, 1L, 4L))))
+  }
+
+  test("q67 set ops: intersect/except partition the union exactly") {
+    import spark.implicits._
+    val clicks = Seq(1L, 2L, 3L, 4L).toDF("user_id")
+    val buys = Seq(3L, 4L, 5L).toDF("user_id")
+    assert(clicks.intersect(buys).collect().map(_.getLong(0)).sorted
+      === Array(3L, 4L))
+    assert(clicks.except(buys).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    assert(buys.except(clicks).collect().map(_.getLong(0)).sorted
+      === Array(5L))
+  }
+
+  test("triangles: K4 has 4, each vertex in 3; square+diagonal has 2") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: parts p1..p6 each shared by one pair, twice
+    // (minShared = 2) → all 6 edges; C(4,3) = 4 triangles, each vertex
+    // participates in C(3,2) = 3.
+    val k4pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val ps = k4pairs.zipWithIndex.flatMap { case ((u, v), i) =>
+      // two distinct parts per pair → co-supply strength 2
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("part", "supp")
+    val edges = GraphQueries.coSupplyEdges(ps, minShared = 2L)
+    assert(edges.count() === 6)
+    val e1 = edges.select(col("u").as("u1"), col("v").as("v1"))
+    val e2 = edges.select(col("u").as("u2"), col("v").as("v2"))
+    val e3 = edges.select(col("u").as("u3"), col("v").as("v3"))
+    val tri = e1.join(e2, col("v1") === col("u2"))
+      .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
+    assert(tri.count() === 4)
+
+    // square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and (1,3,4)
+    val sqPairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val ps2 = sqPairs.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("part", "supp")
+    val edges2 = GraphQueries.coSupplyEdges(ps2, minShared = 2L)
+    val f1 = edges2.select(col("u").as("u1"), col("v").as("v1"))
+    val f2 = edges2.select(col("u").as("u2"), col("v").as("v2"))
+    val f3 = edges2.select(col("u").as("u3"), col("v").as("v3"))
+    val tri2 = f1.join(f2, col("v1") === col("u2"))
+      .join(f3, col("u3") === col("u1") && col("v3") === col("v2"))
+      .select(col("u1"), col("u2"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(tri2.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
+  }
+
+  test("coSupplyEdges: strength threshold prunes 1-part co-occurrence") {
+    import spark.implicits._
+    val ps = Seq((100L, 1L), (100L, 2L), // share ONE part only
+      (200L, 2L), (200L, 3L), (201L, 2L), (201L, 3L)).toDF("part", "supp")
+    val e = GraphQueries.coSupplyEdges(ps, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq === Seq((2L, 3L)))
+  }
+
+  test("q69 ntile: 25 rows over 10 tiles → sizes 3,3,3,3,3,2,2,2,2,2") {
+    import spark.implicits._
+    val orders = (1 to 25).map(i =>
+      (i.toLong, "P", i * 10.0)).toDF("o_orderkey", "o_orderpriority",
+      "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val sizes = orders.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile").count().orderBy("decile")
+      .collect().map(_.getLong(1))
+    assert(sizes.toSeq === Seq(3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L))
+  }
+}

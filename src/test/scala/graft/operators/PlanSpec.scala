@@ -201,6 +201,35 @@ class PlanSpec extends SparkSpec {
     assert(p.length < 120000, s"plan is ${p.length} chars")
   }
 
+  test("q66: streaks = dedup exchange + ONE shared user-key exchange") {
+    val p = plan(EventQueries.q66Streaks(spark, dir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // exchange 1: the distinct, partial-deduped map-side, keyed
+    // (user, day); exchange 2: the window re-key on user, which both
+    // downstream aggregations then reuse (clustering satisfied) — a
+    // third exchange would mean the rollups stopped sharing it
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(finalPlan).length
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(finalPlan.contains("partial_"), p) // map-side dedup before wire
+  }
+
+  test("q68: triangle joins are hash equi-joins, never nested loops") {
+    val p = plan(GraphQueries.q68Triangles(spark, dir))
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q69/q70: partitioned ntile window; mergeable-rollup partial aggs") {
+    val p69 = plan(ExtraQueries.q69ValueDeciles(spark, dir))
+    assert(p69.contains("hashpartitioning(o_orderpriority"),
+      s"ntile window must be partition-parallel:\n$p69")
+    val p70 = plan(EventQueries.q70IncrementalRollup(spark, dir))
+    assert(p70.contains("partial_"), p70) // map-side combine both stages
+    assert(!p70.contains("CartesianProduct"), p70)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
