@@ -7,24 +7,31 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.expressions._
 
-/** SQL surface for the native kernels: registers them as functions so
-  * `spark.sql("SELECT word_shingles(text), simhash64(toks) ...")` works
-  * — the idiomatic `SparkSessionExtensions` route (SURVEY §7.3: custom
-  * Catalyst `Expression`s, option (b); no custom plans/strategies are
-  * needed anywhere in this engine, the DataFrame algebra covers every
-  * whole-operator semantic).
+/** SQL surface for the native kernels plus the engine's optimizer
+  * rule: registers the kernels as functions so `spark.sql("SELECT
+  * word_shingles(text), simhash64(toks) ...")` works, and injects
+  * [[graft.plans.ZonePruneRule]] so naive spatial cross-match
+  * predicates gain the |Δdec| zone prune automatically — the
+  * idiomatic `SparkSessionExtensions` route (SURVEY §7.3: custom
+  * Catalyst `Expression`s, option (b), plus one `Rule[LogicalPlan]`,
+  * option (c); no custom plans/STRATEGIES are needed anywhere in this
+  * engine, the DataFrame algebra covers every whole-operator
+  * semantic).
   *
   * Two entry points:
   *  - session builder: `.withExtensions(new GraftExtensions)` or
   *    `spark.sql.extensions=graft.GraftExtensions`;
   *  - existing session: `GraftExtensions.register(spark)` (same
-  *    builders via the session's function registry).
+  *    builders via the session's function registry, the rule via
+  *    `experimental.extraOptimizations`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ZonePruneRule)
+  }
 }
 
 object GraftExtensions {
@@ -110,14 +117,28 @@ object GraftExtensions {
         case Seq(ak, av, bk, bv) => SparseDotMicros(ak, av, bk, bv)
         case _ => throw new IllegalArgumentException(
           "sparse_dot_micros(aKeys, aVals, bKeys, bVals)")
+      }),
+    ("angular_separation",
+      info("angular_separation", "angular_separation(ra1, dec1, ra2, " +
+        "dec2) - haversine great-circle separation in degrees"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, c, d) => AngularSeparation(a, b, c, d)
+        case _ => throw new IllegalArgumentException(
+          "angular_separation(ra1, dec1, ra2, dec2)")
       }))
 
   /** Register on an ALREADY-RUNNING session (extensions only apply at
     * session construction).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ZonePruneRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ZonePruneRule
+    }
+  }
 }

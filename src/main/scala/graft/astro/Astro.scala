@@ -20,14 +20,19 @@ object Astro {
   /** Great-circle angular separation in DEGREES between two points given in
     * degrees, via the haversine formula (numerically stable at small
     * separations, which is the cross-match regime).
+    *
+    * Since round 4 this builds the single native
+    * [[graft.expressions.AngularSeparation]] node (bit-identical
+    * arithmetic — the kernel mirrors the composed formula operation
+    * for operation) rather than a 15-node sin/cos/asin tree: one
+    * codegen call, and a shape [[graft.plans.ZonePruneRule]] can
+    * pattern-match to inject the |Δdec| zone prune into naive
+    * cross-match joins.
     */
-  def angSepDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
-    val dra = (ra2 - ra1) * D2R / 2.0
-    val ddec = (dec2 - dec1) * D2R / 2.0
-    val a = pow(sin(ddec), 2) +
-      cos(dec1 * D2R) * cos(dec2 * D2R) * pow(sin(dra), 2)
-    asin(sqrt(a)) * 2.0 / D2R
-  }
+  def angSepDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column =
+    graft.expressions.AngularSeparation.angularSeparation(
+      ra1.cast("double"), dec1.cast("double"),
+      ra2.cast("double"), dec2.cast("double"))
 
   // North galactic pole, J2000 (Perryman & ESA 1997): used by astropy's
   // ICRS->Galactic frame rotation.

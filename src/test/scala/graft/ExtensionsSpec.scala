@@ -148,4 +148,70 @@ class ExtensionsSpec extends SparkSpec {
   test("the extensions class applies cleanly to a fresh injection point") {
     new GraftExtensions()(new SparkSessionExtensions)
   }
+
+  test("angular_separation kernel: SQL == Column == composed formula") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0, 0.0, 1.0), (10.0, -30.0, 11.0, -30.5),
+      (359.9, 10.0, 0.1, 10.0), (192.85948, 27.12825, 266.405, -28.936),
+      (123.456, 45.678, 123.456, 45.678))
+      .toDF("ra1", "dec1", "ra2", "dec2")
+    // the pre-round-4 composed-Column tree, re-built inline: the kernel
+    // must reproduce it BIT-exactly (oracle + golden-count contract)
+    val d2r = math.Pi / 180.0
+    val dra = (col("ra2") - col("ra1")) * d2r / 2.0
+    val ddec = (col("dec2") - col("dec1")) * d2r / 2.0
+    val composed = asin(sqrt(pow(sin(ddec), 2) +
+      cos(col("dec1") * d2r) * cos(col("dec2") * d2r) * pow(sin(dra), 2)
+    )) * 2.0 / d2r
+    val cmp = pts
+      .withColumn("k", graft.astro.Astro.angSepDeg(
+        col("ra1"), col("dec1"), col("ra2"), col("dec2")))
+      .withColumn("c", composed)
+      .selectExpr("angular_separation(ra1, dec1, ra2, dec2) AS s", "k", "c")
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+    // 1 degree along a meridian is exactly 1 degree of separation
+    assert(math.abs(cmp(0).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("ZonePruneRule injects |Δdec| bound into a naive xmatch join") {
+    import spark.implicits._
+    val ev = (0L until 200L).map(i =>
+      (i, (i * 7919 % 3600) / 10.0, (i * 104729 % 1200) / 10.0 - 60.0))
+      .toDF("id", "ra", "dec")
+    val cat = Seq((1L, 10.0, 5.0), (2L, 200.0, -40.0), (3L, 355.0, 55.0))
+      .toDF("cat_id", "cra", "cdec")
+    // NAIVE user formulation: separation bound only, no hand prune
+    val sep = graft.astro.Astro.angSepDeg(
+      col("ra"), col("dec"), col("cra"), col("cdec"))
+    val joined = ev.join(broadcast(cat), sep < 15.0)
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs("), s"zone prune missing:\n$optimized")
+    assert(optimized.contains("15.001"), s"margin missing:\n$optimized")
+    // idempotent: the rule runs every optimizer round — exactly one
+    // zone conjunct per bound, not one per round
+    val nAbs = "abs\\(".r.findAllMatchIn(optimized).length
+    assert(nAbs === 1, s"expected 1 zone conjunct, got $nAbs:\n$optimized")
+    // semantics preserved: same pairs as the un-pruned cross product
+    val naive = ev.crossJoin(broadcast(cat))
+      .filter(graft.astro.Astro.angSepDeg(
+        col("ra"), col("dec"), col("cra"), col("cdec")) < 15.0)
+    assert(joined.count() === naive.count())
+    assert(joined.count() > 0)
+  }
+
+  test("ZonePruneRule leaves non-spatial predicates untouched") {
+    import spark.implicits._
+    val a = Seq((1L, 2.0)).toDF("k", "x")
+    val b = Seq((1L, 3.0)).toDF("k2", "y")
+    val j = a.join(b, col("x") < col("y") && col("k") === col("k2"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("abs("), opt)
+    assert(j.count() === 1)
+  }
 }
