@@ -262,6 +262,31 @@ object DriveVerify {
       assert(plan.contains("hashpartitioning(o_orderpriority"),
         "q69 window is not partition-parallel")
     }
+
+    // ZonePruneRule: a NAIVE user cross-match (no hand prune) gains
+    // the |Δdec| bound automatically once extensions are registered
+    {
+      import org.apache.spark.sql.functions.broadcast
+      val ev = spark.read
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"),
+          (pmod(col("event_id") * 7919L, lit(3600L)) / 10.0).as("ra"),
+          (pmod(col("event_id") * 104729L, lit(1200L)) / 10.0 - 60.0)
+            .as("dec"))
+      val cat = spark.read
+        .parquet("/root/testdata/sf0.001/nation.parquet")
+        .select(col("n_nationkey").as("cat_id"),
+          (pmod((col("n_nationkey") + 1L) * 7919L, lit(3600L)) / 10.0)
+            .as("cra"),
+          (pmod((col("n_nationkey") + 1L) * 104729L, lit(1200L)) / 10.0
+            - 60.0).as("cdec"))
+      val naive = ev.join(broadcast(cat), graft.astro.Astro.angSepDeg(
+        col("ra"), col("dec"), col("cra"), col("cdec")) < 15.0)
+      val opt = naive.queryExecution.optimizedPlan.toString
+      assert(opt.contains("abs(") && opt.contains("15.001"),
+        s"zone prune not injected:\n$opt")
+      println(s"zone-pruned naive xmatch matches: ${naive.count()} pairs")
+    }
     spark.stop()
   }
 }

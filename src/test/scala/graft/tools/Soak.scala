@@ -79,6 +79,41 @@ object Soak {
       graft.operators.EventQueries.q48SessionFunnel(spark, soakDir) }
     onBig("q52 retention 10x") {
       graft.operators.EventQueries.q52RetentionCohorts(spark, soakDir) }
+    onBig("q66 streaks 10x") {
+      graft.operators.EventQueries.q66Streaks(spark, soakDir) }
+    onBig("q70 incremental rollup 10x") {
+      graft.operators.EventQueries.q70IncrementalRollup(spark, soakDir) }
+
+    // triangle counting at 10× vertices: id-shifted lineitem copies
+    // give 10 disjoint co-supply graphs — the vertex axis scales, the
+    // per-graph density (the wedge fan-out driver) stays fixed
+    {
+      val li0 = graft.operators.CoreQueries
+        .table(spark, "/root/testdata/sf0.1", "lineitem")
+        .select("l_partkey", "l_suppkey")
+      val bigLi = (0 until 10).map { k =>
+        li0.select((col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      val liDir = java.nio.file.Files
+        .createTempDirectory("graft_soak_li").toString
+      bigLi.withColumn("l_orderkey", lit(0L))
+        .withColumn("l_linenumber", lit(1))
+        .withColumn("l_quantity", lit(1.0))
+        .withColumn("l_extendedprice", lit(1.0))
+        .withColumn("l_discount", lit(0.0))
+        .withColumn("l_tax", lit(0.0))
+        .withColumn("l_returnflag", lit("N"))
+        .withColumn("l_linestatus", lit("O"))
+        .withColumn("l_shipdate",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .write.mode("overwrite").parquet(s"$liDir/lineitem.parquet")
+      onBig("q68 triangles 10x (10 disjoint co-supply graphs)") {
+        graft.operators.GraphQueries.q68Triangles(spark, liDir) }
+      spark.catalog.clearCache() // release the edge-list persist
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(liDir))
+    }
 
     // LM scoring + bloom decontamination on the 10× document corpus
     // (write the corpus so the query mains run unmodified against it)
