@@ -1428,6 +1428,17 @@ object OracleSql {
       |  count(DISTINCT CAST(ts AS DATE)) AS n_days
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q71 — same NOT IN statement: DuckDB applies the same three-valued
+    * NOT IN semantics, so the two engines agree by the SQL standard.
+    */
+  private val q71 =
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_nationkey NOT IN
+      |  (SELECT s_nationkey FROM supplier WHERE s_acctbal < 500.0)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1498,5 +1509,6 @@ object OracleSql {
     "q67_set_ops" -> q67,
     "q68_triangles" -> q68,
     "q69_value_deciles" -> q69,
-    "q70_incremental_rollup" -> q70)
+    "q70_incremental_rollup" -> q70,
+    "q71_notin_nullaware" -> q71)
 }

@@ -125,7 +125,9 @@ object SparkEntry {
     // incremental aggregate maintenance (mergeable partials, oracle
     // takes the direct path — the match proves mergeability)
     "q70_incremental_rollup" -> ((s: SparkSession, d: String) =>
-      EventQueries.q70IncrementalRollup(s, d)))
+      EventQueries.q70IncrementalRollup(s, d)),
+    // NOT IN subquery: the null-aware anti join (three-valued logic)
+    "q71_notin_nullaware" -> (CoreQueries.q71NotInNullAware _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

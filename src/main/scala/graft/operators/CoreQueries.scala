@@ -321,6 +321,35 @@ object CoreQueries {
         |ORDER BY p_brand""".stripMargin)
   }
 
+  /** q71 — NOT IN (subquery), i.e. the NULL-AWARE anti join: nations
+    * whose supplier pool has nobody under the account-balance floor,
+    * counted by customer. `NOT IN` is NOT the q43 anti join — its
+    * three-valued logic (one NULL in the subquery annuls EVERY row;
+    * a NULL probe is never emitted) forces Catalyst to plan a
+    * NullAwareAntiJoin (broadcast, with the single-null fast path)
+    * instead of a plain LeftAnti. The subquery here is null-free, so
+    * the RESULT equals the anti join — but the plan is the null-aware
+    * operator, which is the point: the engine offers the full SQL
+    * semantics, and the oracle (same SQL, same three-valued rules)
+    * agrees on the same parquet.
+    *
+    * Scale shape: the subquery side is a filtered dimension scan
+    * (KB) — broadcast; the probe never shuffles. A fact-sized NOT IN
+    * would be restated as a LEFT OUTER + null filter with an explicit
+    * null guard, exactly like production SQL style guides demand.
+    */
+  def q71NotInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    table(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM graft_customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT s_nationkey FROM graft_supplier WHERE s_acctbal < 500.0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")

@@ -230,6 +230,14 @@ class PlanSpec extends SparkSpec {
     assert(!p70.contains("CartesianProduct"), p70)
   }
 
+  test("q71: NOT IN plans as the NULL-AWARE broadcast anti join") {
+    val p = plan(CoreQueries.q71NotInNullAware(spark, dir))
+    // 'LeftAnti, BuildRight, true' — the trailing flag is
+    // isNullAwareAntiJoin: the single-null-annuls-all fast path that
+    // distinguishes NOT IN from q43's plain anti join
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
