@@ -1439,6 +1439,16 @@ object OracleSql {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** q72 — the PLAIN join: salting on the Spark side must not change
+    * one bit of the aggregate.
+    */
+  private val q72 =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1510,5 +1520,6 @@ object OracleSql {
     "q68_triangles" -> q68,
     "q69_value_deciles" -> q69,
     "q70_incremental_rollup" -> q70,
-    "q71_notin_nullaware" -> q71)
+    "q71_notin_nullaware" -> q71,
+    "q72_salted_join" -> q72)
 }

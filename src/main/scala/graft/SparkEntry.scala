@@ -127,7 +127,9 @@ object SparkEntry {
     "q70_incremental_rollup" -> ((s: SparkSession, d: String) =>
       EventQueries.q70IncrementalRollup(s, d)),
     // NOT IN subquery: the null-aware anti join (three-valued logic)
-    "q71_notin_nullaware" -> (CoreQueries.q71NotInNullAware _))
+    "q71_notin_nullaware" -> (CoreQueries.q71NotInNullAware _),
+    // known-skew salted join (deterministic salt; oracle runs plain)
+    "q72_salted_join" -> (operators.Skew.q72SaltedJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -31,4 +31,28 @@ object Skew {
       explode(array((0 until factor).map(lit(_)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** q72 — the salted join as an oracle-gated query: per-nation
+    * revenue through a lineitem ⋈ supplier SALTED 8 ways (shuffle
+    * join forced — broadcast disabled would be the production setting
+    * for this shape; here the salt itself widens the key space so the
+    * planner's choice is exercised on (key, salt)). The DuckDB oracle
+    * runs the PLAIN join — the hash-match is the proof that salting
+    * changes the schedule, never the result (the property SkewSpec
+    * pins row-wise, restated here value-exactly through the gate).
+    */
+  def q72SaltedJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = CoreQueries.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = CoreQueries.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    saltedJoin(li, supp, "suppkey", col("l_orderkey"), factor = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
 }

@@ -287,6 +287,13 @@ object DriveVerify {
         s"zone prune not injected:\n$opt")
       println(s"zone-pruned naive xmatch matches: ${naive.count()} pairs")
     }
+
+    // NOT IN null-aware anti join + salted skew join
+    {
+      val sf = "/root/testdata/sf0.001"
+      graft.operators.CoreQueries.q71NotInNullAware(spark, sf).show(3, false)
+      graft.operators.Skew.q72SaltedJoin(spark, sf).show(3, false)
+    }
     spark.stop()
   }
 }
