@@ -1,8 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -24,7 +23,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * [[graft.plans.ZonePruneRule]].
   */
 case class AngularSeparation(ra1: Expression, dec1: Expression,
-    ra2: Expression, dec2: Expression) extends QuaternaryExpression {
+    ra2: Expression, dec2: Expression) extends QuaternaryExpression
+    with ImplicitCastInputTypes {
 
   override def first: Expression = ra1
   override def second: Expression = dec1
@@ -34,14 +34,11 @@ case class AngularSeparation(ra1: Expression, dec1: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "angular_separation"
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = children.forall(_.dataType == DoubleType)
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires four double inputs (ra1, dec1, ra2, dec2 " +
-        s"in degrees), got " +
-        children.map(_.dataType.catalogString).mkString(", "))
-  }
+  // int/float/decimal ra/dec coerce to double exactly like the
+  // composed-Column formula (and every Spark math builtin) would
+  // (Seq[DataType] covariantly overrides Seq[AbstractDataType] —
+  // AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
 
   override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     AngularSeparation.compute(a.asInstanceOf[Double], b.asInstanceOf[Double],

@@ -408,23 +408,33 @@ object EventQueries {
     * user satisfies clustering on (user, island)). Reported only for
     * users with a streak >= 3 (the filter is on an aggregate — HAVING).
     */
-  def q66Streaks(spark: SparkSession, dir: String): DataFrame = {
-    val days = CoreQueries.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
+  /** Per-key day-streak statistics over any (key, timestamp) stream:
+    * `best_streak` (longest run of consecutive active days),
+    * `n_streaks`, `active_days` — the reusable gaps-and-islands
+    * operator behind q66 (crafted-input specs drive THIS function, so
+    * they pin the shipped dataflow, not a copy).
+    */
+  def dayStreaks(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", epoch: String = "2024-01-01"): DataFrame = {
+    val days = events
+      .select(col(keyCol), to_date(col(tsCol)).as("d"))
       .distinct()
-    val w = Window.partitionBy("user_id").orderBy("d")
+    val w = Window.partitionBy(keyCol).orderBy("d")
     days
       .withColumn("island",
-        datediff(col("d"), lit("2024-01-01")) - row_number().over(w))
-      .groupBy("user_id", "island")
+        datediff(col("d"), lit(epoch)) - row_number().over(w))
+      .groupBy(col(keyCol), col("island"))
       .agg(count(lit(1)).as("len"))
-      .groupBy("user_id")
+      .groupBy(keyCol)
       .agg(max(col("len")).as("best_streak"),
         count(lit(1)).as("n_streaks"),
         sum(col("len")).as("active_days"))
+  }
+
+  def q66Streaks(spark: SparkSession, dir: String): DataFrame =
+    dayStreaks(CoreQueries.events(spark, dir))
       .filter(col("best_streak") >= 3)
       .orderBy("user_id")
-  }
 
   /** q67 — set operators (INTERSECT / EXCEPT): the click/purchase
     * audience overlap. `intersect` and `except` are their own logical
@@ -479,15 +489,23 @@ object EventQueries {
       .groupBy("event_type", "d")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // null days (null ts) must land in exactly ONE side or the
+    // incremental path silently diverges from the direct aggregation
+    // (a null fails BOTH d < cutoff and d >= cutoff); they ride with
+    // the fresh batch and form their own null-day partial group
     val landedAgg = partials(ev.filter(col("d") < lit(cutoff)))
-    val freshAgg = partials(ev.filter(col("d") >= lit(cutoff)))
+    val freshAgg = partials(ev.filter(
+      col("d") >= lit(cutoff) || col("d").isNull))
     landedAgg.unionByName(freshAgg)
       .groupBy("event_type")
       .agg(sum(col("n")).as("n_events"),
         sum(col("sv")).cast("double").as("total_value"),
         min(col("mn")).cast("double").as("min_value"),
         max(col("mx")).cast("double").as("max_value"),
-        count(lit(1)).as("n_days"))
+        // count(d), not count(*): a null-day partial group (null ts
+        // events) is not a day — matching COUNT(DISTINCT day) on the
+        // direct path, which ignores nulls
+        count(col("d")).as("n_days"))
       .orderBy("event_type")
   }
 }

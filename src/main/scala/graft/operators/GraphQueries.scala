@@ -54,23 +54,37 @@ object GraphQueries {
     * threshold and vertex sampling bound. Each side projects distinct
     * scratch names before joining, so no shared-lineage ambiguity.
     */
+  /** Every triangle of an undirected `(u, v)` edge list (u < v each
+    * edge, each triangle once) as ordered `(a, b, c)`, a < b < c: the
+    * wedge join `e1.v = e2.u` enumerates each ordered path, the third
+    * join checks the closing edge. The three references to `edges`
+    * share one aggregation subtree, which Spark's ReuseExchange
+    * dedupes — no caller-visible persist (a persist here would leak a
+    * cached relation into the caller's session for its lifetime).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("u").as("u1"), col("v").as("v1"))
+    val e2 = edges.select(col("u").as("u2"), col("v").as("v2"))
+    val e3 = edges.select(col("u").as("u3"), col("v").as("v3"))
+    e1.join(e2, col("v1") === col("u2"))                 // wedge u<v<w
+      .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
+      .select(col("u1").as("a"), col("u2").as("b"), col("v2").as("c"))
+  }
+
+  /** Per-vertex triangle participation counts over [[triangles]]. */
+  def triangleParticipation(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("n_triangles"))
+
   def q68Triangles(spark: SparkSession, dir: String): DataFrame = {
     val ps = CoreQueries.table(spark, dir, "lineitem")
       .filter(pmod(col("l_suppkey"), lit(7L)) === 0L)
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
       .distinct()
-    val e = coSupplyEdges(ps, minShared = 2L).persist()
-    val e1 = e.select(col("u").as("u1"), col("v").as("v1"))
-    val e2 = e.select(col("u").as("u2"), col("v").as("v2"))
-    val e3 = e.select(col("u").as("u3"), col("v").as("v3"))
-    val triangles = e1
-      .join(e2, col("v1") === col("u2"))                 // wedge u<v<w
-      .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
-      .select(col("u1").as("a"), col("u2").as("b"), col("v2").as("c"))
-    triangles
-      .select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
-      .groupBy("s_suppkey")
-      .agg(count(lit(1)).as("n_triangles"))
+    triangleParticipation(coSupplyEdges(ps, minShared = 2L))
+      .select(col("vertex").as("s_suppkey"), col("n_triangles"))
       .orderBy("s_suppkey")
   }
 }

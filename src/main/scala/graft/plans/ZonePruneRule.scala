@@ -80,14 +80,41 @@ object ZonePruneRule extends Rule[LogicalPlan] with PredicateHelper {
   private def zonePredicate(s: AngularSeparation, r: Double): Expression =
     LessThanOrEqual(Abs(Subtract(s.dec1, s.dec2)), Literal(r + Eps))
 
+  /** Does `cond` already bound |dec1 − dec2| (either operand order,
+    * any literal bound)? Covers both a prior injection and the
+    * engine's hand-written prunes (which use strict `<` with the
+    * margin baked in, e.g. q11's `abs(dec − cdec) < 15.001` — not
+    * `semanticEquals` to the injected `<=` form, but just as
+    * redundant to duplicate).
+    */
+  private def hasZoneBound(conjuncts: Seq[Expression],
+      s: AngularSeparation): Boolean = {
+    def sameDecs(a: Expression, b: Expression): Boolean =
+      (a.semanticEquals(s.dec1) && b.semanticEquals(s.dec2)) ||
+        (a.semanticEquals(s.dec2) && b.semanticEquals(s.dec1))
+    conjuncts.exists {
+      case LessThan(Abs(Subtract(a, b, _), _), DoubleLit(_)) => sameDecs(a, b)
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), DoubleLit(_)) =>
+        sameDecs(a, b)
+      case _ => false
+    }
+  }
+
   /** Conjoin missing zone predicates; zone-first so the cheap bound
-    * short-circuits ahead of the trig it guards.
+    * short-circuits ahead of the trig it guards. Nondeterministic
+    * declination arguments are skipped — re-evaluating them in the
+    * injected conjunct would draw new values and could disagree with
+    * the original predicate (the same `deterministic` guard Catalyst's
+    * own inference rules apply).
     */
   private def rewrite(cond: Expression): Expression = {
     val conjuncts = splitConjunctivePredicates(cond)
     val missing = conjuncts.collect {
-      case SepBound(s, r) => zonePredicate(s, r)
-    }.filterNot(z => conjuncts.exists(_.semanticEquals(z)))
+      case SepBound(s, r)
+          if s.dec1.deterministic && s.dec2.deterministic &&
+            !hasZoneBound(conjuncts, s) =>
+        zonePredicate(s, r)
+    }
     if (missing.isEmpty) cond
     else missing.foldRight(cond)(And(_, _))
   }

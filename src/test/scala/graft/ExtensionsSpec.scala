@@ -9,10 +9,23 @@ import graft.llmops.Similarity
 /** The SQL function surface must evaluate through the same kernels as
   * the Column API — each function is checked SQL-vs-Column on real
   * fixture data.
+  *
+  * `register` now also mutates the session OPTIMIZER (ZonePruneRule);
+  * the suite removes the rule again in afterAll so plan-sensitive
+  * suites sharing `SparkSpec.session` see the same optimizer whether
+  * or not this suite ran before them (no test-order dependence).
   */
-class ExtensionsSpec extends SparkSpec {
+class ExtensionsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   GraftExtensions.register(spark)
+
+  override protected def afterAll(): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.ZonePruneRule)
+    super.afterAll()
+  }
 
   private lazy val docs = {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -203,6 +216,29 @@ class ExtensionsSpec extends SparkSpec {
         col("ra"), col("dec"), col("cra"), col("cdec")) < 15.0)
     assert(joined.count() === naive.count())
     assert(joined.count() > 0)
+  }
+
+  test("ZonePruneRule skips nondeterministic inputs and hand-pruned joins") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0)).toDF("ra", "dec")
+    // nondeterministic dec argument: re-evaluating it in an injected
+    // conjunct would draw a different value and could drop rows — the
+    // rule must leave the predicate alone
+    val jittered = pts.filter(graft.astro.Astro.angSepDeg(
+      col("ra"), col("dec") + (rand() - 0.5) * 0.01,
+      lit(0.0), lit(1.0)) < 5.0)
+    assert(!jittered.queryExecution.optimizedPlan.toString.contains("abs("))
+    // hand-pruned (q11 style, strict < with baked-in margin): already
+    // zone-bounded — the rule must not stack a second abs conjunct
+    val cat = Seq((1L, 0.5, 0.5)).toDF("cat_id", "cra", "cdec")
+    val hand = pts.join(broadcast(cat),
+      abs(col("dec") - col("cdec")) < 5.001 &&
+        graft.astro.Astro.angSepDeg(
+          col("ra"), col("dec"), col("cra"), col("cdec")) < 5.0)
+    val nAbs = "abs\\(".r
+      .findAllMatchIn(hand.queryExecution.optimizedPlan.toString).length
+    assert(nAbs === 1, s"rule stacked a duplicate zone bound ($nAbs)")
+    assert(hand.count() === 1)
   }
 
   test("ZonePruneRule leaves non-spatial predicates untouched") {

@@ -20,28 +20,18 @@ class GraphAndStreaksSpec extends SparkSpec {
   test("q66 island key: runs of consecutive days split on gaps") {
     import spark.implicits._
     // user 1: days 1,2,3 then 5,6 → best 3, two islands, 5 active
-    // user 2: days 2,4,6 → three singleton islands, filtered (best < 3)
+    // user 2: days 2,4,6 → three singleton islands (best 1)
     // user 3: days 1..4 with a duplicate event on day 2 → best 4
     val ev = Seq(
       (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(5)), (1L, ts(6)),
       (2L, ts(2)), (2L, ts(4)), (2L, ts(6)),
       (3L, ts(1)), (3L, ts(2)), (3L, ts(2, 18)), (3L, ts(3)), (3L, ts(4))
     ).toDF("user_id", "ts")
-    val days = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("d")
-    val got = days
-      .withColumn("island",
-        datediff(col("d"), lit("2024-01-01")) - row_number().over(w))
-      .groupBy("user_id", "island")
-      .agg(count(lit(1)).as("len"))
-      .groupBy("user_id")
-      .agg(max(col("len")).as("best"), count(lit(1)).as("n"),
-        sum(col("len")).as("active"))
-      .filter(col("best") >= 3)
+    val got = EventQueries.dayStreaks(ev)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
-    assert(got === Map(1L -> ((3L, 2L, 5L)), 3L -> ((4L, 1L, 4L))))
+    assert(got === Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 3L, 3L)),
+      3L -> ((4L, 1L, 4L))))
   }
 
   test("q67 set ops: intersect/except partition the union exactly") {
@@ -69,25 +59,18 @@ class GraphAndStreaksSpec extends SparkSpec {
     }.toDF("part", "supp")
     val edges = GraphQueries.coSupplyEdges(ps, minShared = 2L)
     assert(edges.count() === 6)
-    val e1 = edges.select(col("u").as("u1"), col("v").as("v1"))
-    val e2 = edges.select(col("u").as("u2"), col("v").as("v2"))
-    val e3 = edges.select(col("u").as("u3"), col("v").as("v3"))
-    val tri = e1.join(e2, col("v1") === col("u2"))
-      .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
-    assert(tri.count() === 4)
+    assert(GraphQueries.triangles(edges).count() === 4)
+    val participation = GraphQueries.triangleParticipation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(participation === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
 
     // square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and (1,3,4)
     val sqPairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
     val ps2 = sqPairs.zipWithIndex.flatMap { case ((u, v), i) =>
       Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
     }.toDF("part", "supp")
-    val edges2 = GraphQueries.coSupplyEdges(ps2, minShared = 2L)
-    val f1 = edges2.select(col("u").as("u1"), col("v").as("v1"))
-    val f2 = edges2.select(col("u").as("u2"), col("v").as("v2"))
-    val f3 = edges2.select(col("u").as("u3"), col("v").as("v3"))
-    val tri2 = f1.join(f2, col("v1") === col("u2"))
-      .join(f3, col("u3") === col("u1") && col("v3") === col("v2"))
-      .select(col("u1"), col("u2"), col("v2"))
+    val tri2 = GraphQueries
+      .triangles(GraphQueries.coSupplyEdges(ps2, minShared = 2L))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(tri2.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
   }

@@ -53,9 +53,16 @@ object Soak {
     // the keys, same per-key density — the scale axis that matters for
     // the single user-key exchange). Materialized as a parquet dir so
     // the REAL query mains run unmodified against it.
+    // temp dirs are also removed by shutdown hook so a mid-soak failure
+    // (OOM, executor loss) cannot leak multi-hundred-MB copies in /tmp
+    def tempDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      d.toString
+    }
     val ev0 = graft.operators.CoreQueries.events(spark, "/root/testdata/sf0.1")
-    val soakDir = java.nio.file.Files
-      .createTempDirectory("graft_soak_events").toString
+    val soakDir = tempDir("graft_soak_events")
     (0 until 10).map { k =>
       ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
         col("ts"),
@@ -95,30 +102,28 @@ object Soak {
         li0.select((col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"))
       }.reduce(_ unionByName _)
-      val liDir = java.nio.file.Files
-        .createTempDirectory("graft_soak_li").toString
-      bigLi.withColumn("l_orderkey", lit(0L))
-        .withColumn("l_linenumber", lit(1))
-        .withColumn("l_quantity", lit(1.0))
-        .withColumn("l_extendedprice", lit(1.0))
-        .withColumn("l_discount", lit(0.0))
-        .withColumn("l_tax", lit(0.0))
-        .withColumn("l_returnflag", lit("N"))
-        .withColumn("l_linestatus", lit("O"))
-        .withColumn("l_shipdate",
-          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .write.mode("overwrite").parquet(s"$liDir/lineitem.parquet")
-      onBig("q68 triangles 10x (10 disjoint co-supply graphs)") {
-        graft.operators.GraphQueries.q68Triangles(spark, liDir) }
-      spark.catalog.clearCache() // release the edge-list persist
-      org.apache.commons.io.FileUtils
+      val liDir = tempDir("graft_soak_li")
+      try {
+        bigLi.withColumn("l_orderkey", lit(0L))
+          .withColumn("l_linenumber", lit(1))
+          .withColumn("l_quantity", lit(1.0))
+          .withColumn("l_extendedprice", lit(1.0))
+          .withColumn("l_discount", lit(0.0))
+          .withColumn("l_tax", lit(0.0))
+          .withColumn("l_returnflag", lit("N"))
+          .withColumn("l_linestatus", lit("O"))
+          .withColumn("l_shipdate",
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .write.mode("overwrite").parquet(s"$liDir/lineitem.parquet")
+        onBig("q68 triangles 10x (10 disjoint co-supply graphs)") {
+          graft.operators.GraphQueries.q68Triangles(spark, liDir) }
+      } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(liDir))
     }
 
     // LM scoring + bloom decontamination on the 10× document corpus
     // (write the corpus so the query mains run unmodified against it)
-    val docDir = java.nio.file.Files
-      .createTempDirectory("graft_soak_docs").toString
+    val docDir = tempDir("graft_soak_docs")
     big.write.mode("overwrite").parquet(s"$docDir/documents.parquet")
     onBig("q53 bigram-LM score 10x") {
       graft.llmops.LmOps.q53LmScore(spark, docDir) }
