@@ -1449,6 +1449,33 @@ object OracleSql {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** q73 — same q38/q48 session CTE, sequence via ordered string_agg,
+    * same regex.
+    */
+  private val q73 =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    sum(CASE WHEN prev_ts IS NULL
+      |          OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)),
+      |seqs AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  count(*) FILTER (WHERE regexp_matches(seq,
+      |    'view.*click.*purchase')) AS n_matched
+      |FROM seqs GROUP BY user_id
+      |HAVING count(*) FILTER (WHERE regexp_matches(seq,
+      |  'view.*click.*purchase')) > 0
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1521,5 +1548,6 @@ object OracleSql {
     "q69_value_deciles" -> q69,
     "q70_incremental_rollup" -> q70,
     "q71_notin_nullaware" -> q71,
-    "q72_salted_join" -> q72)
+    "q72_salted_join" -> q72,
+    "q73_sequence_pattern" -> q73)
 }

@@ -129,7 +129,11 @@ object SparkEntry {
     // NOT IN subquery: the null-aware anti join (three-valued logic)
     "q71_notin_nullaware" -> (CoreQueries.q71NotInNullAware _),
     // known-skew salted join (deterministic salt; oracle runs plain)
-    "q72_salted_join" -> (operators.Skew.q72SaltedJoin _))
+    "q72_salted_join" -> (operators.Skew.q72SaltedJoin _),
+    // MATCH_RECOGNIZE-style in-session sequence pattern (regex over
+    // the ordered per-session type sequence)
+    "q73_sequence_pattern" -> ((s: SparkSession, d: String) =>
+      EventQueries.q73SequencePattern(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

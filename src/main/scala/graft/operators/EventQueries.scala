@@ -463,6 +463,43 @@ object EventQueries {
       .orderBy("cohort")
   }
 
+  /** q73 — ordered SEQUENCE-PATTERN matching within sessions: users
+    * with a session whose event sequence contains the subsequence
+    * view → click → purchase (in that order, other events freely
+    * interleaved) — MATCH_RECOGNIZE-style behavioral pattern mining,
+    * phrased for a shuffle engine: the session's event types collapse
+    * to ONE ordered string per session (array_sort over (ts, event_id,
+    * type) structs — the engine-wide composite order key — then
+    * project + join), and the pattern is a regex over that string.
+    *
+    * Scale shape: rides the q38/q48 single user-key exchange; per-
+    * session state is the type sequence (bounded by session length,
+    * never corpus length), and the regex runs codegen'd per session
+    * row. A pattern over a 100 TB stream is exactly this: sessionize,
+    * collapse, match — never a self-join per pattern step (the k-step
+    * pattern as k-way join explodes combinatorially; q48's funnel is
+    * the 2-scalar special case that avoids even the sequence string).
+    */
+  def q73SequencePattern(spark: SparkSession, dir: String,
+      gapSeconds: Long = 6 * 3600,
+      pattern: String = "view.*click.*purchase"): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val sessions = withSessionIds(ev, gapSeconds)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+    sessions
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("seq").rlike(pattern), lit(1))).as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy("user_id")
+  }
+
   /** q70 — INCREMENTAL AGGREGATION MAINTENANCE: the production shape
     * where a per-(type, day) aggregate TABLE is maintained as batches
     * land, and reports roll up from the stored partials — the corpus

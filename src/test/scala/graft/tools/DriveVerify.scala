@@ -288,11 +288,12 @@ object DriveVerify {
       println(s"zone-pruned naive xmatch matches: ${naive.count()} pairs")
     }
 
-    // NOT IN null-aware anti join + salted skew join
+    // NOT IN null-aware anti join + salted skew join + sequence pattern
     {
       val sf = "/root/testdata/sf0.001"
       graft.operators.CoreQueries.q71NotInNullAware(spark, sf).show(3, false)
       graft.operators.Skew.q72SaltedJoin(spark, sf).show(3, false)
+      graft.operators.EventQueries.q73SequencePattern(spark, sf).show(3, false)
     }
     spark.stop()
   }
