@@ -84,6 +84,34 @@ class GraphAndStreaksSpec extends SparkSpec {
     assert(e.toSeq === Seq((2L, 3L)))
   }
 
+  test("q73 sequence pattern: subsequence order, gaps split, ties by id") {
+    import spark.implicits._
+    def t(h: Int, m: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1, one session: view, (error), click, purchase → matches
+    // user 2, one session: purchase, click, view → wrong order, no match
+    // user 3: view+click in session 1, purchase 10h later (new session
+    //         at 6h gap) → neither session matches
+    // user 4: simultaneous ts, event_id breaks the tie → view(1),
+    //         click(2), purchase(3) matches
+    val ev = Seq(
+      (1L, 1L, t(1), "view"), (2L, 1L, t(2), "error"),
+      (3L, 1L, t(3), "click"), (4L, 1L, t(4), "purchase"),
+      (5L, 2L, t(1), "purchase"), (6L, 2L, t(2), "click"),
+      (7L, 2L, t(3), "view"),
+      (8L, 3L, t(1), "view"), (9L, 3L, t(2), "click"),
+      (10L, 3L, t(12), "purchase"),
+      (11L, 4L, t(1), "view"), (12L, 4L, t(1), "click"),
+      (13L, 4L, t(1), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    ev.write.mode("overwrite")
+      .parquet("/tmp/graft_q73_spec/events.parquet")
+    val got = EventQueries.q73SequencePattern(spark, "/tmp/graft_q73_spec")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(1L -> ((1L, 1L)), 4L -> ((1L, 1L))))
+  }
+
   test("q69 ntile: 25 rows over 10 tiles → sizes 3,3,3,3,3,2,2,2,2,2") {
     import spark.implicits._
     val orders = (1 to 25).map(i =>
