@@ -1463,7 +1463,7 @@ object OracleSql {
       |      AS session_id
       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
       |                                ORDER BY ts, event_id) AS prev_ts
-      |        FROM events)),
+      |        FROM events WHERE ts IS NOT NULL)),
       |seqs AS (
       |  SELECT user_id, session_id,
       |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

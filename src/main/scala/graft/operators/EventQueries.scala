@@ -483,7 +483,14 @@ object EventQueries {
   def q73SequencePattern(spark: SparkSession, dir: String,
       gapSeconds: Long = 6 * 3600,
       pattern: String = "view.*click.*purchase"): DataFrame = {
+    // null-ts events carry no position in a time sequence — dropped
+    // EXPLICITLY (and mirrored in the oracle's WHERE): without the
+    // filter the two engines place them differently (Spark windows
+    // sort nulls first / new session, DuckDB's lag-CASE merges them
+    // into the prior session) and the gate would diverge on the first
+    // null-ts row
     val ev = CoreQueries.events(spark, dir)
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val sessions = withSessionIds(ev, gapSeconds)
       .groupBy("user_id", "session_id")

@@ -57,15 +57,19 @@ object GraphQueries {
   /** Every triangle of an undirected `(u, v)` edge list (u < v each
     * edge, each triangle once) as ordered `(a, b, c)`, a < b < c: the
     * wedge join `e1.v = e2.u` enumerates each ordered path, the third
-    * join checks the closing edge. The three references to `edges`
-    * share one aggregation subtree, which Spark's ReuseExchange
-    * dedupes — no caller-visible persist (a persist here would leak a
-    * cached relation into the caller's session for its lifetime).
+    * join checks the closing edge. The edge list is referenced three
+    * times, so it is materialized ONCE via an eager `localCheckpoint`
+    * (ReuseExchange only deduplicates the shuffle writes below the
+    * edge aggregation, not the join/aggregate compute above them — a
+    * bare 3-reference plan re-runs the co-supply join per branch; a
+    * `persist` would run once but leak a cache-manager relation into
+    * the caller's session for its lifetime).
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e1 = edges.select(col("u").as("u1"), col("v").as("v1"))
-    val e2 = edges.select(col("u").as("u2"), col("v").as("v2"))
-    val e3 = edges.select(col("u").as("u3"), col("v").as("v3"))
+    val e = edges.localCheckpoint()
+    val e1 = e.select(col("u").as("u1"), col("v").as("v1"))
+    val e2 = e.select(col("u").as("u2"), col("v").as("v2"))
+    val e3 = e.select(col("u").as("u3"), col("v").as("v3"))
     e1.join(e2, col("v1") === col("u2"))                 // wedge u<v<w
       .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
       .select(col("u1").as("a"), col("u2").as("b"), col("v2").as("c"))

@@ -80,22 +80,32 @@ object ZonePruneRule extends Rule[LogicalPlan] with PredicateHelper {
   private def zonePredicate(s: AngularSeparation, r: Double): Expression =
     LessThanOrEqual(Abs(Subtract(s.dec1, s.dec2)), Literal(r + Eps))
 
-  /** Does `cond` already bound |dec1 − dec2| (either operand order,
-    * any literal bound)? Covers both a prior injection and the
-    * engine's hand-written prunes (which use strict `<` with the
-    * margin baked in, e.g. q11's `abs(dec − cdec) < 15.001` — not
-    * `semanticEquals` to the injected `<=` form, but just as
-    * redundant to duplicate).
+  /** Does `cond` already bound |dec1 − dec2| AT LEAST AS TIGHTLY as
+    * the prune we would inject (bound literal <= r + Eps, either
+    * operand order, either comparison direction)? Covers both a prior
+    * injection and the engine's hand-written prunes (q11's
+    * `abs(dec − cdec) < 15.001` — not `semanticEquals` to the
+    * injected `<=` form, but just as redundant to duplicate). A
+    * LOOSER existing bound does NOT suppress injection: the tight
+    * r + Eps conjunct is exactly the short-circuit the rule exists to
+    * add.
     */
   private def hasZoneBound(conjuncts: Seq[Expression],
-      s: AngularSeparation): Boolean = {
+      s: AngularSeparation, r: Double): Boolean = {
     def sameDecs(a: Expression, b: Expression): Boolean =
       (a.semanticEquals(s.dec1) && b.semanticEquals(s.dec2)) ||
         (a.semanticEquals(s.dec2) && b.semanticEquals(s.dec1))
+    def covers(a: Expression, b: Expression, bound: Double): Boolean =
+      sameDecs(a, b) && bound <= r + Eps
     conjuncts.exists {
-      case LessThan(Abs(Subtract(a, b, _), _), DoubleLit(_)) => sameDecs(a, b)
-      case LessThanOrEqual(Abs(Subtract(a, b, _), _), DoubleLit(_)) =>
-        sameDecs(a, b)
+      case LessThan(Abs(Subtract(a, b, _), _), DoubleLit(x)) =>
+        covers(a, b, x)
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), DoubleLit(x)) =>
+        covers(a, b, x)
+      case GreaterThan(DoubleLit(x), Abs(Subtract(a, b, _), _)) =>
+        covers(a, b, x)
+      case GreaterThanOrEqual(DoubleLit(x), Abs(Subtract(a, b, _), _)) =>
+        covers(a, b, x)
       case _ => false
     }
   }
@@ -112,7 +122,7 @@ object ZonePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val missing = conjuncts.collect {
       case SepBound(s, r)
           if s.dec1.deterministic && s.dec2.deterministic &&
-            !hasZoneBound(conjuncts, s) =>
+            !hasZoneBound(conjuncts, s, r) =>
         zonePredicate(s, r)
     }
     if (missing.isEmpty) cond

@@ -239,6 +239,16 @@ class ExtensionsSpec extends SparkSpec
       .findAllMatchIn(hand.queryExecution.optimizedPlan.toString).length
     assert(nAbs === 1, s"rule stacked a duplicate zone bound ($nAbs)")
     assert(hand.count() === 1)
+    // a LOOSE pre-existing bound must NOT suppress the tight prune:
+    // abs < 60 prunes almost nothing at r = 5 — the rule still injects
+    val loose = pts.join(broadcast(cat),
+      abs(col("dec") - col("cdec")) < 60.0 &&
+        graft.astro.Astro.angSepDeg(
+          col("ra"), col("dec"), col("cra"), col("cdec")) < 5.0)
+    val nAbsLoose = "abs\\(".r
+      .findAllMatchIn(loose.queryExecution.optimizedPlan.toString).length
+    assert(nAbsLoose === 2, s"tight prune missing under loose bound ($nAbsLoose)")
+    assert(loose.count() === 1)
   }
 
   test("ZonePruneRule leaves non-spatial predicates untouched") {

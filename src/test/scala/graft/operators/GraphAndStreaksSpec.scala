@@ -104,12 +104,16 @@ class GraphAndStreaksSpec extends SparkSpec {
       (11L, 4L, t(1), "view"), (12L, 4L, t(1), "click"),
       (13L, 4L, t(1), "purchase")
     ).toDF("event_id", "user_id", "ts", "event_type")
-    ev.write.mode("overwrite")
-      .parquet("/tmp/graft_q73_spec/events.parquet")
-    val got = EventQueries.q73SequencePattern(spark, "/tmp/graft_q73_spec")
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
-      .toMap
-    assert(got === Map(1L -> ((1L, 1L)), 4L -> ((1L, 1L))))
+    // unique temp dir (not a fixed /tmp path): concurrent runs must not
+    // race on the fixture, and nothing may leak after the JVM exits
+    val dir = java.nio.file.Files.createTempDirectory("graft_q73_spec")
+    try {
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = EventQueries.q73SequencePattern(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === Map(1L -> ((1L, 1L)), 4L -> ((1L, 1L))))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
   test("q69 ntile: 25 rows over 10 tiles → sizes 3,3,3,3,3,2,2,2,2,2") {
