@@ -658,7 +658,7 @@ object OracleSql {
   private val q35 =
     """WITH ev AS (
       |  SELECT event_id, user_id, ts, event_type FROM events
-      |  WHERE event_type IN ('click', 'purchase')),
+      |  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')),
       |w AS (
       |  SELECT event_id, user_id, ts, event_type,
       |    last_value(CASE WHEN event_type = 'click'
@@ -720,7 +720,7 @@ object OracleSql {
       |  SELECT event_type,
       |    lead(event_type) OVER (PARTITION BY user_id
       |                           ORDER BY ts, event_id) AS next_type
-      |  FROM events)
+      |  FROM events WHERE ts IS NOT NULL)
       |SELECT event_type AS from_type, next_type AS to_type,
       |  count(*) AS n
       |FROM t WHERE next_type IS NOT NULL
@@ -742,7 +742,7 @@ object OracleSql {
       |      AS session_id
       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
       |                                ORDER BY ts, event_id) AS prev_ts
-      |        FROM events)),
+      |        FROM events WHERE ts IS NOT NULL)),
       |agg AS (
       |  SELECT user_id, session_id,
       |    min(CASE WHEN event_type = 'click'
@@ -843,7 +843,7 @@ object OracleSql {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
       |         THEN 1 ELSE 0 END AS ns
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |r AS (
       |  SELECT user_id, ts, value,
@@ -948,7 +948,7 @@ object OracleSql {
       |  SELECT CAST(ts AS DATE) AS d, event_type,
       |    sum(CAST(value AS DECIMAL(18,2))) AS day_sum_d,
       |    count(*) AS n_events
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
       |w AS (
       |  SELECT event_type, d, day_sum_d, n_events,
       |    sum(day_sum_d) OVER win AS ma3_sum,
@@ -1345,7 +1345,8 @@ object OracleSql {
     */
   private val q66 =
     """WITH days AS (
-      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |  WHERE ts IS NOT NULL),
       |isl AS (
       |  SELECT user_id,
       |    date_diff('day', DATE '2024-01-01', d)

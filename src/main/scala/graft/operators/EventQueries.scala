@@ -77,7 +77,8 @@ object EventQueries {
     */
   def q35AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = CoreQueries.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
@@ -106,6 +107,7 @@ object EventQueries {
   def q50Transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     CoreQueries.events(spark, dir)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
@@ -166,6 +168,7 @@ object EventQueries {
     */
   def q42MovingAverage(spark: SparkSession, dir: String): DataFrame = {
     val daily = CoreQueries.events(spark, dir)
+      .filter(col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("day_sum_d"),
         count(lit(1)).as("n_events"))
@@ -312,13 +315,18 @@ object EventQueries {
     * user in (ts, event_id) order.
     */
   def withSessionIds(df: DataFrame, gapSeconds: Long): DataFrame = {
+    // a null ts has no position in a session's time order; Spark sorts
+    // window nulls FIRST while DuckDB sorts them LAST, so keeping them
+    // would give engine-dependent session splits — dropped explicitly
+    // (mirrored by WHERE ts IS NOT NULL in the q38/q48/q73 oracles)
+    val withTs = df.filter(col("ts").isNotNull)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     val newSession = when(
       gapUs.isNull || gapUs > gapSeconds * usecPerSec.toLong, 1L)
       .otherwise(0L)
-    df.withColumn("session_id", sum(newSession).over(wRun))
+    withTs.withColumn("session_id", sum(newSession).over(wRun))
   }
 
   /** q38 — sessionization: group each user's events into sessions
@@ -417,6 +425,7 @@ object EventQueries {
   def dayStreaks(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", epoch: String = "2024-01-01"): DataFrame = {
     val days = events
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol), to_date(col(tsCol)).as("d"))
       .distinct()
     val w = Window.partitionBy(keyCol).orderBy("d")
