@@ -116,6 +116,27 @@ class GraphAndStreaksSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("null-ts events are dropped identically by every windowed operator") {
+    import spark.implicits._
+    // Spark windows sort nulls FIRST, DuckDB LAST — the engine contract
+    // (round 4) is that time-ordered operators drop null timestamps
+    // explicitly, so a null row must change NOTHING
+    val clean = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 01:00:00"), "view", 1.0),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 02:00:00"), "click", 2.0),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 03:00:00"), "purchase", 3.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dirty = clean.unionByName(Seq(
+      (99L, 1L, null.asInstanceOf[Timestamp], "purchase", 9.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(EventQueries.withSessionIds(clean, 21600)) ===
+      rows(EventQueries.withSessionIds(dirty, 21600)))
+    assert(rows(EventQueries.dayStreaks(clean)) ===
+      rows(EventQueries.dayStreaks(dirty)))
+  }
+
   test("q69 ntile: 25 rows over 10 tiles → sizes 3,3,3,3,3,2,2,2,2,2") {
     import spark.implicits._
     val orders = (1 to 25).map(i =>
