@@ -69,4 +69,82 @@ object Sketches {
       docs.select(explode(
         graft.expressions.WordShingles.shingles(col(textCol), 1)).as("t")),
       "t", eps, confidence)
+
+  /** KLL quantile sketch bytes — the third mergeable profile (HLL =
+    * distincts, CMS = frequencies, KLL = QUANTILES). `k = 200` gives
+    * ~1.65% one-sided rank error at 99% confidence; the serialized
+    * sketch is the stored state, exactly like [[hllDistinctPerKey]]'s
+    * binary column: daily (key, kll) rows re-aggregate into weekly /
+    * whole-corpus quantiles by MERGING sketches — no second scan of
+    * the data, the property `percentile_approx` (a one-shot number)
+    * cannot offer.
+    */
+  private class KllAgg(k: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[Double, Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    private def sk(b: Array[Byte]): KllDoublesSketch =
+      if (b.isEmpty) KllDoublesSketch.newHeapInstance(k)
+      else KllDoublesSketch.heapify(Memory.wrap(b))
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], v: Double): Array[Byte] = {
+      val s = sk(b); s.update(v); s.toByteArray
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { val s = sk(a); s.merge(sk(b)); s.toByteArray }
+    }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Column aggregate building a KLL sketch of a double column. */
+  def kllAgg(valueCol: Column, k: Int = 200): Column =
+    udaf(new KllAgg(k)).apply(valueCol)
+
+  /** Per-key quantile sketches: (key, kll binary). Keep the sketch —
+    * it is the mergeable state; use [[kllQuantiles]] to read p50/p90/…
+    */
+  def kllPerKey(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 200): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(kllAgg(col(valueCol).cast("double"), k).as("kll"))
+
+  /** Merge per-key sketch rows (e.g. daily profiles) to one sketch per
+    * key — the no-second-scan re-aggregation.
+    */
+  def kllMerge(sketches: DataFrame, keyCol: String,
+      kllCol: String = "kll", k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val mergeUdaf = new org.apache.spark.sql.expressions
+        .Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      private def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
+      def zero: Array[Byte] = Array.emptyByteArray
+      def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] = merge(b, v)
+      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else { val s = sk(a); s.merge(sk(b)); s.toByteArray }
+      def finish(b: Array[Byte]): Array[Byte] = b
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+        org.apache.spark.sql.Encoders.BINARY
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+        org.apache.spark.sql.Encoders.BINARY
+    }
+    sketches.groupBy(keyCol).agg(udaf(mergeUdaf).apply(col(kllCol)).as("kll"))
+  }
+
+  /** Driver-side quantile reads from a serialized KLL sketch. */
+  def kllQuantiles(bytes: Array[Byte], qs: Seq[Double]): Seq[Double] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    qs.map(q => s.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+  }
 }

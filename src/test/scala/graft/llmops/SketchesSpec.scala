@@ -60,4 +60,55 @@ class SketchesSpec extends SparkSpec {
         s"$t overcounted: ${est(t)} vs $c (n=$n)")
     }
   }
+
+  test("KLL per-key quantiles track exact ranks within the k=200 bound") {
+    val ev = graft.operators.CoreQueries
+      .events(spark, "/root/testdata/sf0.01")
+      .filter(col("value").isNotNull)
+    val sketches = Sketches.kllPerKey(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("kll")).toMap
+    val values = ev.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((key, sorted) <- values; q <- Seq(0.5, 0.9, 0.99)) {
+      val est = Sketches.kllQuantiles(sketches(key), Seq(q)).head
+      // rank of the estimate must be within ~2x the 1.65% rank error
+      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rank - q) < 0.033,
+        s"$key p$q: est=$est realized rank=$rank")
+    }
+  }
+
+  test("KLL sketches merge: daily profiles == whole-stream quantiles") {
+    val ev = graft.operators.CoreQueries
+      .events(spark, "/root/testdata/sf0.01")
+      .filter(col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    // per-(type, day) sketches — the stored daily profile...
+    val daily = Sketches.kllPerKey(
+      ev.withColumn("event_type",
+        concat_ws("|", col("event_type"), col("day"))),
+      "event_type", "value")
+      .withColumn("event_type",
+        split(col("event_type"), "\\|").getItem(0))
+    // ...merged per type without re-reading events
+    val merged = Sketches.kllMerge(daily, "event_type")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("kll")).toMap
+    val whole = Sketches.kllPerKey(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("kll")).toMap
+    // merge changes internal compaction state, so estimates may differ
+    // slightly from the single-pass sketch — both must sit inside the
+    // same rank-error envelope around the exact quantile
+    val values = ev.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((key, sorted) <- values; q <- Seq(0.5, 0.9)) {
+      val em = Sketches.kllQuantiles(merged(key), Seq(q)).head
+      val ew = Sketches.kllQuantiles(whole(key), Seq(q)).head
+      val rm = sorted.count(_ <= em).toDouble / sorted.length
+      val rw = sorted.count(_ <= ew).toDouble / sorted.length
+      assert(math.abs(rm - q) < 0.033, s"$key merged p$q rank=$rm")
+      assert(math.abs(rw - q) < 0.033, s"$key whole p$q rank=$rw")
+    }
+  }
 }

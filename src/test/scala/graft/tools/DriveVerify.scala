@@ -219,6 +219,16 @@ object DriveVerify {
       println("CMS estimates: " + graft.llmops.Sketches
         .cmsEstimate(cms, Seq("row", "table", "value")).toSeq.sorted
         .map { case (t, c) => s"$t=$c" }.mkString(", "))
+      val kll = graft.llmops.Sketches.kllPerKey(
+        ev.filter(col("value").isNotNull), "event_type", "value")
+        .collect().map(r =>
+          r.getString(0) -> r.getAs[Array[Byte]]("kll")).toMap
+      println("KLL p50/p99 per type: " + kll.toSeq.sortBy(_._1).map {
+        case (k, b) =>
+          val Seq(p50, p99) =
+            graft.llmops.Sketches.kllQuantiles(b, Seq(0.5, 0.99))
+          f"$k=($p50%.2f, $p99%.2f)"
+      }.mkString(", "))
     }
 
     // temporal analytics: multi-touch attribution + quality selection
