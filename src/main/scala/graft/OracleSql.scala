@@ -1477,6 +1477,26 @@ object OracleSql {
       |  'view.*click.*purchase')) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** q74 — same vocabulary-first BPE pair count (token dict, then
+    * char pairs over the dict).
+    */
+  private val q74 =
+    """WITH toks0 AS (
+      |  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+      |    ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT t AS tok, count(*) AS tf
+      |  FROM (SELECT unnest(toks) AS t FROM toks0) GROUP BY 1),
+      |p AS (
+      |  SELECT tf, unnest(list_transform(range(1, length(tok)),
+      |    i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+      |  FROM tf WHERE length(tok) >= 2)
+      |SELECT pair, CAST(sum(tf) AS BIGINT) AS weighted_n,
+      |  count(*) AS n_positions
+      |FROM p GROUP BY pair
+      |ORDER BY weighted_n DESC, pair LIMIT 30""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1550,5 +1570,6 @@ object OracleSql {
     "q70_incremental_rollup" -> q70,
     "q71_notin_nullaware" -> q71,
     "q72_salted_join" -> q72,
-    "q73_sequence_pattern" -> q73)
+    "q73_sequence_pattern" -> q73,
+    "q74_bpe_pairs" -> q74)
 }

@@ -133,7 +133,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-style in-session sequence pattern (regex over
     // the ordered per-session type sequence)
     "q73_sequence_pattern" -> ((s: SparkSession, d: String) =>
-      EventQueries.q73SequencePattern(s, d)))
+      EventQueries.q73SequencePattern(s, d)),
+    // BPE merge-pair statistics (vocabulary-first tokenizer prep)
+    "q74_bpe_pairs" -> (TextOps.qBpePairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -291,6 +291,41 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(20)
 
+  /** q74 — BPE merge-pair statistics: corpus-weighted adjacent
+    * CHARACTER-pair frequencies over the token vocabulary — the
+    * argmax of this table is the first merge a BPE tokenizer trainer
+    * performs, and the full table is the tokenizer-prep profile
+    * (joins q60's OOV rate and q37's vocabulary as the third
+    * tokenizer-facing pass).
+    *
+    * Scale shape: pair counting runs on the VOCABULARY (distinct
+    * tokens with their corpus frequencies — thousands of rows), not
+    * the corpus: the token-frequency aggregation is the only
+    * corpus-sized stage (same map-side-combined term shuffle as q37),
+    * after which the character-level explode touches `|vocab| ×
+    * avg_len` rows. Exactly how production BPE trainers structure the
+    * count (word-frequency dict first, pair counts over the dict).
+    * Single-char tokens carry no pair and are filtered before the
+    * explode (also keeping `sequence(1, len-1)` away from its
+    * descending len=1 edge case).
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(explode(
+        graft.expressions.WordShingles.shingles(col("text"), 1)).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+    tf.filter(length(col("tok")) >= 2)
+      .select(col("tf"),
+        explode(expr(
+          "transform(sequence(1, length(tok) - 1), " +
+            "i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("tf")).as("weighted_n"), count(lit(1)).as("n_positions"))
+      .orderBy(col("weighted_n").desc, col("pair"))
+      .limit(30)
+  }
+
   /** q41 — TF-IDF cosine similarity, top-20 most similar document pairs
     * within each (lang, source) stratum. The classic sparse-vector IR
     * operator in pure dataflow: no dense vectors ever materialize —

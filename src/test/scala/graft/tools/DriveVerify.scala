@@ -304,6 +304,7 @@ object DriveVerify {
       graft.operators.CoreQueries.q71NotInNullAware(spark, sf).show(3, false)
       graft.operators.Skew.q72SaltedJoin(spark, sf).show(3, false)
       graft.operators.EventQueries.q73SequencePattern(spark, sf).show(3, false)
+      graft.llmops.TextOps.qBpePairs(spark, sf).show(3, false)
     }
     spark.stop()
   }
