@@ -305,6 +305,13 @@ object DriveVerify {
       graft.operators.Skew.q72SaltedJoin(spark, sf).show(3, false)
       graft.operators.EventQueries.q73SequencePattern(spark, sf).show(3, false)
       graft.llmops.TextOps.qBpePairs(spark, sf).show(3, false)
+      val (merges, bpeVocab) = graft.llmops.Bpe.train(
+        spark.read.parquet(s"$sf/documents.parquet"), nMerges = 5)
+      println(s"BPE merges: ${merges.map { case (a, b) => s"$a+$b" }
+        .mkString(", ")}")
+      graft.llmops.Bpe.segmentStats(
+        spark.read.parquet(s"$sf/documents.parquet"), bpeVocab)
+        .orderBy(col("n").desc).show(3, false)
     }
     spark.stop()
   }
