@@ -1497,6 +1497,22 @@ object OracleSql {
       |FROM p GROUP BY pair
       |ORDER BY weighted_n DESC, pair LIMIT 30""".stripMargin
 
+  /** q75 — the identical recursive CTE (ANSI recursion, both engines). */
+  private val q75 =
+    """WITH RECURSIVE tree AS (
+      |  SELECT s_suppkey, s_acctbal, 0 AS depth
+      |  FROM supplier WHERE s_suppkey = 0
+      |  UNION ALL
+      |  SELECT s.s_suppkey, s.s_acctbal, t.depth + 1
+      |  FROM supplier s JOIN tree t
+      |    ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = t.s_suppkey
+      |  WHERE s.s_suppkey >= 1)
+      |SELECT depth, count(*) AS n_nodes,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_acctbal,
+      |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1571,5 +1587,6 @@ object OracleSql {
     "q71_notin_nullaware" -> q71,
     "q72_salted_join" -> q72,
     "q73_sequence_pattern" -> q73,
-    "q74_bpe_pairs" -> q74)
+    "q74_bpe_pairs" -> q74,
+    "q75_recursive_cte" -> q75)
 }

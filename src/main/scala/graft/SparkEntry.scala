@@ -135,7 +135,9 @@ object SparkEntry {
     "q73_sequence_pattern" -> ((s: SparkSession, d: String) =>
       EventQueries.q73SequencePattern(s, d)),
     // BPE merge-pair statistics (vocabulary-first tokenizer prep)
-    "q74_bpe_pairs" -> (TextOps.qBpePairs _))
+    "q74_bpe_pairs" -> (TextOps.qBpePairs _),
+    // WITH RECURSIVE transitive closure (Spark 4 UnionLoop)
+    "q75_recursive_cte" -> (CoreQueries.q75RecursiveCte _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -350,6 +350,36 @@ object CoreQueries {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** q75 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE`, executed as an
+    * iterative UnionLoop): per-depth profile of the implicit binary
+    * heap tree over supplier keys (parent(s) = ⌊(s−1)/2⌋ — a
+    * deterministic hierarchy the flat TPC-H-ish schema doesn't
+    * otherwise carry). The recursive member is a join against the
+    * previous frontier, so each iteration is one co-partitioned
+    * equi-join of frontier × suppliers; depth ~ log₂(n) iterations
+    * total — the transitive-closure shape (org charts, BOM explosions,
+    * folder trees) that previously required driver loops
+    * (`Cluster.connectedComponents`-style) now expressible on the
+    * pure SQL surface of BOTH engines.
+    */
+  def q75RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT s_suppkey, s_acctbal, 0 AS depth
+        |  FROM graft_supplier WHERE s_suppkey = 0
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_acctbal, t.depth + 1
+        |  FROM graft_supplier s JOIN tree t
+        |    ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = t.s_suppkey
+        |  WHERE s.s_suppkey >= 1)
+        |SELECT depth, count(*) AS n_nodes,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal,
+        |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")

@@ -312,6 +312,7 @@ object DriveVerify {
       graft.llmops.Bpe.segmentStats(
         spark.read.parquet(s"$sf/documents.parquet"), bpeVocab)
         .orderBy(col("n").desc).show(3, false)
+      graft.operators.CoreQueries.q75RecursiveCte(spark, sf).show(3, false)
     }
     spark.stop()
   }
