@@ -1513,6 +1513,21 @@ object OracleSql {
       |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** q76 — the same values via JSON-text extraction (VARIANT is an
+    * engine-side encoding; the data contract is identical).
+    */
+  private val q76 =
+    """SELECT event_type, count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k')
+      |      AS INTEGER) AS DECIMAL(18,0))) AS DOUBLE)
+      |    / count(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+      |    AS avg_k,
+      |  count(CAST(json_extract_string(props, '$.missing') AS INTEGER))
+      |    AS n_missing_present
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1588,5 +1603,6 @@ object OracleSql {
     "q72_salted_join" -> q72,
     "q73_sequence_pattern" -> q73,
     "q74_bpe_pairs" -> q74,
-    "q75_recursive_cte" -> q75)
+    "q75_recursive_cte" -> q75,
+    "q76_variant_json" -> q76)
 }

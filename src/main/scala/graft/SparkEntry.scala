@@ -137,7 +137,9 @@ object SparkEntry {
     // BPE merge-pair statistics (vocabulary-first tokenizer prep)
     "q74_bpe_pairs" -> (TextOps.qBpePairs _),
     // WITH RECURSIVE transitive closure (Spark 4 UnionLoop)
-    "q75_recursive_cte" -> (CoreQueries.q75RecursiveCte _))
+    "q75_recursive_cte" -> (CoreQueries.q75RecursiveCte _),
+    // VARIANT semi-structured extraction (parse once, typed reads)
+    "q76_variant_json" -> (CoreQueries.q76VariantJson _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

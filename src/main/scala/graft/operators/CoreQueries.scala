@@ -209,6 +209,34 @@ object CoreQueries {
         max(col("k")).as("max_k"))
       .orderBy("event_type", "hour")
 
+  /** q76 — VARIANT semi-structured path (Spark 4): `parse_json` once
+    * into the binary-encoded VariantType, then typed `variant_get`
+    * extractions — the modern engine path for JSON columns (one parse,
+    * many typed reads; `get_json_object` (q9) re-parses the string per
+    * extraction). `try_variant_get` on a missing path demonstrates the
+    * null-safe access contract. The oracle reads the same values via
+    * DuckDB's JSON extraction — VARIANT is an ENCODING choice, the
+    * values are engine-independent.
+    *
+    * At 100 TB the difference is material: variant parse happens once
+    * per row in the scan stage and downstream stages read binary
+    * offsets, not JSON text. Shape otherwise matches q9 (partial-agg
+    * on the type key).
+    */
+  def q76VariantJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        round(sum(col("k").cast("decimal(18,0)")).cast("double") /
+          count(col("k")), 6).as("avg_k"),
+        count(col("m")).as("n_missing_present"))
+      .orderBy("event_type")
+
   /** q10 — group-by over a join with semi-join-style predicate: order
     * priority count for orders having at least one late lineitem
     * (left-semi join; TPC-H Q4 shape).

@@ -313,6 +313,7 @@ object DriveVerify {
         spark.read.parquet(s"$sf/documents.parquet"), bpeVocab)
         .orderBy(col("n").desc).show(3, false)
       graft.operators.CoreQueries.q75RecursiveCte(spark, sf).show(3, false)
+      graft.operators.CoreQueries.q76VariantJson(spark, sf).show(3, false)
     }
     spark.stop()
   }
