@@ -1528,6 +1528,15 @@ object OracleSql {
       |    AS n_missing_present
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q77 — identical LATERAL statement (ANSI lateral derived table). */
+  private val q77 =
+    """SELECT n.n_name, s.s_name, s.s_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+      |ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1604,5 +1613,6 @@ object OracleSql {
     "q73_sequence_pattern" -> q73,
     "q74_bpe_pairs" -> q74,
     "q75_recursive_cte" -> q75,
-    "q76_variant_json" -> q76)
+    "q76_variant_json" -> q76,
+    "q77_lateral_topn" -> q77)
 }

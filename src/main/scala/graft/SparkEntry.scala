@@ -139,7 +139,9 @@ object SparkEntry {
     // WITH RECURSIVE transitive closure (Spark 4 UnionLoop)
     "q75_recursive_cte" -> (CoreQueries.q75RecursiveCte _),
     // VARIANT semi-structured extraction (parse once, typed reads)
-    "q76_variant_json" -> (CoreQueries.q76VariantJson _))
+    "q76_variant_json" -> (CoreQueries.q76VariantJson _),
+    // LATERAL correlated top-n-per-group (decorrelated by Catalyst)
+    "q77_lateral_topn" -> (CoreQueries.q77LateralTopN _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -408,6 +408,28 @@ object CoreQueries {
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** q77 — LATERAL join: top-2 suppliers per nation by account
+    * balance, written as the correlated-subquery-with-LIMIT idiom
+    * (greatest-n-per-group on the SQL surface). Catalyst decorrelates
+    * the lateral into a partitioned rank under the hood — the same
+    * physical shape as q6's explicit window — so the idiom costs
+    * nothing over the hand-written form; what it buys is the SQL
+    * surface: per-driving-row subqueries (enrichment lookups, top-k
+    * expansions) compose without the user reaching for window
+    * functions. Both engines run the identical statement.
+    */
+  def q77LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    table(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """SELECT n.n_name, s.s_name, s.s_acctbal
+        |FROM graft_nation n, LATERAL (
+        |  SELECT s_name, s_acctbal FROM graft_supplier
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""".stripMargin)
+  }
+
   def q43AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val urgent = table(spark, dir, "orders")
