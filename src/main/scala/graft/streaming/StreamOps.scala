@@ -174,4 +174,49 @@ object StreamOps {
           Iterator.single(key -> total)
       }
   }
+
+  /** Streaming INCREMENTAL AGGREGATION MAINTENANCE — the streaming
+    * face of `EventQueries.q70IncrementalRollup`: each micro-batch's
+    * MERGEABLE partials (count/sum/min/max per (event_type, day))
+    * append to a partial-aggregate parquet table inside
+    * `foreachBatch`; [[readRollup]] re-aggregates the stored partials
+    * into the current report. The corpus is never re-scanned — the
+    * partial table is the state, it survives restarts (it is just
+    * files), and compaction is optional (re-aggregation is
+    * associative, so many small partial rows and few compacted ones
+    * read identically).
+    */
+  def rollupMaintenanceSink(events: DataFrame, partialsPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        batch
+          .filter(col("ts").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(partialsPath)
+        ()
+    }
+
+  /** The current report from the stored partials: one re-aggregation
+    * over (type, day, batch) partial rows — identical output contract
+    * to `q70IncrementalRollup` (count/sum/min/max merge; n_days counts
+    * distinct non-null days, because the same day may appear in many
+    * batches' partials).
+    */
+  def readRollup(spark: org.apache.spark.sql.SparkSession,
+      partialsPath: String): DataFrame =
+    spark.read.parquet(partialsPath)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("total_value"),
+        min(col("mn")).cast("double").as("min_value"),
+        max(col("mx")).cast("double").as("max_value"),
+        count_distinct(col("d")).as("n_days"))
+      .orderBy("event_type")
 }

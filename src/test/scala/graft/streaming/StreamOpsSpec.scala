@@ -245,4 +245,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows === Set(("ZTFa", 2L), ("ZTFb", 1L),
       ("ZTFa", 3L), ("ZTFb", 2L), ("ZTFc", 1L)))
   }
+
+  test("rollupMaintenanceSink: stored partials reproduce the direct report") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup")
+    try {
+      val in = MemoryStream[(Long, Timestamp, String, Double)]
+      val events = in.toDF()
+        .toDF("event_id", "ts", "event_type", "value")
+      val q = StreamOps.rollupMaintenanceSink(events, s"$dir/partials")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      // three micro-batches, one day spanning batches 1 and 2
+      in.addData((1L, ts(0), "click", 10.0), (2L, ts(1), "view", 20.0))
+      q.processAllAvailable()
+      in.addData((3L, ts(2), "click", 30.0),
+        (4L, ts(24 * 60 + 1), "click", 40.0))
+      q.processAllAvailable()
+      in.addData((5L, ts(24 * 60 + 2), "view", 50.0))
+      q.processAllAvailable()
+      q.stop()
+      val report = StreamOps.readRollup(spark, s"$dir/partials")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+      // direct aggregation over everything that streamed through
+      assert(report("click") === ((3L, 80.0, 10.0, 40.0, 2L)))
+      assert(report("view") === ((2L, 70.0, 20.0, 50.0, 2L)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
 }
