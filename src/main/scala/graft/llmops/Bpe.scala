@@ -50,11 +50,15 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        // whole-symbol-bounded replacement on the padded string; Java
-        // regex replaces left-to-right non-overlapping = canonical BPE
-        val pat = " " + Pattern.quote(a + " " + b) + " "
+        // whole-symbol-bounded replacement on the padded string. The
+        // TRAILING boundary is a lookahead, not a consumed space:
+        // consuming it would skip back-to-back occurrences ("b a n a
+        // n a" under (a,n) must give "b an an a", not "b an a n a" —
+        // left-to-right non-overlapping over SYMBOLS, which share
+        // their boundary space in the string encoding)
+        val pat = " " + Pattern.quote(a + " " + b) + "(?= )"
         val rep = java.util.regex.Matcher
-          .quoteReplacement(" " + (a + b) + " ")
+          .quoteReplacement(" " + (a + b))
         vocab = vocab.withColumn("sym",
           trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
             pat, rep)))

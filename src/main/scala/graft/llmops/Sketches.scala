@@ -79,22 +79,44 @@ object Sketches {
     * the data, the property `percentile_approx` (a one-shot number)
     * cannot offer.
     */
+  /** Live-sketch buffer (kryo-encoded): update() mutates in place on
+    * the hot path, so serialization happens only at partial-aggregate
+    * shuffle boundaries — a bytes-buffer variant would pay
+    * heapify + toByteArray PER INPUT ROW (KBs of alloc/copy each),
+    * turning the aggregation O(rows × sketch_size).
+    */
   private class KllAgg(k: Int) extends org.apache.spark.sql.expressions
-      .Aggregator[Double, Array[Byte], Array[Byte]] {
+      .Aggregator[Double, org.apache.datasketches.kll.KllDoublesSketch,
+        Array[Byte]] {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
+    def reduce(s: KllDoublesSketch, v: Double): KllDoublesSketch = {
+      s.update(v); s
+    }
+    def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+      a.merge(b); a
+    }
+    def finish(s: KllDoublesSketch): Array[Byte] = s.toByteArray
+    def bufferEncoder: org.apache.spark.sql.Encoder[KllDoublesSketch] =
+      org.apache.spark.sql.Encoders.kryo[KllDoublesSketch]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Byte-level sketch union — shared by [[kllMerge]] (whose INPUTS
+    * are already serialized sketches, so bytes are the natural buffer
+    * there; row count == sketch count, not data count).
+    */
+  private object KllByteMergeAgg extends org.apache.spark.sql.expressions
+      .Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
-    private def sk(b: Array[Byte]): KllDoublesSketch =
-      if (b.isEmpty) KllDoublesSketch.newHeapInstance(k)
-      else KllDoublesSketch.heapify(Memory.wrap(b))
+    private def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
     def zero: Array[Byte] = Array.emptyByteArray
-    def reduce(b: Array[Byte], v: Double): Array[Byte] = {
-      val s = sk(b); s.update(v); s.toByteArray
-    }
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
+    def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] = merge(b, v)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
       else { val s = sk(a); s.merge(sk(b)); s.toByteArray }
-    }
     def finish(b: Array[Byte]): Array[Byte] = b
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY
@@ -119,25 +141,9 @@ object Sketches {
     * key — the no-second-scan re-aggregation.
     */
   def kllMerge(sketches: DataFrame, keyCol: String,
-      kllCol: String = "kll", k: Int = 200): DataFrame = {
-    import org.apache.datasketches.kll.KllDoublesSketch
-    import org.apache.datasketches.memory.Memory
-    val mergeUdaf = new org.apache.spark.sql.expressions
-        .Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-      private def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
-      def zero: Array[Byte] = Array.emptyByteArray
-      def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] = merge(b, v)
-      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-        if (a.isEmpty) b else if (b.isEmpty) a
-        else { val s = sk(a); s.merge(sk(b)); s.toByteArray }
-      def finish(b: Array[Byte]): Array[Byte] = b
-      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-        org.apache.spark.sql.Encoders.BINARY
-      def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-        org.apache.spark.sql.Encoders.BINARY
-    }
-    sketches.groupBy(keyCol).agg(udaf(mergeUdaf).apply(col(kllCol)).as("kll"))
-  }
+      kllCol: String = "kll", k: Int = 200): DataFrame =
+    sketches.groupBy(keyCol)
+      .agg(udaf(KllByteMergeAgg).apply(col(kllCol)).as("kll"))
 
   /** Driver-side quantile reads from a serialized KLL sketch. */
   def kllQuantiles(bytes: Array[Byte], qs: Seq[Double]): Seq[Double] = {

@@ -225,9 +225,13 @@ object CoreQueries {
     */
   def q76VariantJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("v", expr("parse_json(props)"))
+      // try_ variants on BOTH steps: a malformed props row (or a
+      // non-int k) must null out, matching the oracle's null-lenient
+      // json_extract + CAST — strict parse_json would fail the whole
+      // query on one dirty row while DuckDB aggregates the rest
+      .withColumn("v", expr("try_parse_json(props)"))
       .select(col("event_type"),
-        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.k', 'int')").as("k"),
         expr("try_variant_get(v, '$.missing', 'int')").as("m"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

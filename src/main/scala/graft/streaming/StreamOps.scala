@@ -185,6 +185,13 @@ object StreamOps {
     * files), and compaction is optional (re-aggregation is
     * associative, so many small partial rows and few compacted ones
     * read identically).
+    *
+    * Restart safety: `foreachBatch` is AT-LEAST-ONCE (a crash between
+    * the write and the checkpoint commit replays the batch), so each
+    * batch writes by OVERWRITING its own `batch_id=<id>` partition
+    * directory — a replay rewrites the same rows instead of appending
+    * a double-counted second copy. That per-batch overwrite is the
+    * standard exactly-once recipe for idempotent file sinks.
     */
   def rollupMaintenanceSink(events: DataFrame, partialsPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -198,8 +205,8 @@ object StreamOps {
           .groupBy("event_type", "d")
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
             min(col("v")).as("mn"), max(col("v")).as("mx"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(partialsPath)
+          .write.mode("overwrite")
+          .parquet(s"$partialsPath/batch_id=$batchId")
         ()
     }
 

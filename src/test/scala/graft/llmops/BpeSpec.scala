@@ -60,6 +60,28 @@ class BpeSpec extends SparkSpec {
     assert(merges.take(2) === Seq(("e", "s"), ("es", "t")))
   }
 
+  test("back-to-back pair occurrences merge left-to-right (banana)") {
+    import spark.implicits._
+    // 'banana': best pair (a,n) occurs back-to-back — the rewrite must
+    // produce 'b an an a' (canonical non-overlapping), never skip the
+    // second occurrence because the boundary space was consumed
+    val corpus = Seq.fill(3)("banana").toDF("text")
+    val (merges, vocab) = Bpe.train(corpus, nMerges = 1)
+    assert(merges === Seq(("a", "n")))
+    val sym = vocab.filter(col("tok") === "banana")
+      .head().getString(2)
+    assert(sym === "b an an a", s"got '$sym'")
+    // reference agrees end-to-end on repeated-pair tokens
+    val (refM, refSegs) = referenceBpe(Map("banana" -> 3L, "aaaa" -> 2L), 3)
+    val (dM, dVocab) = Bpe.train(
+      (Seq.fill(3)("banana") ++ Seq.fill(2)("aaaa")).toDF("text"),
+      nMerges = 3)
+    assert(dM === refM)
+    val dSegs = dVocab.collect()
+      .map(r => r.getString(0) -> r.getString(2).split(" ").toSeq).toMap
+    assert(dSegs === refSegs)
+  }
+
   test("BPE on the fixture corpus: merges reduce symbol count monotonically") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
@@ -67,9 +89,12 @@ class BpeSpec extends SparkSpec {
     assert(merges.size === 10)
     assert(merges.toSet.size === 10) // no merge repeats
     // every merged symbol pair is gone from the final segmentation
+    // (padded contains — a raw substring check would false-positive on
+    // symbol boundaries, e.g. 'xa b' for pair (a, b))
     val lastPair = merges.last
-    assert(vocab.filter(
-      col("sym").contains(lastPair._1 + " " + lastPair._2)).count() === 0)
+    assert(vocab.filter(concat(lit(" "), col("sym"), lit(" "))
+      .contains(" " + lastPair._1 + " " + lastPair._2 + " "))
+      .count() === 0)
     // segmentation stats: pieces cover the corpus (Σ n·len == Σ chars)
     val stats = Bpe.segmentStats(docs, vocab)
     val pieceChars = stats

@@ -314,6 +314,7 @@ object DriveVerify {
         .orderBy(col("n").desc).show(3, false)
       graft.operators.CoreQueries.q75RecursiveCte(spark, sf).show(3, false)
       graft.operators.CoreQueries.q76VariantJson(spark, sf).show(3, false)
+      graft.operators.CoreQueries.q77LateralTopN(spark, sf).show(3, false)
     }
     spark.stop()
   }
