@@ -139,6 +139,23 @@ object Soak {
       r }
     spark.catalog.clearCache()
 
+    // BPE training on the 10× corpus: the corpus cost is the one
+    // token-frequency scan; merge rounds run on the (unchanged-size)
+    // vocabulary, so 10× data ≈ the same training time after the scan
+    val bpeOut = time("BPE train 10 merges 10x") {
+      graft.llmops.Bpe.train(big, nMerges = 10)
+    }
+    println(s"BPE merges: ${bpeOut._1.size}")
+    // KLL quantile profiles over 10× events (per type + merged form)
+    locally {
+      val ev10 = spark.read.parquet(s"$soakDir/events.parquet")
+        .filter(col("value").isNotNull)
+      time("KLL per-type sketches 10x (1M events)") {
+        graft.llmops.Sketches.kllPerKey(ev10, "event_type", "value")
+          .collect()
+      }
+    }
+
     // PQ training at 10× vectors: each Lloyd pass is one distributed
     // job; the codebook stays driver-sized
     {
