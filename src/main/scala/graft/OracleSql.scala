@@ -37,13 +37,14 @@ object OracleSql {
   }
 
   /** Haversine separation in degrees, mirroring Astro.angSepDeg term by
-    * term (same literal D2R, same operation order).
+    * term (same literal D2R, same operation order, same radicand clamp
+    * — see AngularSeparation.compute's near-antipodal note).
     */
   private def angSepSql(ra1: String, dec1: String, ra2: String, dec2: String): String = {
     val dra = s"(($ra2 - $ra1) * $D2R / 2.0)"
     val ddec = s"(($dec2 - $dec1) * $D2R / 2.0)"
     val a = s"(pow(sin($ddec), 2.0) + cos($dec1 * $D2R) * cos($dec2 * $D2R) * pow(sin($dra), 2.0))"
-    s"asin(sqrt($a)) * 2.0 / $D2R"
+    s"asin(sqrt(least(1.0, $a))) * 2.0 / $D2R"
   }
 
   /** Word-shingle CTE chunk shared by the dedup oracles: doc_id (+extra
@@ -1008,7 +1009,8 @@ object OracleSql {
     * epoch; retention relative to the cohort's week-0 size).
     */
   private val q52 =
-    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      |  WHERE ts IS NOT NULL),
       |cohort AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
       |cells AS (
       |  SELECT DISTINCT user_id,
@@ -1518,13 +1520,13 @@ object OracleSql {
     */
   private val q76 =
     """SELECT event_type, count(*) AS n,
-      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-      |  round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k')
+      |  min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  round(CAST(sum(CAST(TRY_CAST(json_extract_string(props, '$.k')
       |      AS INTEGER) AS DECIMAL(18,0))) AS DOUBLE)
-      |    / count(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+      |    / count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
       |    AS avg_k,
-      |  count(CAST(json_extract_string(props, '$.missing') AS INTEGER))
+      |  count(TRY_CAST(json_extract_string(props, '$.missing') AS INTEGER))
       |    AS n_missing_present
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -60,7 +60,11 @@ object AngularSeparation {
 
   /** Java-callable kernel (referenced from generated code). Term order
     * matches the composed-Column formula exactly:
-    * 2·asin(√(sin²(Δdec/2) + cos(dec1)·cos(dec2)·sin²(Δra/2))).
+    * 2·asin(√(min(1, sin²(Δdec/2) + cos(dec1)·cos(dec2)·sin²(Δra/2)))).
+    * The radicand is clamped to 1.0: floating-point error can push it
+    * slightly above 1 for near-antipodal inputs, and an unclamped
+    * asin(>1) = NaN would silently drop rows from `sep < r` predicates
+    * instead of returning ~180°. The oracle mirror clamps identically.
     */
   def compute(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
     val dra = (ra2 - ra1) * D2R / 2.0
@@ -68,7 +72,7 @@ object AngularSeparation {
     val a = Math.pow(Math.sin(ddec), 2.0) +
       Math.cos(dec1 * D2R) * Math.cos(dec2 * D2R) *
         Math.pow(Math.sin(dra), 2.0)
-    Math.asin(Math.sqrt(a)) * 2.0 / D2R
+    Math.asin(Math.sqrt(Math.min(1.0, a))) * 2.0 / D2R
   }
 
   def angularSeparation(ra1: Column, dec1: Column,

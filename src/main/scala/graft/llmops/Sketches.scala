@@ -138,10 +138,12 @@ object Sketches {
       .agg(kllAgg(col(valueCol).cast("double"), k).as("kll"))
 
   /** Merge per-key sketch rows (e.g. daily profiles) to one sketch per
-    * key — the no-second-scan re-aggregation.
+    * key — the no-second-scan re-aggregation. The merged sketch's k is
+    * carried in the serialized input sketches (set at [[kllPerKey]]
+    * build time), not a parameter here.
     */
   def kllMerge(sketches: DataFrame, keyCol: String,
-      kllCol: String = "kll", k: Int = 200): DataFrame =
+      kllCol: String = "kll"): DataFrame =
     sketches.groupBy(keyCol)
       .agg(udaf(KllByteMergeAgg).apply(col(kllCol)).as("kll"))
 

@@ -294,30 +294,29 @@ object CoreQueries {
     * nations coincide — which is the classic join-order stress: the
     * cycle cannot be composed away into one snowflake (q3's trick).
     *
-    * Shape: both dimension paths (orders⋈customer → per-order nation;
-    * supplier → per-supplier nation) pre-compose and BROADCAST; the
-    * fact table probes twice in one stage and the nation-equality
-    * cycle closes as a cheap post-join filter — lineitem still never
-    * shuffles. At warehouse scale the larger build side becomes the
-    * one co-shuffled join, same as q3's rule.
+    * Shape: lineitem⋈orders is the one FACT-FACT edge, so it takes the
+    * co-shuffled (or bucketed) equi-join path on orderkey — orders is
+    * O(|fact|) and must NEVER carry a broadcast hint (an orders-sized
+    * build side OOMs every executor at warehouse scale). Only the true
+    * dimensions broadcast: customer, supplier, nation. The
+    * nation-equality cycle closes as a cheap post-join filter.
+    * PlanSpec pins this with auto-broadcast disabled, so the contract
+    * is the declared hints, not AQE's small-scale shortcut.
     */
   def q64RevenueCycle(spark: SparkSession, dir: String): DataFrame = {
     val n = table(spark, dir, "nation").select("n_nationkey", "n_name")
-    val custNation = table(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey")
-      .join(broadcast(table(spark, dir, "customer")
-        .select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("o_orderkey"), col("c_nationkey").as("cust_nk"),
-        col("n_name"))
+    val cust = table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
     val suppNation = table(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey").as("supp_nk"))
     table(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(custNation), col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("cust_nk") === col("supp_nk"))
+      .filter(col("c_nationkey") === col("supp_nk"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
         .as("revenue"),

@@ -137,6 +137,7 @@ object EventQueries {
   def q52RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val epoch = lit("2024-01-01")
     val ev = CoreQueries.events(spark, dir)
+      .filter(col("ts").isNotNull) // round-4 null-timestamp contract
       .select(col("user_id"), to_date(col("ts")).as("d"))
     val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
     val cells = ev.join(cohort, Seq("user_id"))

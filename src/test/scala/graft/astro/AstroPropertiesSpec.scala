@@ -35,6 +35,23 @@ class AstroPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("angular separation: near-antipodal inputs clamp to ~180, never NaN") {
+    import graft.expressions.AngularSeparation.compute
+    // exactly antipodal and epsilon-perturbed antipodal points — the
+    // radicand lands at or just above 1.0 in floating point; unclamped,
+    // asin(sqrt(>1)) = NaN silently fails every `sep < r` predicate
+    val cases = Seq(
+      (0.0, 0.0, 180.0, 0.0),
+      (10.0, 45.0, 190.0, -45.0),
+      (10.0, 45.0, 190.0 + 1e-13, -45.0 - 1e-13),
+      (359.9999999999, 89.9999999999, 179.9999999999, -89.9999999999))
+    for ((ra1, dec1, ra2, dec2) <- cases) {
+      val sep = compute(ra1, dec1, ra2, dec2)
+      assert(!sep.isNaN, s"NaN at ($ra1,$dec1)-($ra2,$dec2)")
+      assert(math.abs(sep - 180.0) < 1e-6, s"sep=$sep")
+    }
+  }
+
   test("galactic/ecliptic latitude: range + anchor points") {
     val r = grid.select(
       Astro.galacticLatDeg(col("ra1"), col("dec1")).as("b"),

@@ -230,6 +230,41 @@ class PlanSpec extends SparkSpec {
     assert(!p70.contains("CartesianProduct"), p70)
   }
 
+  test("q64: lineitem⋈orders is a shuffle join; only true dims broadcast") {
+    // auto-broadcast off, so every BroadcastExchange in the plan comes
+    // from an explicit hint — the contract under test, not AQE's
+    // small-scale shortcut. An orders-derived build side OOMs at scale.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val savedAqe = conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan(CoreQueries.q64RevenueCycle(spark, dir))
+      val finalPlan = p.split("== Initial Plan ==").head
+      // the fact-fact edge shuffles: a sort-merge/shuffled-hash join
+      // whose keys are the orderkeys — never a broadcast of orders
+      val orderkeyJoin = finalPlan.linesIterator.find(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("l_orderkey") && l.contains("o_orderkey"))
+      assert(orderkeyJoin.nonEmpty,
+        s"lineitem⋈orders must be a shuffle equi-join on orderkey:\n$p")
+      // exactly the three declared dimension broadcasts survive:
+      // customer, supplier(+nation alias), nation
+      val bhj = finalPlan.linesIterator
+        .count(_.contains("BroadcastHashJoin"))
+      assert(bhj === 3, s"expected 3 dim broadcasts, got $bhj:\n$p")
+      // and none of them builds on an orders-derived relation
+      assert(!finalPlan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("o_orderkey")),
+        s"orders-derived relation on a broadcast build side:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
+    }
+  }
+
   test("q71: NOT IN plans as the NULL-AWARE broadcast anti join") {
     val p = plan(CoreQueries.q71NotInNullAware(spark, dir))
     // 'LeftAnti, BuildRight, true' — the trailing flag is
