@@ -221,26 +221,30 @@ object EarlyTdeScorer {
     }
   }
 
+  /** OPTIMIZER BARRIER after the fit stage: pushing downstream
+    * predicates through the feature projects substitutes the whole
+    * fold tree once per referenced field — the plan balloons to a
+    * multi-MB codegen unit (observed OOM). The RDD round-trip pins the
+    * boundary (lazy, no storage); downstream consumers (quality cuts,
+    * compiled tree scorers) see plain attribute references.
+    */
+  def featuresBarrier(featured: DataFrame): DataFrame =
+    featured.sparkSession.createDataFrame(featured.rdd, featured.schema)
+
   /** The full stage-1 + stage-2 pipeline: prefilter survivors →
     * closed-form features → quality cuts → classifier threshold.
     * Output: one row per candidate with the feature struct and score.
+    * The barrier between the fit and cut stages mirrors the
+    * reference's own stage split, where prefilter survivors leave
+    * Spark for the driver loop (`filter.py:305-360`) — here they stay
+    * distributed, but the planner treats the stages independently.
     */
   def earlyTdeCandidates(df: DataFrame,
       scorer: TdeScorer = LogisticTdeScorer,
       threshold: Double = 0.5): DataFrame = {
     val featured =
       withFeatures(df.filter(ZtfPhotometryFilters.earlyTdePrefilter.mask(df)))
-    // OPTIMIZER BARRIER between the fit stage and the cut stage:
-    // pushing the quality-cut predicate through the feature projects
-    // substitutes the whole fold tree once per referenced field — the
-    // plan balloons to a multi-MB codegen unit (observed OOM). The
-    // RDD round-trip pins the boundary (lazy, no storage); it mirrors
-    // the reference's own stage cut, where prefilter survivors leave
-    // Spark for the driver loop (`filter.py:305-360`) — here they stay
-    // distributed, but the planner treats the stages independently.
-    val spark = df.sparkSession
-    val barrier = spark.createDataFrame(featured.rdd, featured.schema)
-    barrier
+    featuresBarrier(featured)
       .filter(qualityCuts(col("tde_features")))
       .withColumn("tde_score", scorer.score(col("tde_features")))
       .filter(col("tde_score") >= threshold)

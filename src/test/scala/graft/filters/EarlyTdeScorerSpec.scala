@@ -144,4 +144,65 @@ class EarlyTdeScorerSpec extends SparkSpec {
   test("registry resolves ztf.early_tde_candidates") {
     assert(FilterRegistry.all.contains("ztf.early_tde_candidates"))
   }
+
+  test("trained GBT scorer separates the tde fixture from regular controls") {
+    import graft.filters.ztf.TrainedTdeScorer
+    val tde = spark.read.parquet("/root/reference/datatest/tde")
+    val regular = SparkSpec.ztfRegular
+    val scorer = TrainedTdeScorer.train(tde, regular)
+
+    // the 4 stage-2 candidates all survive with the trained model...
+    val out = EarlyTdeScorer.earlyTdeCandidates(tde, scorer)
+    val tdeScores = out.select("tde_score").collect().map(_.getDouble(0))
+    assert(tdeScores.length === 4, tdeScores.mkString(","))
+    assert(tdeScores.forall(_ >= 0.5), tdeScores.mkString(","))
+
+    // ...and every regular-fixture control with a defined two-band fit
+    // scores strictly below every TDE candidate (full separation on
+    // the labeled sample — what "discriminates" means here)
+    // barrier before filtering/scoring: the compiled trees reference
+    // feature fields many times — inlined folds would balloon the plan
+    val controlScores = EarlyTdeScorer.featuresBarrier(
+        EarlyTdeScorer.withFeatures(regular).select("tde_features"))
+      .filter(col("tde_features.n_g") >= 2 && col("tde_features.n_r") >= 2)
+      .select(scorer.score(col("tde_features")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(controlScores.nonEmpty)
+    assert(controlScores.max < tdeScores.min,
+      s"control max ${controlScores.max} vs tde min ${tdeScores.min}")
+  }
+
+  test("compiled tree columns match the Spark ML pipeline's probability") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Vector
+    import graft.filters.ztf.TrainedTdeScorer
+    val tde = spark.read.parquet("/root/reference/datatest/tde")
+    val regular = SparkSpec.ztfRegular
+    val scorer = TrainedTdeScorer.train(tde, regular)
+
+    // score the union of both fixtures' feature rows two ways: the
+    // compiled Column algebra vs model.transform's probability vector
+    val feats = EarlyTdeScorer.featuresBarrier(
+        EarlyTdeScorer.withFeatures(regular.select(
+          "candidate", "prv_candidates")
+          .unionByName(tde.select("candidate", "prv_candidates")))
+          .select("tde_features"))
+      .filter(col("tde_features.n_g") >= 2 && col("tde_features.n_r") >= 2)
+      .select(TrainedTdeScorer.featureNames.map(n =>
+        coalesce(col(s"tde_features.$n").cast("double"), lit(0.0)).as(n)) :+
+        col("tde_features"): _*)
+    val assembled = new VectorAssembler()
+      .setInputCols(TrainedTdeScorer.featureNames.toArray)
+      .setOutputCol("features").transform(feats)
+    val rows = scorer.model.transform(assembled)
+      .withColumn("compiled", scorer.score(col("tde_features")))
+      .select("probability", "compiled")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mlProb = r.getAs[Vector](0)(1) // P(class 1)
+      assert(math.abs(mlProb - r.getDouble(1)) < 1e-6,
+        s"ml=$mlProb compiled=${r.getDouble(1)}")
+    }
+  }
 }

@@ -40,6 +40,15 @@ object DriveVerify {
       " scored candidates (expect 4)")
     tdeOut.select("objectId", "tde_score").show(false)
 
+    // trained GBT stage-2 scorer: fit on the labeled fixtures, score
+    // via the compiled tree columns (no UDF in the scoring plan)
+    val gbt = graft.filters.ztf.TrainedTdeScorer.train(tde, df)
+    val gbtOut = graft.filters.ztf.EarlyTdeScorer
+      .earlyTdeCandidates(tde, gbt)
+    println("early_tde_candidates (trained GBT): " + gbtOut.count() +
+      " scored candidates (expect 4)")
+    gbtOut.select("objectId", "tde_score").show(false)
+
     try FilterRegistry.applyFilter(df, "ztf.nope")
     catch { case e: Exception =>
       println("PROBE unknown filter -> " + e.getMessage.take(130))
