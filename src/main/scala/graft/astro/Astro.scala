@@ -34,6 +34,14 @@ object Astro {
       ra1.cast("double"), dec1.cast("double"),
       ra2.cast("double"), dec2.cast("double"))
 
+  /** IAU constellation full name from J2000 ra/dec (S11) — the Roman
+    * 1987 boundary lookup as a native codegen kernel; see
+    * [[Constellation]] for provenance and the precession step.
+    */
+  def constellation(ra: Column, dec: Column): Column =
+    graft.expressions.ConstellationOf.constellationOf(
+      ra.cast("double"), dec.cast("double"))
+
   // North galactic pole, J2000 (Perryman & ESA 1997): used by astropy's
   // ICRS->Galactic frame rotation.
   private val NgpRa = 192.85948

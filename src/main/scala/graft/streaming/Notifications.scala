@@ -51,6 +51,25 @@ object Notifications {
        |*RA/Dec:* ${formatRaDec(raDeg, decDeg)}""".stripMargin
   }
 
+  /** TNS-match notification text — the reference's Telegram skeleton
+    * (`filter_tns_match/filter.py:181-196`) with the constellation
+    * from the packaged IAU boundary lookup (S11) in place of astropy's
+    * `get_constellation`; curve/cutout images stay behind the
+    * zero-egress Notifier seam.
+    */
+  def tnsMessage(
+      objectId: String,
+      tnsClassification: String,
+      daysSinceFirst: Double,
+      raDeg: Double,
+      decDeg: Double): String = {
+    val constellation = graft.astro.Constellation.name(raDeg, decDeg)
+    f"""🔭 Appeared $daysSinceFirst%.0f days ago
+       |*Object name*: $objectId
+       |*Classification*: ${tnsClassification.replace("SN", "Supernova")}
+       |*Constellation*: $constellation""".stripMargin
+  }
+
   /** Row adapter for alert DataFrames carrying the standard columns. */
   def fromAlertRow(row: Row, classification: String): String =
     alertMessage(

@@ -58,7 +58,8 @@ object DriveVerify {
     spark.range(1).select(
       Astro.galacticLatDeg(lit(192.85948), lit(27.12825)).as("b_at_ngp"),
       Astro.angSepDeg(lit(10.0), lit(20.0), lit(10.0), lit(21.0)).as("sep_1deg"),
-      Astro.distanceModulus(lit(0.1)).as("mu_z0p1")).show()
+      Astro.distanceModulus(lit(0.1)).as("mu_z0p1"),
+      Astro.constellation(lit(101.29), lit(-16.72)).as("sirius_const")).show()
 
     // Rubin surface: blocks + a composite filter on the Rubin fixture
     val rdf = spark.read
