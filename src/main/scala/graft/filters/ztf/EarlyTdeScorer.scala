@@ -126,9 +126,21 @@ object EarlyTdeScorer {
   private def sdiv(a: Column, b: Column): Column =
     when(b =!= 0.0, a / b)
 
-  private def featuresFromFits(g: Column, r: Column): Column = {
+  /** S12 dereddening folded into the ONLY feature it can affect: the
+    * per-band WLS is linear, so multiplying band b's fluxes by a
+    * constant c_b scales (a, sa, m, sm) by c_b and leaves χ², every
+    * SNR, and −a/m invariant. The g/r level ratio — hence the Wien
+    * temperature — is therefore the single dereddening-sensitive
+    * feature, and the correction is exact as a ratio multiplier:
+    * ratio_dered = ratio · 10^(0.4·E(B−V)·(A_g − A_r))
+    * (reference applies the same per-point division in
+    * `lcs.py:117-127` before its Rainbow fit).
+    */
+  private def featuresFromFits(g: Column, r: Column, ebv: Column): Column = {
     def f(c: Column, n: String) = c.getField(n)
-    val ratio = sdiv(f(g, "a"), f(r, "a"))
+    val deredden = pow(lit(10.0), lit(0.4) * ebv *
+      lit(graft.astro.Dereddening.AvZtf(1) - graft.astro.Dereddening.AvZtf(2)))
+    val ratio = sdiv(f(g, "a"), f(r, "a")) * deredden
     val lnr = when(ratio > 0, log(lit(WienLimit) / ratio))
     val temperature = sdiv(lit(WienC), lnr)
     // σ_T = T²/WienC · σ_lnRatio, σ_lnRatio² = (σa_g/a_g)² + (σa_r/a_r)²
@@ -163,10 +175,17 @@ object EarlyTdeScorer {
 
   /** Adds `tde_features` to the frame. Intermediates (flux history,
     * per-band sums, per-band fits) are materialized as columns so every
-    * O(history) fold runs exactly once per row.
+    * O(history) fold runs exactly once per row. `deredden = true`
+    * applies the coarse-model S12 correction (see featuresFromFits);
+    * pass false for raw-flux features (the synthetic-fit specs pin the
+    * uncorrected algebra).
     */
-  def withFeatures(df: DataFrame): DataFrame = {
+  def withFeatures(df: DataFrame, deredden: Boolean = false): DataFrame = {
     val jdMax = col("candidate.jd").cast("double")
+    val ebv =
+      if (deredden) graft.astro.Dereddening.ebvCosecant(
+        col("candidate.ra").cast("double"), col("candidate.dec").cast("double"))
+      else lit(0.0)
     df
       .withColumn("__tde_pts", ZtfPhotometryFilters.fluxHistoryCol)
       .withColumn("__tde_gs", bandSums(col("__tde_pts"), jdMax, 1))
@@ -174,7 +193,7 @@ object EarlyTdeScorer {
       .withColumn("__tde_g", fitFromSums(col("__tde_gs")))
       .withColumn("__tde_r", fitFromSums(col("__tde_rs")))
       .withColumn("tde_features",
-        featuresFromFits(col("__tde_g"), col("__tde_r")))
+        featuresFromFits(col("__tde_g"), col("__tde_r"), ebv))
       .drop("__tde_pts", "__tde_gs", "__tde_rs", "__tde_g", "__tde_r")
   }
 
@@ -242,8 +261,9 @@ object EarlyTdeScorer {
   def earlyTdeCandidates(df: DataFrame,
       scorer: TdeScorer = LogisticTdeScorer,
       threshold: Double = 0.5): DataFrame = {
-    val featured =
-      withFeatures(df.filter(ZtfPhotometryFilters.earlyTdePrefilter.mask(df)))
+    val featured = withFeatures(
+      df.filter(ZtfPhotometryFilters.earlyTdePrefilter.mask(df)),
+      deredden = true)
     featuresBarrier(featured)
       .filter(qualityCuts(col("tde_features")))
       .withColumn("tde_score", scorer.score(col("tde_features")))

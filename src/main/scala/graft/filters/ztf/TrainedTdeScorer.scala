@@ -52,7 +52,8 @@ object TrainedTdeScorer {
     */
   private def featureRows(alerts: DataFrame, label: Double): DataFrame =
     EarlyTdeScorer.featuresBarrier(
-      EarlyTdeScorer.withFeatures(alerts).select("tde_features"))
+      EarlyTdeScorer.withFeatures(alerts, deredden = true)
+        .select("tde_features"))
       .filter(col("tde_features.n_g") >= 2 && col("tde_features.n_r") >= 2)
       .select(featureNames.map(n =>
         featAsDouble(col("tde_features"), n).as(n)) :+

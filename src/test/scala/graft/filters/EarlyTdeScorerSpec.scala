@@ -163,7 +163,8 @@ class EarlyTdeScorerSpec extends SparkSpec {
     // barrier before filtering/scoring: the compiled trees reference
     // feature fields many times — inlined folds would balloon the plan
     val controlScores = EarlyTdeScorer.featuresBarrier(
-        EarlyTdeScorer.withFeatures(regular).select("tde_features"))
+        EarlyTdeScorer.withFeatures(regular, deredden = true)
+          .select("tde_features"))
       .filter(col("tde_features.n_g") >= 2 && col("tde_features.n_r") >= 2)
       .select(scorer.score(col("tde_features")).as("s"))
       .collect().map(_.getDouble(0))
@@ -185,7 +186,8 @@ class EarlyTdeScorerSpec extends SparkSpec {
     val feats = EarlyTdeScorer.featuresBarrier(
         EarlyTdeScorer.withFeatures(regular.select(
           "candidate", "prv_candidates")
-          .unionByName(tde.select("candidate", "prv_candidates")))
+          .unionByName(tde.select("candidate", "prv_candidates")),
+          deredden = true)
           .select("tde_features"))
       .filter(col("tde_features.n_g") >= 2 && col("tde_features.n_r") >= 2)
       .select(TrainedTdeScorer.featureNames.map(n =>
