@@ -1,71 +1,109 @@
 package graft.llmops
 
-import java.util.regex.Pattern
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** BPE tokenizer TRAINING as distributed dataflow (Sennrich+ 2016 —
-  * the algorithm behind GPT/Llama-family tokenizers), structured the
-  * way [[Pq.train]] structures Lloyd iterations: the corpus is
-  * touched ONCE (the map-side-combined token-frequency aggregation,
-  * q74's stage); every merge round then runs on the VOCABULARY
-  * DataFrame — thousands of rows, whatever the corpus size — so
-  * training cost is O(corpus) + nMerges · O(vocab), the exact shape
-  * production BPE trainers use (word-frequency dict first, merges
-  * over the dict).
+/** BPE tokenizer TRAINING (Sennrich+ 2016 — the algorithm behind
+  * GPT/Llama-family tokenizers) in the exact shape production BPE
+  * trainers use: the corpus is touched ONCE (the map-side-combined
+  * token-frequency aggregation, q74's stage), then the merge loop
+  * runs DRIVER-LOCAL on the collected word-frequency dict — which is
+  * vocabulary-sized by construction (distinct tokens, further capped
+  * by `minTf` for web-scale corpora), never corpus-sized. A 30k-merge
+  * vocabulary therefore costs one distributed pass plus an in-memory
+  * loop, not 30k Spark job round-trips (the round-4 cadence finding).
   *
-  * Determinism: the argmax merge is tie-broken lexicographically
-  * (count desc, pair asc), and symbol rewriting is Java-regex
-  * left-to-right non-overlapping replacement — canonical BPE ("a a a"
-  * under merge "a a" → "aa a"). Each round `localCheckpoint`s the
-  * vocab so the plan stays round-sized (the q61 inlining lesson).
+  * The loop maintains pair counts incrementally with a pair→words
+  * index, so each merge touches only the words containing the merged
+  * pair. Determinism: the argmax merge is tie-broken
+  * lexicographically (count desc, pair asc — ASCII-identical between
+  * Java string order and Spark's UTF-8 binary order), and symbol
+  * rewriting is left-to-right non-overlapping — canonical BPE
+  * ("a a a" under merge "a a" → "aa a").
   */
 object Bpe {
 
   /** (merges, finalVocab): `merges` in application order (left symbol,
     * right symbol); `finalVocab` rows (tok, tf, sym) with `sym` the
     * token's space-joined symbol segmentation after all merges.
+    *
+    * `minTf` drops rare tokens from the dict BEFORE the collect — the
+    * standard vocabulary cap that bounds driver memory on corpora
+    * whose long tail of hapaxes dwarfs the useful vocabulary.
     */
   def train(docs: DataFrame, textCol: String = "text",
-      nMerges: Int = 20): (Seq[(String, String)], DataFrame) = {
-    val vocab0 = docs
+      nMerges: Int = 20, minTf: Long = 1L)
+      : (Seq[(String, String)], DataFrame) = {
+    val spark = docs.sparkSession
+    // the ONE distributed pass: corpus -> (tok, tf), map-side combined
+    val dict = docs
       .select(explode(
         graft.expressions.WordShingles.shingles(col(textCol), 1)).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("tf"))
-      // initial segmentation: one symbol per character
-      .withColumn("sym", concat_ws(" ", split(col("tok"), "(?!^)")))
-      .localCheckpoint()
+      .filter(col("tf") >= minTf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    final case class W(tok: String, tf: Long, var syms: Array[String])
+    val words = dict.map { case (t, f) => W(t, f, t.split("(?!^)")) }
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val index =
+      scala.collection.mutable.HashMap[(String, String),
+        scala.collection.mutable.Set[Int]]()
+    def account(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.syms.length - 1) {
+        val p = (w.syms(j), w.syms(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * w.tf
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          index.getOrElseUpdate(p,
+            scala.collection.mutable.Set[Int]()) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(account(_, 1L))
+
+    // left-to-right non-overlapping merge of (a, b) in a symbol array
+    def applyMerge(syms: Array[String], a: String, b: String)
+        : Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
 
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var vocab = vocab0
     var round = 0
-    var exhausted = false
-    while (round < nMerges && !exhausted) {
-      val best = pairCounts(vocab)
-        .orderBy(col("weighted_n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        // whole-symbol-bounded replacement on the padded string. The
-        // TRAILING boundary is a lookahead, not a consumed space:
-        // consuming it would skip back-to-back occurrences ("b a n a
-        // n a" under (a,n) must give "b an an a", not "b an a n a" —
-        // left-to-right non-overlapping over SYMBOLS, which share
-        // their boundary space in the string encoding)
-        val pat = " " + Pattern.quote(a + " " + b) + "(?= )"
-        val rep = java.util.regex.Matcher
-          .quoteReplacement(" " + (a + b))
-        vocab = vocab.withColumn("sym",
-          trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
-            pat, rep)))
-          .localCheckpoint()
+    while (round < nMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      for ((p, c) <- counts)
+        if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      merges += best
+      // the index may hold stale members (words rewritten since they
+      // last contained `best`) — account(-1)/rewrite/account(+1) is a
+      // no-op for them
+      for (i <- index.getOrElse(best, Set.empty[Int]).toArray.sorted) {
+        account(i, -1L)
+        words(i).syms = applyMerge(words(i).syms, best._1, best._2)
+        account(i, 1L)
       }
       round += 1
     }
+
+    import spark.implicits._
+    val vocab = words.toSeq
+      .map(w => (w.tok, w.tf, w.syms.mkString(" ")))
+      .toDF("tok", "tf", "sym")
     (merges.toSeq, vocab)
   }
 

@@ -51,6 +51,51 @@ class StreamAndPipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("catalog run: 17 livestream filters in ONE query, per-topic == batch") {
+    // the broker's actual deployment shape (one StreamingQuery fans the
+    // whole catalog out to per-science-topic sinks): each micro-batch
+    // is scanned once (persist) and every filter's survivors append to
+    // topic=<filter>. Counts must equal the batch goldens exactly.
+    val goldens = Map(
+      "ztf.quality_cuts" -> 133L,
+      "ztf.livestream.sn_candidates" -> 7L,
+      "ztf.livestream.early_sn_candidates" -> 2L,
+      "ztf.livestream.kn_candidates" -> 2L,
+      "ztf.livestream.sso_ztf_candidates" -> 1L,
+      "ztf.livestream.sso_fink_candidates" -> 2L,
+      "ztf.livestream.microlensing_candidates" -> 0L,
+      "ztf.livestream.blazar" -> 2L,
+      "ztf.livestream.simbad_grav_candidates" -> 1L,
+      "ztf.livestream.tns_match" -> 0L,
+      "ztf.livestream.vra" -> 2L,
+      "ztf.livestream.yso_candidates" -> 3L,
+      "ztf.livestream.yso_spicy_candidates" -> 0L,
+      "ztf.livestream.magnetic_cvs" -> 1L,
+      "ztf.livestream.early_kn_candidates" -> 0L,
+      "ztf.livestream.rate_based_kn_candidates" -> 0L,
+      "ztf.livestream.new_hostless" -> 2L)
+    val batch = SparkSpec.ztfRegular
+    val stream = StreamPipeline.readParquetStream(
+      spark, "/root/reference/datatest/regular", batch.schema)
+    val base = Files.createTempDirectory("graft-catalog").toString
+    val notifier = new StreamPipeline.ParquetTopicNotifier(
+      base, selectColumns = Seq("objectId", "candid"))
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val q = StreamPipeline.run(stream, goldens.keys.toSeq.sorted, notifier,
+      checkpointDir = Some(ckpt))
+    q.awaitTermination(240000)
+    goldens.foreach { case (name, expected) =>
+      val dir = new java.io.File(s"$base/topic=${name.replace('.', '-')}")
+      if (expected == 0L)
+        // zero survivors: dir absent, or only empty part files
+        assert(!dir.exists() ||
+          spark.read.parquet(dir.toString).count() === 0L, name)
+      else
+        assert(spark.read.parquet(dir.toString).count() === expected, name)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("anomaly pipeline: distributed top-k with per-object dedup") {
     val df = spark.read.option("mergeSchema", "true")
       .parquet("/root/reference/datatest/regular")

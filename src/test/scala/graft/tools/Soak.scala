@@ -146,6 +146,12 @@ object Soak {
       graft.llmops.Bpe.train(big, nMerges = 10)
     }
     println(s"BPE merges: ${bpeOut._1.size}")
+    // merge-cadence soak: 100 merges must cost barely more than 10
+    // (driver-local loop over the collected dict - one corpus scan)
+    val bpe100 = time("BPE train 100 merges 10x") {
+      graft.llmops.Bpe.train(big, nMerges = 100)
+    }
+    println(s"BPE merges: ${bpe100._1.size}")
     // KLL quantile profiles over 10× events (per type + merged form)
     locally {
       val ev10 = spark.read.parquet(s"$soakDir/events.parquet")
