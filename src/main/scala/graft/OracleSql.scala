@@ -1215,12 +1215,12 @@ object OracleSql {
     val head = langArgmaxSql(c => s"h1_$c")
     val tail = langArgmaxSql(c => s"h2_$c")
     s"""WITH en AS (
-       |  SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
-       |  FROM documents WHERE lang = 'en'),
+       |  SELECT doc_id, text FROM documents WHERE lang = 'en'
+       |  ORDER BY doc_id LIMIT 30),
        |mixed AS (
-       |  SELECT 9000 + rn AS doc_id,
+       |  SELECT 9000000 + doc_id AS doc_id,
        |    concat(text, ' ${TextOps.EsMarkerPassage}') AS text
-       |  FROM en WHERE rn <= 30),
+       |  FROM en),
        |corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id, text FROM mixed),

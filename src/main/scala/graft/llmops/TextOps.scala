@@ -477,10 +477,13 @@ object TextOps {
     */
   def qCodeSwitch(spark: SparkSession, dir: String): DataFrame = {
     val d0 = docs(spark, dir)
+    // the 30 smallest English doc_ids, as TakeOrderedAndProject (no
+    // global window — the one WindowExec-on-one-partition pattern this
+    // file used to carry); fresh ids derive from doc_id directly
     val mixed = d0.filter(col("lang") === "en")
-      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
-      .filter(col("rn") <= 30)
-      .select((lit(9000L) + col("rn")).as("doc_id"),
+      .select("doc_id", "text")
+      .orderBy("doc_id").limit(30)
+      .select((lit(9000000L) + col("doc_id")).as("doc_id"),
         concat(col("text"), lit(" " + EsMarkerPassage)).as("text"))
     val corpus = d0.select("doc_id", "text").unionByName(mixed)
     // TWO materialization boundaries, one per fan-out level: without
