@@ -1175,6 +1175,23 @@ object OracleSql {
       |FROM c FULL OUTER JOIN s ON c.nk = s.nk
       |ORDER BY nationkey""".stripMargin
 
+  /** q78 — ANSI UNPIVOT of the q58 wide report (Spark side: stack). */
+  private val q78 =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nk, count(*) AS n_customers
+      |  FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(s_nationkey AS INTEGER) AS nk, count(*) AS n_suppliers
+      |  FROM supplier GROUP BY 1),
+      |wide AS (
+      |  SELECT coalesce(c.nk, s.nk) AS nationkey,
+      |    coalesce(n_customers, 0) AS n_customers,
+      |    coalesce(n_suppliers, 0) AS n_suppliers
+      |  FROM c FULL OUTER JOIN s ON c.nk = s.nk)
+      |SELECT nationkey, side, n
+      |FROM wide UNPIVOT (n FOR side IN (n_customers, n_suppliers))
+      |ORDER BY nationkey, side""".stripMargin
+
   /** q59 — CUBE grouping sets with ALL labels (q39's rollup + the
     * per-source subtotal slice).
     */
@@ -1616,5 +1633,6 @@ object OracleSql {
     "q74_bpe_pairs" -> q74,
     "q75_recursive_cte" -> q75,
     "q76_variant_json" -> q76,
-    "q77_lateral_topn" -> q77)
+    "q77_lateral_topn" -> q77,
+    "q78_unpivot" -> q78)
 }

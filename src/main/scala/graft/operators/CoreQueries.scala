@@ -288,6 +288,20 @@ object CoreQueries {
       .orderBy("nationkey")
   }
 
+  /** q78 — UNPIVOT (wide→long reshaping): q58's reconciliation report
+    * melted to (nationkey, side, n) rows via `stack` — Spark's
+    * codegen'd unpivot form (one Generate node, no join, no shuffle
+    * beyond q58's own aggregations; DuckDB mirrors with ANSI UNPIVOT).
+    * The long form is what downstream GROUP BY side / charting
+    * consumes — the standard wide-report-to-fact-stream reshape.
+    */
+  def q78Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q58FullOuter(spark, dir)
+      .select(col("nationkey"), expr(
+        "stack(2, 'n_customers', n_customers, 'n_suppliers', n_suppliers)" +
+          " AS (side, n)"))
+      .orderBy("nationkey", "side")
+
   /** q64 — TPC-H Q5 shape: local-supplier revenue per nation. The join
     * topology is CYCLIC — lineitem joins orders (via customer) AND
     * supplier, with the constraint that the customer's and supplier's
