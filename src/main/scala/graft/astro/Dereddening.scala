@@ -48,7 +48,7 @@ object Dereddening {
     * reference's keyed dict semantics without a per-row throw.
     */
   def fluxFactor(ebv: Column, fid: Column): Column = {
-    val av = AvZtf.foldLeft(lit(1.0) * lit(0.0)) { case (acc, (k, v)) =>
+    val av = AvZtf.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       acc + when(fid === k, v).otherwise(0.0)
     }
     pow(lit(10.0), lit(0.4) * ebv * av)

@@ -176,16 +176,20 @@ object EarlyTdeScorer {
   /** Adds `tde_features` to the frame. Intermediates (flux history,
     * per-band sums, per-band fits) are materialized as columns so every
     * O(history) fold runs exactly once per row. `deredden = true`
-    * applies the coarse-model S12 correction (see featuresFromFits);
-    * pass false for raw-flux features (the synthetic-fit specs pin the
-    * uncorrected algebra).
+    * applies the S12 correction (see featuresFromFits): if the frame
+    * already carries an `ebv` column — e.g. from an upstream
+    * [[graft.astro.Dereddening.EbvTable]] enrichment stage (the real
+    * dust-map seam) — that value is used; otherwise the coarse
+    * cosecant model computes it inline. Pass false for raw-flux
+    * features (the synthetic-fit specs pin the uncorrected algebra).
     */
   def withFeatures(df: DataFrame, deredden: Boolean = false): DataFrame = {
     val jdMax = col("candidate.jd").cast("double")
     val ebv =
-      if (deredden) graft.astro.Dereddening.ebvCosecant(
+      if (!deredden) lit(0.0)
+      else if (df.columns.contains("ebv")) col("ebv").cast("double")
+      else graft.astro.Dereddening.ebvCosecant(
         col("candidate.ra").cast("double"), col("candidate.dec").cast("double"))
-      else lit(0.0)
     df
       .withColumn("__tde_pts", ZtfPhotometryFilters.fluxHistoryCol)
       .withColumn("__tde_gs", bandSums(col("__tde_pts"), jdMax, 1))

@@ -92,6 +92,8 @@ class ConstellationSpec extends AnyFunSuite {
     ("SigmaOct", 317.20, -88.96, "Octans"),
     ("AlphaOct", 316.47, -77.02, "Octans"),
     ("ZetaPup", 120.90, -40.00, "Puppis"),
+    ("BetaPic", 86.82, -51.07, "Pictor"),
+    ("PicWedge", 93.00, -47.00, "Pictor"),
     ("AlphaCol", 84.91, -34.07, "Columba"),
     ("AlphaPhe", 6.57, -42.31, "Phoenix"),
     ("AlphaScl", 14.65, -29.36, "Sculptor"),

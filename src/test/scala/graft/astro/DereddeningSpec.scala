@@ -66,6 +66,24 @@ class DereddeningSpec extends SparkSpec {
     assert(math.abs(out("b") - expB) < 1e-12)
   }
 
+  test("injected ebv column overrides the cosecant model in TDE features") {
+    val tde = spark.read.parquet("/root/reference/datatest/tde")
+    val pre = tde.filter(
+      graft.filters.ztf.ZtfPhotometryFilters.earlyTdePrefilter.mask(tde))
+    def temps(df: org.apache.spark.sql.DataFrame) =
+      graft.filters.ztf.EarlyTdeScorer.withFeatures(df, deredden = true)
+        .select(col("objectId"), col("tde_features.temperature"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cosecant = temps(pre)
+    // a big injected E(B-V) must move the temperature beyond what the
+    // high-latitude cosecant model would ever produce
+    val injected = temps(pre.withColumn("ebv", lit(0.5)))
+    assert(cosecant.keySet === injected.keySet)
+    cosecant.keys.foreach { oid =>
+      assert(injected(oid) > cosecant(oid), oid)
+    }
+  }
+
   test("TDE features: dereddening raises temperature, leaves SNRs/chi2/t0") {
     val tde = spark.read.parquet("/root/reference/datatest/tde")
     val pre = tde.filter(

@@ -30,7 +30,6 @@ object Scale10Rotate {
 
     val docs = spark.read.parquet(s"$in/documents.parquet")
     (0 until 10).map { k =>
-      val off = lit(k * 37 + 1)
       docs.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
         // rotate: tail + head — same token statistics, different shingles
         concat(expr(s"substring(text, ${k * 37 + 1})"),
