@@ -1175,6 +1175,54 @@ object OracleSql {
       |FROM c FULL OUTER JOIN s ON c.nk = s.nk
       |ORDER BY nationkey""".stripMargin
 
+  /** q79 — the constellation kernel's oracle mirror: identical IAU-76
+    * precession algebra (constants shared with the engine via
+    * `Constellation.precessionAngles`) and the SAME packaged boundary
+    * table, generated into a VALUES join from `ConstellationTable
+    * .rows` — first-match-in-table-order via arg_min on the row
+    * ordinal. Zero transcription drift by construction.
+    */
+  private lazy val q79 = {
+    val (zeta, z, theta) = graft.astro.Constellation.precessionAngles
+    val tbl = graft.astro.ConstellationTable.rows.zipWithIndex.map {
+      case (r, i) => s"(${r.raLo}, ${r.raHi}, ${r.decLo}, '${r.abbr}', $i)"
+    }.mkString(",\n      |    ").stripMargin
+    val names = graft.astro.ConstellationTable.fullNames.toSeq.sorted.map {
+      case (a, n) => s"('$a', '$n')"
+    }.mkString(", ")
+    s"""WITH pts AS (
+       |  SELECT event_id,
+       |    (CAST(event_id AS DOUBLE) * 137.0) % 360.0 AS ra,
+       |    (CAST(event_id AS DOUBLE) * 97.0) % 180.0 - 90.0 AS dec
+       |  FROM events),
+       |prec AS (
+       |  SELECT event_id,
+       |    cos(dec * $D2R) * sin(ra * $D2R + $zeta) AS aa,
+       |    cos($theta) * cos(dec * $D2R) * cos(ra * $D2R + $zeta)
+       |      - sin($theta) * sin(dec * $D2R) AS bb,
+       |    sin($theta) * cos(dec * $D2R) * cos(ra * $D2R + $zeta)
+       |      + cos($theta) * sin(dec * $D2R) AS cc
+       |  FROM pts),
+       |p75 AS (
+       |  SELECT event_id,
+       |    CASE WHEN h < 0 THEN h + 24 WHEN h >= 24 THEN h - 24
+       |      ELSE h END AS rah,
+       |    asin(greatest(-1.0, least(1.0, cc))) / $D2R AS dec75
+       |  FROM (SELECT event_id, (atan2(aa, bb) + $z) / $D2R / 15.0 AS h,
+       |    cc FROM prec)),
+       |tbl(ra_lo, ra_hi, dec_lo, abbr, ord) AS (VALUES
+       |    $tbl),
+       |hit AS (
+       |  SELECT p.event_id, arg_min(t.abbr, t.ord) AS abbr
+       |  FROM p75 p JOIN tbl t
+       |    ON p.dec75 >= t.dec_lo AND p.rah >= t.ra_lo AND p.rah < t.ra_hi
+       |  GROUP BY 1),
+       |nm(abbr, name) AS (VALUES $names)
+       |SELECT nm.name AS constellation, count(*) AS n
+       |FROM hit JOIN nm ON hit.abbr = nm.abbr
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q78 — ANSI UNPIVOT of the q58 wide report (Spark side: stack). */
   private val q78 =
     """WITH c AS (
@@ -1634,5 +1682,6 @@ object OracleSql {
     "q75_recursive_cte" -> q75,
     "q76_variant_json" -> q76,
     "q77_lateral_topn" -> q77,
-    "q78_unpivot" -> q78)
+    "q78_unpivot" -> q78,
+    "q79_constellation" -> q79)
 }

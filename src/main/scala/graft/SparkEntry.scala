@@ -142,7 +142,8 @@ object SparkEntry {
     "q76_variant_json" -> (CoreQueries.q76VariantJson _),
     // LATERAL correlated top-n-per-group (decorrelated by Catalyst)
     "q77_lateral_topn" -> (CoreQueries.q77LateralTopN _),
-    "q78_unpivot" -> (CoreQueries.q78Unpivot _))
+    "q78_unpivot" -> (CoreQueries.q78Unpivot _),
+    "q79_constellation" -> (CoreQueries.q79Constellation _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -23,6 +23,12 @@ object Constellation {
   private final val Theta =
     (2004.3109 * T - 0.42665 * T * T - 0.041833 * T * T * T) / 3600.0 * D2R
 
+  /** (ζ, z, θ) in radians — exposed so the DuckDB oracle mirror (q79)
+    * replays the identical precession algebra with the same constants.
+    */
+  private[graft] def precessionAngles: (Double, Double, Double) =
+    (Zeta, Z, Theta)
+
   /** IAU abbreviation for a J2000 position (degrees). */
   def abbrev(raDeg: Double, decDeg: Double): String = {
     val ra = raDeg * D2R

@@ -302,6 +302,28 @@ object CoreQueries {
           " AS (side, n)"))
       .orderBy("nationkey", "side")
 
+  /** q79 — the S11 constellation kernel under the ORACLE gate: a
+    * deterministic synthetic sky (ra/dec derived arithmetically from
+    * event ids — both engines compute bit-identical doubles), bucketed
+    * by `constellation_of` and counted. The DuckDB mirror replays the
+    * same IAU-76 precession algebra and scans the SAME packaged
+    * boundary table, generated into the SQL from
+    * `ConstellationTable.rows` — so the native kernel's full
+    * precess-and-scan path is hash-checked cross-engine, not just
+    * anchor-tested.
+    */
+  def q79Constellation(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        pmod(col("event_id").cast("double") * lit(137.0), lit(360.0)).as("ra"),
+        (pmod(col("event_id").cast("double") * lit(97.0), lit(180.0))
+          - lit(90.0)).as("dec"))
+      .select(graft.astro.Astro.constellation(col("ra"), col("dec"))
+        .as("constellation"))
+      .groupBy("constellation")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("constellation")
+
   /** q64 — TPC-H Q5 shape: local-supplier revenue per nation. The join
     * topology is CYCLIC — lineitem joins orders (via customer) AND
     * supplier, with the constraint that the customer's and supplier's

@@ -11,6 +11,7 @@ Run: sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/vout'
      python3 tools/prevalidate.py /root/testdata/sf0.01 /tmp/vout
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -25,8 +26,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # driver testdata ships single files; Spark-written scale-up copies
+    # (tools/Scale10) are directories of part files
+    path = f"{SF_DIR}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 # q26's oracle slices documents.text as a *character* string while Spark
 # slices the binary payload; they agree only while the text is pure ASCII
