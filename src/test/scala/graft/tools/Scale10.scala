@@ -59,7 +59,11 @@ object Scale10 {
         .withColumn("l_suppkey", col("l_suppkey") + o))
     rep("events")((df, o) =>
       df.withColumn("event_id", col("event_id") + o)
-        .withColumn("user_id", col("user_id") + o))
+        .withColumn("user_id", col("user_id") + o)
+        // the driver file carries TIMESTAMP(NANOS), which this session
+        // reads as long (nanosAsLong); write a real TIMESTAMP back so
+        // non-Spark readers (the DuckDB oracle) keep date semantics
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     rep("documents")((df, o) =>
       df.withColumn("doc_id", col("doc_id") + o))
     rep("embeddings")((df, o) =>
