@@ -20,11 +20,21 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+# optional comma-separated query-name filter (rerun a subset, e.g. after
+# an oracle-side resource failure at big scale factors)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# out-of-core spilling for big scale factors (the 10x gate OOMs the
+# in-memory default when heavy statements run back to back); DuckDB's
+# string-expression working set scales with threads — DUCKDB_THREADS=4
+# gets the heavy text statements through at 10x
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+if os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in TABLES:
     # driver testdata ships single files; Spark-written scale-up copies
     # (tools/Scale10) are directories of part files
@@ -48,6 +58,8 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
+    if ONLY is not None and name not in ONLY:
+        continue
     try:
         want = con.execute(sql).df()
     except Exception as e:
