@@ -29,6 +29,27 @@ object Constellation {
   private[graft] def precessionAngles: (Double, Double, Double) =
     (Zeta, Z, Theta)
 
+  /** RA-bucketed index: bucket b holds (in table order) only the rows
+    * whose [raLo, raHi) intersects [b/4, (b+1)/4) hours. First-match
+    * semantics are preserved exactly — a query's matching rows all
+    * intersect its bucket, in the same relative order — while the scan
+    * shrinks from ~470 rows to the bucket's ~15: the per-row constant
+    * of this map-stage kernel at 100 TB.
+    */
+  private final val BucketsPerHour = 4
+  private lazy val raIndex: Array[Array[ConstellationTable.Row]] = {
+    val n = 24 * BucketsPerHour
+    val buckets = Array.fill(n)(
+      scala.collection.mutable.ArrayBuffer[ConstellationTable.Row]())
+    for (r <- ConstellationTable.rows) {
+      val lo = math.max(0, (r.raLo * BucketsPerHour).toInt)
+      val hi = math.min(n - 1, math.ceil(r.raHi * BucketsPerHour).toInt - 1)
+      var b = lo
+      while (b <= hi) { buckets(b) += r; b += 1 }
+    }
+    buckets.map(_.toArray)
+  }
+
   /** IAU abbreviation for a J2000 position (degrees). */
   def abbrev(raDeg: Double, decDeg: Double): String = {
     val ra = raDeg * D2R
@@ -43,7 +64,16 @@ object Constellation {
       if (h < 0) h + 24.0 else if (h >= 24.0) h - 24.0 else h
     }
     val dec75 = math.asin(math.max(-1.0, math.min(1.0, c))) / D2R
-    val rows = ConstellationTable.rows
+    lookup1875(raH, dec75)
+  }
+
+  /** First-match scan in B1875 coordinates via the RA index (the
+    * post-precession half of [[abbrev]]; package-visible so the spec
+    * can pin it against a plain linear scan).
+    */
+  private[astro] def lookup1875(raH: Double, dec75: Double): String = {
+    val rows = raIndex(math.min(raIndex.length - 1,
+      math.max(0, (raH * BucketsPerHour).toInt)))
     var i = 0
     while (i < rows.length) {
       val r = rows(i)

@@ -114,6 +114,20 @@ class ConstellationSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  /** Plain linear first-match scan in B1875 — the reference semantics
+    * the RA-bucketed index must reproduce exactly.
+    */
+  private def linearAbbrev(raH: Double, dec75: Double): String = {
+    val rows = ConstellationTable.rows
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (dec75 >= r.decLo && raH >= r.raLo && raH < r.raHi) return r.abbr
+      i += 1
+    }
+    "Oct"
+  }
+
   test("every sky position resolves (dense grid, no gaps)") {
     var n = 0
     val seen = scala.collection.mutable.Set[String]()
@@ -130,6 +144,24 @@ class ConstellationSpec extends AnyFunSuite {
     // the grid at this resolution must reach nearly all 88
     assert(seen.size >= 85, s"only ${seen.size} constellations seen")
     seen.foreach(a => assert(ConstellationTable.fullNames.contains(a), a))
+  }
+
+  test("RA-bucketed index == linear table scan on a fine B1875 grid") {
+    // dense sweep including bucket-boundary RAs (multiples of 0.25 h)
+    // where an off-by-one in bucket assignment would surface
+    var bad = List.empty[String]
+    var h = 0.0
+    while (h < 24.0) {
+      var d = -90.0
+      while (d <= 90.0) {
+        val lin = linearAbbrev(h, d)
+        val idx = Constellation.lookup1875(h, d)
+        if (lin != idx) bad ::= s"($h, $d): linear=$lin indexed=$idx"
+        d += 0.5
+      }
+      h += 0.125
+    }
+    assert(bad.isEmpty, bad.take(10).mkString("\n"))
   }
 
   test("Column kernel matches the driver-side lookup and stays codegen") {
