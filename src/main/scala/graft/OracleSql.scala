@@ -1213,8 +1213,9 @@ object OracleSql {
        |tbl(ra_lo, ra_hi, dec_lo, abbr, ord) AS (VALUES
        |    $tbl),
        |hit AS (
-       |  SELECT p.event_id, arg_min(t.abbr, t.ord) AS abbr
-       |  FROM p75 p JOIN tbl t
+       |  SELECT p.event_id,
+       |    coalesce(arg_min(t.abbr, t.ord), 'Oct') AS abbr
+       |  FROM p75 p LEFT JOIN tbl t
        |    ON p.dec75 >= t.dec_lo AND p.rah >= t.ra_lo AND p.rah < t.ra_hi
        |  GROUP BY 1),
        |nm(abbr, name) AS (VALUES $names)

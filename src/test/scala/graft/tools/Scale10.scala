@@ -57,13 +57,20 @@ object Scale10 {
       df.withColumn("l_orderkey", col("l_orderkey") + o)
         .withColumn("l_partkey", col("l_partkey") + o)
         .withColumn("l_suppkey", col("l_suppkey") + o))
-    rep("events")((df, o) =>
-      df.withColumn("event_id", col("event_id") + o)
+    rep("events") { (df, o) =>
+      val shifted = df.withColumn("event_id", col("event_id") + o)
         .withColumn("user_id", col("user_id") + o)
-        // the driver file carries TIMESTAMP(NANOS), which this session
-        // reads as long (nanosAsLong); write a real TIMESTAMP back so
-        // non-Spark readers (the DuckDB oracle) keep date semantics
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      // the driver file carries TIMESTAMP(NANOS), which this session
+      // reads as long (nanosAsLong); write a real TIMESTAMP back so
+      // non-Spark readers (the DuckDB oracle) keep date semantics.
+      // Type-guarded like CoreQueries.events, so re-running Scale10 on
+      // its own output (10x -> 100x chaining) stays idempotent.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          shifted.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => shifted
+      }
+    }
     rep("documents")((df, o) =>
       df.withColumn("doc_id", col("doc_id") + o))
     rep("embeddings")((df, o) =>

@@ -47,12 +47,15 @@ for t in TABLES:
 # slices the binary payload; they agree only while the text is pure ASCII
 # (this DuckDB build cannot substring a BLOB). Fail loudly if the data
 # ever grows a multi-byte character instead of letting the gate diverge.
-_non_ascii = con.execute(
-    "SELECT count(*) FROM documents "
-    "WHERE octet_length(CAST(text AS BLOB)) <> length(text)").fetchone()[0]
-assert _non_ascii == 0, (
-    f"{_non_ascii} documents.text rows are non-ASCII: the q26 head_hex "
-    "oracle (char-based substring) no longer matches Spark's byte slice")
+# Skipped on subset reruns that don't touch q26 (the flag exists for
+# rerunning single statements at big scale factors).
+if ONLY is None or "q26_multimodal_meta" in ONLY:
+    _non_ascii = con.execute(
+        "SELECT count(*) FROM documents "
+        "WHERE octet_length(CAST(text AS BLOB)) <> length(text)").fetchone()[0]
+    assert _non_ascii == 0, (
+        f"{_non_ascii} documents.text rows are non-ASCII: the q26 head_hex "
+        "oracle (char-based substring) no longer matches Spark's byte slice")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
