@@ -205,4 +205,29 @@ object Pq {
       .orderBy(col("d2"), col("vec_id"))
       .limit(topK)
   }
+
+  /** The canonical IVF-PQ index search — the composition deployed ANN
+    * systems actually run at 100 TB: the coarse quantizer prunes to
+    * nProbe cells (at scale the codes live bucketed by `seed_id`, so
+    * this is a bucket-pruned scan, not a filter over the corpus), ADC
+    * scores ONLY the probed cells' m-byte codes, and the exact rerank
+    * reads full vectors for the pool-sized shortlist alone. Cost per
+    * query: nProbe/nCells of the code scan + pool full vectors —
+    * independent of corpus size in the vector dimension.
+    *
+    * `assign` is [[graft.llmops.Similarity.ivfAssign]]'s output
+    * (vec_id, seed_id [, ...]); `probeSeeds` the query's nProbe cell
+    * ids (a driver-sized/broadcastable relation).
+    */
+  def ivfPqSearch(e: DataFrame, vecCol: String, codes: DataFrame,
+      assign: DataFrame, probeSeeds: DataFrame,
+      query: Array[Double], cb: Codebook,
+      topK: Int = 10, pool: Int = 100): DataFrame = {
+    val cellCodes = codes.join(
+      org.apache.spark.sql.functions.broadcast(probeSeeds.select("seed_id"))
+        .join(assign.select("vec_id", "seed_id"), Seq("seed_id"))
+        .select("vec_id"),
+      Seq("vec_id"))
+    searchWithRerank(e, vecCol, cellCodes, query, cb, topK, pool)
+  }
 }

@@ -83,6 +83,46 @@ class PqSpec extends SparkSpec {
     assert(reranked === expect)
   }
 
+  test("IVF-PQ composition: probed-cell search == exact search within cells") {
+    // the full production index: coarse quantizer prunes cells, ADC
+    // scores only the probed cells' codes, rerank restores exactness
+    val e = emb.withColumn("nrm", graft.llmops.Similarity.norm(col("embedding")))
+    val seeds = graft.llmops.Similarity.ivfSeeds(e)
+    val assign = graft.llmops.Similarity.ivfAssign(e, seeds)
+    val (cb, _) = Pq.train(emb, "embedding", dim = 64, m = 16, k = 32,
+      iters = 5)
+    val codes = Pq.encode(emb, "embedding", cb)
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    // probe the query's 2 nearest cells (as q27 does)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probe = qvec.crossJoin(broadcast(seeds))
+      .withColumn("cs", graft.llmops.Similarity.cs("qe", "semb", "qn", "snrm"))
+      .orderBy(col("cs").desc, col("seed_id"))
+      .limit(2).select("seed_id")
+    val probedIds = assign.join(broadcast(probe), Seq("seed_id"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probedIds.nonEmpty)
+    // generous pool -> the shortlist covers the probed cells' true
+    // top-10, so the result must equal exact search within the cells
+    val got = Pq.ivfPqSearch(
+        emb.filter(col("vec_id") =!= 0), "embedding",
+        codes.filter(col("vec_id") =!= 0),
+        assign, probe, q, cb, topK = 10,
+        pool = probedIds.size)
+      .collect().map(_.getLong(0)).toSeq
+    val exactInCells = emb.filter(col("vec_id") =!= 0).collect()
+      .filter(r => probedIds.contains(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        r.getLong(0) -> v.indices.map(i => math.pow(v(i) - q(i), 2)).sum
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    assert(got === exactInCells)
+  }
+
   test("ADC distance approximates the true distance (rank-preserving)") {
     val (cb, _) = Pq.train(emb, "embedding", dim = 64, m = 16, k = 32,
       iters = 5)
