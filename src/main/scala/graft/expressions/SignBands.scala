@@ -15,11 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Each of `nTables × nBits` hyperplanes is a Rademacher ±1 vector
   * over the full 2⁶⁴ key space, realized lazily per present term:
-  * sign(term, plane) = low bit of splitmix64(termKey ^ plane·φ₆₄).
-  * The projection is Σ v_t·sign_t — exact integer arithmetic, no
-  * floats, so band keys are bit-deterministic across engines and
-  * partitionings. Bit p of the sketch is (projection ≥ 0); band t
-  * packs bits [t·nBits, (t+1)·nBits) little-endian into an int.
+  * ONE splitmix64 mix per (term, table) yields 64 independent sign
+  * bits, of which bit b is the sign for plane (table, b) — so the
+  * kernel costs nTables (not nTables·nBits) mixes per term, and
+  * nBits ≤ 30 < 64 bits are always available. The projection is
+  * Σ v_t·sign_t — exact integer arithmetic, no floats, so band keys
+  * are bit-deterministic across engines and partitionings. Bit b of
+  * table t's band is (projection_b ≥ 0), packed little-endian into
+  * an int.
   *
   * Two pairs colliding in ANY table's band are candidate pairs; for
   * angle θ the per-table collision probability is (1−θ/π)^nBits and
@@ -95,21 +98,27 @@ object SignBands {
       i += 1
     }
     val bands = new Array[Int](nTables)
+    val projs = new Array[Long](nBits)
     var t = 0
     while (t < nTables) {
+      java.util.Arrays.fill(projs, 0L)
+      var j = 0
+      while (j < n) {
+        // one mix per (term, table); its 64 bits are the Rademacher
+        // signs for this table's nBits hyperplanes
+        val h = mix(ks(j) ^ ((t + 1).toLong * Gold))
+        val v = vs(j)
+        var b = 0
+        while (b < nBits) {
+          if (((h >>> b) & 1L) == 0L) projs(b) += v else projs(b) -= v
+          b += 1
+        }
+        j += 1
+      }
       var band = 0
       var b = 0
       while (b < nBits) {
-        val plane = (t * nBits + b).toLong
-        var proj = 0L
-        var j = 0
-        while (j < n) {
-          // Rademacher ±1 from the low bit of the mixed (key, plane)
-          if ((mix(ks(j) ^ (plane * Gold)) & 1L) == 0L) proj += vs(j)
-          else proj -= vs(j)
-          j += 1
-        }
-        if (proj >= 0L) band |= (1 << b)
+        if (projs(b) >= 0L) band |= (1 << b)
         b += 1
       }
       bands(t) = band
