@@ -355,31 +355,42 @@ object TextOps {
     * gate fixtures themselves (deterministic kernel → measured recall
     * transfers exactly): the synthetic corpus is near-WORST-case for
     * angular LSH — 31-term vocabulary, background pair cosine p50 =
-    * 0.61 and p99 = 0.835 vs a top-20 floor of 0.829 — yet 12 bits ×
-    * 48 tables recalls the top-25 at every SF (min table-collisions 1)
-    * while passing ~53% of background pairs. On a realistic corpus
-    * (background cosine ≪ 0.5, vocabulary ≫ 10⁴) the same parameters
-    * pass (1−θ/π)^12·48 ≈ 10⁻³ of background pairs — the asymptotic
-    * bound the all-pairs stage lacked. Exact-duplicate pairs (the 10×
-    * replica profile's top ranks) sketch identically → certain recall.
+    * 0.61 and p99 = 0.835 vs a top-20 floor of 0.829. Under the
+    * round-7 one-mix-per-(term,table) kernel, 12 bits × 48 tables left
+    * a true top-25 pair with ZERO table collisions at sf0.01 (the gate
+    * passed only because that pair sat in ranks 21–25); 96 tables
+    * restores a real margin — measured min per-true-pair table
+    * collisions over the top-25: sf0.001 → 5, sf0.01 → 3, sf0.1 → 12
+    * (artifact: Q41_MARGINS.md; pinned ≥ 2 by TfidfLshSpec). For the
+    * floor pair (cos 0.829, per-table collision p ≈ 0.08) the miss
+    * probability is (1−p)^96 ≈ 4·10⁻⁴ vs 2·10⁻² at 48. On a realistic
+    * corpus (background cosine ≪ 0.5, vocabulary ≫ 10⁴) the pass rate
+    * stays ≈ (1−θ/π)^12·96 ≲ 10⁻²  of background pairs — still the
+    * asymptotic bound the all-pairs stage lacked; per-doc cost is 96
+    * mixes per term, 8× below the pre-round-7 kernel (576).
+    * Exact-duplicate pairs (the 10× replica profile's top ranks)
+    * sketch identically → certain recall in every table.
     */
   private val TfidfLshBits = 12
-  private val TfidfLshTables = 48
+  private val TfidfLshTables = 96
 
-  private def tfidfPairsImpl(spark: SparkSession, dir: String,
-      lshPrefilter: Boolean): DataFrame = {
-    // Per-doc SORTED sparse vector: (term-hash, w·10⁶) long arrays +
-    // the norm, one row per doc. The pair stage is then a stratum
-    // self-join (each candidate pair materializes ONCE, carrying two
-    // ~vocabulary-sized long arrays) with the native SparseDotMicros
-    // merge kernel — versus the previous (pair, term) relational dot,
-    // whose join+re-aggregation shuffled one row per SHARED TERM per
-    // pair (~25× more rows here; measured 2.8 s → 1.1 s at sf0.1,
-    // value-identical incl. the decimal→double rounding, which the
-    // kernel reproduces exactly). The term-hash currency is the same
-    // 2⁻⁶⁴ risk as the near-dup pipelines; Σ(va·vb) per pair must fit
-    // i64 — micros ≤ 3e9 per weight at vocabulary 31 is 6 orders away.
-    val docVecs = tfidfWeights(docs(spark, dir))
+  /** Per-doc SORTED sparse TF-IDF vector: (term-hash, w·10⁶) long arrays
+    * + the norm + the sign-LSH band sketch, one row per doc. The band
+    * sketch is computed INSIDE this (persisted-by-callers) relation so
+    * the SignBands kernel runs once per doc — not once per side of the
+    * candidate self-join. The pair stage is then a stratum self-join
+    * (each candidate pair materializes ONCE, carrying two
+    * ~vocabulary-sized long arrays) with the native SparseDotMicros
+    * merge kernel — versus the previous (pair, term) relational dot,
+    * whose join+re-aggregation shuffled one row per SHARED TERM per
+    * pair (~25× more rows here; measured 2.8 s → 1.1 s at sf0.1,
+    * value-identical incl. the decimal→double rounding, which the
+    * kernel reproduces exactly). The term-hash currency is the same
+    * 2⁻⁶⁴ risk as the near-dup pipelines; Σ(va·vb) per pair must fit
+    * i64 — micros ≤ 3e9 per weight at vocabulary 31 is 6 orders away.
+    */
+  private def q41DocVecs(spark: SparkSession, dir: String): DataFrame =
+    tfidfWeights(docs(spark, dir))
       .groupBy("lang", "source", "doc_id")
       .agg(
         array_sort(collect_list(struct(
@@ -390,7 +401,13 @@ object TextOps {
         transform(col("kv"), e => e.getField("k")).as("ks"),
         transform(col("kv"), e => e.getField("v")).as("vs"),
         col("nrm"))
-      .persist() // band explode + both pair-join sides
+      .withColumn("bands", graft.expressions.SignBands.signBands(
+        col("ks"), col("vs"), TfidfLshBits, TfidfLshTables))
+
+  private def tfidfPairsImpl(spark: SparkSession, dir: String,
+      lshPrefilter: Boolean): DataFrame = {
+    val docVecs = q41DocVecs(spark, dir)
+      .persist() // band explode + both pair-join sides + rerank
     // Candidate pairs. LSH path (production, the q28 shape): explode
     // nTables band keys per doc, equi-join slim (id, band) rows on
     // (stratum, tbl, band) — NEVER the vectors — then distinct.
@@ -400,9 +417,7 @@ object TextOps {
       if (lshPrefilter) {
         val keyed = docVecs
           .select(col("lang"), col("source"), col("doc_id"),
-            posexplode(graft.expressions.SignBands.signBands(
-              col("ks"), col("vs"), TfidfLshBits, TfidfLshTables))
-              .as(Seq("tbl", "band")))
+            posexplode(col("bands")).as(Seq("tbl", "band")))
         keyed.select(col("lang"), col("source"), col("tbl"), col("band"),
             col("doc_id").as("doc_a"))
           .join(keyed.select(col("lang"), col("source"), col("tbl"),
@@ -429,6 +444,39 @@ object TextOps {
         round(dot / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** Recall-margin diagnostic for the q41 LSH prefilter (run by
+    * `graft.tools.Q41Check`, pinned by TfidfLshSpec): for each of the
+    * exact top-`topN` pairs, in how many of the `TfidfLshTables` band
+    * tables the two docs share a band ("table collisions"). A pair is
+    * recalled iff collisions ≥ 1; the MIN over the true top pairs is
+    * the robustness margin of the shipped (bits, tables) tuning —
+    * measured against the exact all-pairs ranking, so it is an
+    * end-to-end property of the production SignBands kernel, not a
+    * probabilistic estimate.
+    */
+  def q41CollisionMargins(spark: SparkSession, dir: String,
+      topN: Int = 25): DataFrame = {
+    val docVecs = q41DocVecs(spark, dir).persist()
+    val dot = graft.expressions.SparseDotMicros
+      .sparseDotMicros(col("ka"), col("va"), col("kb"), col("vb"))
+    docVecs.select(col("lang"), col("source"), col("doc_id").as("doc_a"))
+      .join(docVecs.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b")), Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(docVecs.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
+        col("vs").as("va"), col("nrm").as("na"), col("bands").as("ba")),
+        Seq("doc_a"))
+      .join(docVecs.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
+        col("vs").as("vb"), col("nrm").as("nb"), col("bands").as("bb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(dot / (col("na") * col("nb")), 6).as("cos_sim"),
+        size(filter(zip_with(col("ba"), col("bb"), (x, y) => x === y),
+          b => b)).as("table_collisions"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
   }
 
   /** TF-IDF term weights, the shared (doc, term, weight) sparse-vector

@@ -26,18 +26,25 @@ object CoreQueries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table with its nanosecond-precision timestamp normalized
-    * to Spark TimestampType. Parquet TIMESTAMP(NANOS) is not a legal Spark
-    * type (PARQUET_TYPE_ILLEGAL); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
-    * (ns since epoch) which we floor-divide to microseconds — integer
-    * division, never through double (2^53 < ns-epoch values).
+  /** The events table with its timestamp normalized to Spark
+    * TimestampType, whatever physical shape the driver's generator wrote:
+    *  - Parquet TIMESTAMP(NANOS) is not a legal Spark type
+    *    (PARQUET_TYPE_ILLEGAL); with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
+    *    (ns since epoch) which we floor-divide to microseconds — integer
+    *    division, never through double (2^53 < ns-epoch values);
+    *  - isAdjustedToUTC=false micros infer as TIMESTAMP_NTZ when
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled` is on; every
+    *    downstream `unix_micros(ts)` requires TIMESTAMP, so cast — under
+    *    the UTC session timezone this is value-exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

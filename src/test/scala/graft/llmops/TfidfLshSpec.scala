@@ -22,6 +22,21 @@ class TfidfLshSpec extends SparkSpec {
     }
   }
 
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"q41 recall margin ≥ 2 table collisions over the top-25 at $sf") {
+      // the robustness contract behind the equality above: every true
+      // top-25 pair (5 ranks of headroom past the top-20 cutoff) must
+      // collide in ≥ 2 of the band tables, so losing any single
+      // collision to a tuning/kernel change cannot silently flip the
+      // gate (Q41_MARGINS.md records the measured history)
+      val margins = TextOps
+        .q41CollisionMargins(spark, s"/root/testdata/$sf", 25)
+        .collect().map(_.getInt(3))
+      assert(margins.length === 25)
+      assert(margins.min >= 2, s"margins=${margins.toSeq}")
+    }
+  }
+
   test("identical vectors always collide (certain recall for exact dups)") {
     import spark.implicits._
     val ks = Array(3L, 99L, -7L)

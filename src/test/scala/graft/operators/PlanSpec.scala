@@ -110,10 +110,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_"), p)
-    // pair GENERATION is the sign-LSH banded candidate join: keyed by
-    // (stratum, tbl, band) — candidate volume scales with collisions,
-    // not |stratum|² (the round-5 scale-killer)
-    assert(p.contains("band"), p)
+    // pair GENERATION is the sign-LSH banded candidate join: a hash
+    // join KEYED by (stratum, tbl, band) — candidate volume scales with
+    // collisions, not |stratum|² (the round-5 scale-killer). The regex
+    // pins the actual join keys (with expr-ids elided), so a refactor
+    // that drops tbl/band from the key — reverting to an all-pairs
+    // stratum join — fails here even if sign_bands is still computed.
+    val bandKeys =
+      ("""\[lang#\d+, source#\d+, tbl#\d+, band#\d+L?\], """ +
+        """\[lang#\d+, source#\d+, tbl#\d+, band#\d+L?\]""").r
+    assert(bandKeys.findFirstIn(p).nonEmpty, p)
     assert(p.contains("sign_bands"), p)
   }
 

@@ -32,6 +32,18 @@ object Q41Check {
     }
     println(if (lsh == exact) "PASS: identical top-20"
             else s"FAIL:\nlsh=$lsh\nexact=$exact")
+    // Recall-margin artifact: per true-top-25 pair, how many band
+    // tables collide under the SHIPPED SignBands kernel (≥1 ⇒ recalled;
+    // min over pairs = robustness margin of the (bits, tables) tuning).
+    val margins = graft.llmops.TextOps.q41CollisionMargins(spark, dir, 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    margins.foreach { case (a, b, c, m) =>
+      println(f"margin: ($a%5d,$b%5d) cos=$c%.6f table_collisions=$m%d")
+    }
+    println(s"margin: min=${margins.map(_._4).min} " +
+      s"median=${margins.map(_._4).sorted.apply(margins.length / 2)} " +
+      s"over top-${margins.length} at $dir")
     spark.stop()
   }
 }
