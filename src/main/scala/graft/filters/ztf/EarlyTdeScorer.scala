@@ -201,6 +201,20 @@ object EarlyTdeScorer {
       .drop("__tde_pts", "__tde_gs", "__tde_rs", "__tde_g", "__tde_r")
   }
 
+  /** Adds the NONLINEAR `rainbow_fit` struct — the distributed
+    * Levenberg–Marquardt fit of the reference's Rainbow model
+    * (sigmoid bolometric rise × constant-T blackbody,
+    * `filter_early_tde_candidates/lcs.py:268-326`) over the same
+    * in-row history the closed-form features use, WLS-seeded inside
+    * the kernel (see [[graft.expressions.RainbowFit]]). Opt-in: the
+    * default pipeline keeps the closed-form features (whose golden
+    * regression is pinned), and a trained scorer can consume both.
+    */
+  def withRainbowFit(df: DataFrame): DataFrame =
+    df.withColumn("rainbow_fit", graft.expressions.RainbowFit.rainbowFit(
+      ZtfPhotometryFilters.fluxHistoryCol,
+      col("candidate.jd").cast("double")))
+
   /** The reference's feature-quality cuts (`filter.py:184-196`) read on
     * the closed-form features, plus both-band rising rates.
     */

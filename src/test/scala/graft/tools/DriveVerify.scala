@@ -326,6 +326,17 @@ object DriveVerify {
       graft.operators.CoreQueries.q76VariantJson(spark, sf).show(3, false)
       graft.operators.CoreQueries.q77LateralTopN(spark, sf).show(3, false)
     }
+
+    // nonlinear Rainbow light-curve fit (G6) over the ZTF fixture
+    {
+      val fits = graft.filters.ztf.EarlyTdeScorer
+        .withRainbowFit(spark.read.parquet("/root/reference/datatest/regular"))
+        .selectExpr("objectId", "rainbow_fit.*")
+        .filter(col("converged") && col("rise_time").between(0.5, 100)
+          && col("temperature").between(2000, 50000))
+      fits.orderBy(col("chi2")).show(5, false)
+      println(s"rainbow: ${fits.count()} physical converged fits")
+    }
     spark.stop()
   }
 }
