@@ -94,5 +94,28 @@ object TrainedTdeScorer {
     def score(feat: Column): Column =
       round(TreeColumnCompiler.gbtProbability(model,
         i => featAsDouble(feat, featureNames(i))), 6)
+
+    /** Freeze to the open `graft-gbt-1` JSON (see
+      * [[graft.ml.PortableGbt]]) — the deployable artifact: load it
+      * back with [[TrainedTdeScorer.loadPortable]] on a classpath
+      * WITHOUT `org.apache.spark.ml`, with bit-identical scores.
+      */
+    def save(path: String): Unit =
+      graft.ml.PortableGbt.fromModel(model, featureNames).save(path)
   }
+
+  /** A saved portable ensemble as a [[EarlyTdeScorer.TdeScorer]] —
+    * same Column algebra, no Spark ML types anywhere on the path.
+    */
+  final class PortableTdeScorer(ensemble: graft.ml.PortableGbt.Ensemble)
+      extends EarlyTdeScorer.TdeScorer {
+    require(ensemble.featureNames == featureNames,
+      s"portable model features ${ensemble.featureNames} != $featureNames")
+    def score(feat: Column): Column =
+      round(ensemble.probability(
+        i => featAsDouble(feat, featureNames(i))), 6)
+  }
+
+  def loadPortable(path: String): PortableTdeScorer =
+    new PortableTdeScorer(graft.ml.PortableGbt.load(path))
 }

@@ -207,4 +207,41 @@ class EarlyTdeScorerSpec extends SparkSpec {
         s"ml=$mlProb compiled=${r.getDouble(1)}")
     }
   }
+
+  test("portable JSON artifact round-trips the trained scorer exactly") {
+    import graft.filters.ztf.TrainedTdeScorer
+    val tde = spark.read.parquet("/root/reference/datatest/tde")
+    val scorer = TrainedTdeScorer.train(tde, SparkSpec.ztfRegular)
+
+    val path = java.nio.file.Files
+      .createTempFile("tde-gbt", ".json").toString
+    try {
+      scorer.save(path)
+      // the artifact is the open graft-gbt-1 format, not an ML pickle
+      val json = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      assert(json.contains("\"format\":\"graft-gbt-1\""))
+      assert(json.contains("\"featureNames\""))
+
+      val loaded = TrainedTdeScorer.loadPortable(path)
+      // score the fixture's feature rows with both scorers: the
+      // loaded ensemble must reproduce the trained model's scores
+      // (spec budget 1e-6; doubles round-trip JSON exactly, so the
+      // truth is bit-identity)
+      val rows = EarlyTdeScorer.featuresBarrier(
+          EarlyTdeScorer.withFeatures(tde, deredden = true)
+            .select("tde_features"))
+        .filter(col("tde_features.n_g") >= 2 &&
+          col("tde_features.n_r") >= 2)
+        .select(scorer.score(col("tde_features")).as("trained"),
+          loaded.score(col("tde_features")).as("portable"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+          s"trained=${r.getDouble(0)} portable=${r.getDouble(1)}")
+      }
+    } finally java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path)): Unit
+  }
 }
