@@ -91,6 +91,13 @@ class ConstellationSpec extends AnyFunSuite {
     ("BetaHyi", 6.44, -77.25, "Hydrus"),
     ("SigmaOct", 317.20, -88.96, "Octans"),
     ("AlphaOct", 316.47, -77.02, "Octans"),
+    // deep-south stress anchors: points within ~1 deg of the Oct/Hyi/
+    // Men borders, where the pre-refinement table erred by up to ~1 deg
+    ("ThetaOct", 0.41, -77.07, "Octans"), // west of Hyi's 00h06m edge
+    ("BetaMen", 76.70, -71.32, "Mensa"),
+    ("DeltaOct", 216.73, -83.67, "Octans"),
+    ("GammaCha", 158.87, -78.61, "Chamaeleon"),
+    ("NuOct", 325.37, -77.39, "Octans"),
     ("ZetaPup", 120.90, -40.00, "Puppis"),
     ("BetaPic", 86.82, -51.07, "Pictor"),
     ("PicWedge", 93.00, -47.00, "Pictor"),

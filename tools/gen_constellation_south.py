@@ -87,19 +87,64 @@ bands = [
  (-72.5, [(23.0,24,'Tuc'),(0,1.4,'Tuc'),(1.4,3.5,'Hyi'),(3.5,7.3,'Men'),
           (7.3,9.1,'Vol'),(9.1,10.8,'Car'),(10.8,13.8,'Mus'),
           (13.8,18.3,'Aps'),(18.3,21.0,'Pav'),(21.0,23.0,'Ind')]),
- (-75.5, [(0.0,3.85,'Hyi'),(3.85,7.75,'Men'),(7.75,13.9,'Cha'),
-          (13.9,18.3,'Aps'),(18.3,24,'Oct')]),
- (-80.0, [(0.0,2.9,'Hyi'),(2.9,4.0,'Oct'),(4.0,7.5,'Men'),(7.5,13.9,'Cha'),
+ # Hydrus' west boundary is RA 00h06.1m (J2000), NOT 0h: the sliver
+ # west of it belongs to Octans (theta Oct, RA 00h01.6m dec -77.06,
+ # is the classic stress point).
+ (-75.5, [(0.0,0.102,'Oct'),(0.102,3.85,'Hyi'),(3.85,7.75,'Men'),
+          (7.75,13.9,'Cha'),(13.9,18.3,'Aps'),(18.3,24,'Oct')]),
+ (-80.0, [(0.0,0.102,'Oct'),(0.102,2.9,'Hyi'),(2.9,4.0,'Oct'),
+          (4.0,7.5,'Men'),(7.5,13.9,'Cha'),
           (13.9,18.0,'Aps'),(18.0,24,'Oct')]),
  (-83.5, [(4.0,7.5,'Men'),(7.5,24,'Oct'),(0.0,4.0,'Oct')]),
 ]
 
-for dec_low, rows in bands:
+# Stair-step refinement: the true boundaries are constant-RA segments
+# in B1875, so between two sampled J2000 dec bands the boundary RA
+# drifts smoothly; a single band per ~3 deg approximates that drift as
+# one step of up to ~1 deg. Where adjacent bands share the same
+# constellation sequence, insert linearly-interpolated intermediate
+# bands until the dec spacing is <= MAX_SPACING, which bounds the
+# per-band step error by drift * spacing / span / 2 (measured worst
+# boundary drift ~1 deg over 3 deg -> error ~0.08 deg at 0.5 deg
+# spacing). Structurally-different neighbors (corners appear/vanish)
+# keep the original single step.
+MAX_SPACING = 0.5
+
+def subdivided(bands):
+    out = []
+    for i, (dec_low, rows) in enumerate(bands):
+        out.append((dec_low, rows))
+        if i + 1 >= len(bands):
+            continue
+        dec_next, rows_next = bands[i + 1]
+        if [r[2] for r in rows] != [r[2] for r in rows_next]:
+            continue
+        span = dec_low - dec_next
+        k = int(math.ceil(span / MAX_SPACING)) - 1
+        for j in range(1, k + 1):
+            t = j / (k + 1)
+            mid = [(lo1 + t * (lo2 - lo1), hi1 + t * (hi2 - hi1), a1)
+                   for (lo1, hi1, a1), (lo2, hi2, _) in zip(rows, rows_next)]
+            out.append((dec_low - t * span, mid))
+    return out
+
+def emit(r1, r2, dl, abbr):
+    print(f"{r1:7.4f} {r2:7.4f} {dl:8.4f} {abbr}")
+
+for dec_low, rows in subdivided(bands):
     for raLo, raHi, abbr in rows:
         r1, d1 = precess(raLo, dec_low)
         r2, d2 = precess(raHi if raHi < 24 else 23.99999, dec_low)
         if raHi == 24: r2 = 24.0
-        if raLo == 0 and r1 > 12: r1 = 0.0
         dl = (d1 + d2) / 2.0
-        print(f"{r1:7.4f} {r2:7.4f} {dl:8.4f} {abbr}")
+        if r1 > r2:
+            # the interval precessed across RA 0: split into two rows
+            # (a row with raLo > raHi would never match; the old
+            # snap-raLo-to-0 hack instead covered the whole band for
+            # sub-0.1h slivers that land entirely below RA 24)
+            emit(r1, 24.0, dl, abbr)
+            if r2 > 0:
+                emit(0.0, r2, dl, abbr)
+        else:
+            emit(r1, r2, dl, abbr)
 print(" 0.0000 24.0000 -90.0000 Oct")
