@@ -1605,6 +1605,78 @@ object OracleSql {
       |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
       |ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""".stripMargin
 
+  // ---- reference-filter goldens over the real ZTF fixture (q80+) ----
+  // The SIMBAD class lists are generated from the SAME Scala constants
+  // the filters use (the q79 zero-transcription-drift pattern).
+
+  private val ZtfFixture = "/root/reference/datatest/regular/*.parquet"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString(", ")
+
+  /** The sn_candidates predicate re-expressed in SQL
+    * (`livestream/filter_sn_candidates/filter.py:86-104`).
+    */
+  private def snCandidatesPredicate: String = {
+    val hosts = sqlList(graft.filters.ztf.SimbadClasses.ExtragalacticHosts)
+    s"""(snn_snia_vs_nonia > 0.5 OR snn_sn_vs_all > 0.5)
+       |    AND cdsxmatch IN ($hosts)
+       |    AND (candidate.jd - candidate.jdstarthist) <= 90
+       |    AND candidate.drb > 0.5 AND candidate.classtar > 0.4
+       |    AND candidate.ndethist > 1 AND roid <> 3""".stripMargin
+  }
+
+  private lazy val q80 =
+    s"""SELECT objectId AS object_id, CAST(candidate.jd AS DOUBLE) AS jd
+       |FROM '$ZtfFixture'
+       |WHERE $snCandidatesPredicate
+       |ORDER BY object_id, jd""".stripMargin
+
+  /** The full classification cascade (`classification.py:139-210`) as
+    * one CASE over per-filter flag columns; flags coalesce to false on
+    * null inputs exactly as the engine's masks do.
+    */
+  private lazy val q81 = {
+    val hosts = sqlList(graft.filters.ztf.SimbadClasses.ExtragalacticHosts)
+    s"""WITH flags AS (
+       |  SELECT cdsxmatch,
+       |    coalesce(mulens > 0.0, false) AS f_mulens,
+       |    coalesce($snCandidatesPredicate, false) AS f_sn,
+       |    coalesce((snn_snia_vs_nonia > 0.5 OR snn_sn_vs_all > 0.5)
+       |      AND cdsxmatch IN ($hosts)
+       |      AND candidate.drb > 0.5 AND candidate.classtar > 0.4
+       |      AND candidate.ndethist <= 20
+       |      AND rf_snia_vs_nonia > 0.5, false) AS f_snearly,
+       |    coalesce(rf_kn_vs_nonkn > 0.5
+       |      AND candidate.drb > 0.5 AND candidate.classtar > 0.4
+       |      AND (candidate.jd - candidate.jdstarthist) < 5
+       |      AND roid <> 3 AND candidate.ndethist < 20
+       |      AND cdsxmatch IN ($hosts), false) AS f_kn,
+       |    coalesce(roid = 2, false) AS f_r2,
+       |    coalesce(roid = 3, false) AS f_r3,
+       |    coalesce(substr(tracklet, 1, 5) = 'TRCK_', false) AS f_tracklet,
+       |    coalesce(NOT cdsxmatch IN
+       |        ('Unknown', 'Transient', 'Fail', 'Fail 504')
+       |      AND cdsxmatch NOT LIKE 'Fail%'
+       |      AND cdsxmatch NOT LIKE 'Galaxy%', false) AS f_simbad
+       |  FROM '$ZtfFixture')
+       |SELECT CASE
+       |    WHEN f_simbad THEN cdsxmatch
+       |    WHEN CAST(f_mulens AS INT) + CAST(f_sn AS INT)
+       |      + CAST(f_r2 AS INT) + CAST(f_r3 AS INT) > 1 THEN 'Ambiguous'
+       |    WHEN f_r3 THEN 'Solar System MPC'
+       |    WHEN f_tracklet THEN 'Tracklet'
+       |    WHEN f_r2 THEN 'Solar System candidate'
+       |    WHEN f_kn THEN 'Kilonova candidate'
+       |    WHEN f_snearly THEN 'Early SN Ia candidate'
+       |    WHEN f_sn THEN 'SN candidate'
+       |    WHEN f_mulens THEN 'Microlensing candidate'
+       |    ELSE 'Unknown' END AS class,
+       |  count(*) AS n
+       |FROM flags
+       |GROUP BY 1 ORDER BY n DESC, class""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1684,5 +1756,7 @@ object OracleSql {
     "q76_variant_json" -> q76,
     "q77_lateral_topn" -> q77,
     "q78_unpivot" -> q78,
-    "q79_constellation" -> q79)
+    "q79_constellation" -> q79,
+    "q80_sn_candidates" -> q80,
+    "q81_class_histogram" -> q81)
 }

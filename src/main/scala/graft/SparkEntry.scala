@@ -143,7 +143,10 @@ object SparkEntry {
     // LATERAL correlated top-n-per-group (decorrelated by Catalyst)
     "q77_lateral_topn" -> (CoreQueries.q77LateralTopN _),
     "q78_unpivot" -> (CoreQueries.q78Unpivot _),
-    "q79_constellation" -> (CoreQueries.q79Constellation _))
+    "q79_constellation" -> (CoreQueries.q79Constellation _),
+    // reference-filter goldens over the real ZTF fixture (§2.5 gate)
+    "q80_sn_candidates" -> (operators.GoldenQueries.q80SnCandidates _),
+    "q81_class_histogram" -> (operators.GoldenQueries.q81ClassHistogram _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.
