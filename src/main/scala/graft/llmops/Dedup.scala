@@ -317,13 +317,33 @@ object Dedup {
     *
     * Scale shape: keys are a map stage; the explode carries (vec_id,
     * tbl, bucket) — never the vector; the self-join is an equi-join on
-    * (tbl, bucket); vectors rejoin by id only for the verify.
+    * (tbl, bucket); vectors rejoin by id only for the verify. The part
+    * that must SCALE WITH THE CORPUS is `planesPer`: expected bucket
+    * occupancy is N / 2^planesPer, and in-bucket candidate pairs grow
+    * with occupancy SQUARED — the 100× soak (graft.tools.Scale100)
+    * measured the 4-plane gate tuning at 200k vectors producing ~5
+    * billion candidate rows (16 buckets/table × ~12.5k occupancy²)
+    * where 14 planes keeps occupancy O(replica-group) and finishes in
+    * seconds. Size planesPer ≈ log₂(N / targetOccupancy); the recall
+    * floor rises with planes ((1−θ/π)^planes per table), which is the
+    * correct production trade — at 100 TB, sign-LSH blocking is a
+    * near-IDENTICAL-dup detector (exact replicas collide in every
+    * table regardless of planes); low-threshold semantic similarity
+    * belongs to the IVF/PQ path (q27), not to bucket blocking.
     */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val nTables = 4
-    val planesPer = 4
-    val threshold = 0.3
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      nTables = 4, planesPer = 4, threshold = 0.3)
+
+  /** Parameterized library form of [[qDedupEmbedding]] (same plan;
+    * the gate query pins the (4, 4, 0.3) tuning its DuckDB mirror
+    * replays). `e0` must carry (vec_id, embedding).
+    */
+  def embeddingDedup(e0: DataFrame, nTables: Int, planesPer: Int,
+      threshold: Double): DataFrame = {
+    val e = e0
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist() // 3 consumers: key explode + both verify sides
