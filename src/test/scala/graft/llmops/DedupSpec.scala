@@ -198,6 +198,36 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("embeddingDedup: exact replicas are certainly recalled at ANY bucket entropy") {
+    // sign-LSH blocking's scale contract (the Scale100 soak's rule):
+    // raising planesPer shrinks buckets and the near-dup recall floor,
+    // but EXACT duplicates hash identically in every table, so their
+    // recall is certain regardless of tuning. Build 3 replicas of each
+    // of the first 40 real vectors (id-shifted) and require every
+    // replica to be flagged with a canonical at or below its base copy
+    // (the base is a qualifying cos=1 neighbor with a smaller id, and
+    // canonical = min over qualifying neighbors — another real vector
+    // may legitimately rank lower still) at both the gate tuning and a
+    // high-entropy production tuning.
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40).select("vec_id", "embedding")
+    val replicas = (0 until 3).map { k =>
+      base.select((col("vec_id") + lit(k * 1000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+    for (planes <- Seq(4, 14)) {
+      val out = Dedup.embeddingDedup(replicas, nTables = 4,
+        planesPer = planes, threshold = 0.3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (v <- 0L until 40L; k <- 1 to 2) {
+        assert(out.get(v + k * 1000L).exists(_ <= v),
+          s"replica ${v + k * 1000L} not deduped (canonical <= $v) at planesPer=$planes")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("SimHash64 on real docs: near-identical texts collide, distinct do not") {
     val d = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
