@@ -98,6 +98,9 @@ class ConstellationSpec extends AnyFunSuite {
     ("DeltaOct", 216.73, -83.67, "Octans"),
     ("GammaCha", 158.87, -78.61, "Chamaeleon"),
     ("NuOct", 325.37, -77.39, "Octans"),
+    ("AlphaCir", 220.63, -64.97, "Circinus"), // thin Cir wedge at -65
+    ("GammaTrA", 229.73, -68.68, "Triangulum Australe"),
+    ("BetaAps", 250.71, -77.52, "Apus"),
     ("ZetaPup", 120.90, -40.00, "Puppis"),
     ("BetaPic", 86.82, -51.07, "Pictor"),
     ("PicWedge", 93.00, -47.00, "Pictor"),
