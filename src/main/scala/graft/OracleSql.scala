@@ -1609,7 +1609,8 @@ object OracleSql {
   // The SIMBAD class lists are generated from the SAME Scala constants
   // the filters use (the q79 zero-transcription-drift pattern).
 
-  private val ZtfFixture = "/root/reference/datatest/regular/*.parquet"
+  private val ZtfFixture =
+    s"${graft.operators.GoldenQueries.FixtureDir}/*.parquet"
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString(", ")

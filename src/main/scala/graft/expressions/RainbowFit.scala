@@ -57,11 +57,19 @@ case class RainbowFit(pts: Expression, jdMax: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (pts.dataType,
       jdMax.dataType) match {
+    // field TYPES must be validated too, not just names: the kernel
+    // reads fixed-width UnsafeRow slots (getDouble/getInt/getBoolean),
+    // so e.g. a float flux or long fid would silently reinterpret raw
+    // bytes into garbage fits instead of failing analysis
     case (ArrayType(st: StructType, _), DoubleType)
-        if Seq("jd", "f", "e", "fid", "ok").forall(st.fieldNames.contains) =>
+        if Seq("jd" -> DoubleType, "f" -> DoubleType, "e" -> DoubleType,
+          "fid" -> IntegerType, "ok" -> BooleanType).forall { case (n, t) =>
+            st.fieldNames.contains(n) && st(n).dataType == t
+          } =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<struct{jd,f,e,fid,ok}>, double), got " +
+      s"$prettyName requires (array<struct{jd double, f double, e double, " +
+        s"fid int, ok boolean}>, double), got " +
         s"${pts.dataType.catalogString}, ${jdMax.dataType.catalogString}")
   }
 

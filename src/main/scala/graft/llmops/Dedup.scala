@@ -332,9 +332,7 @@ object Dedup {
     * belongs to the IVF/PQ path (q27), not to bucket blocking.
     */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embeddingDedup(
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")),
+    embeddingDedup(spark.read.parquet(s"$dir/embeddings.parquet"),
       nTables = 4, planesPer = 4, threshold = 0.3)
 
   /** Parameterized library form of [[qDedupEmbedding]] (same plan;

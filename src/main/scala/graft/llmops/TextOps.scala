@@ -389,8 +389,9 @@ object TextOps {
     * 2⁻⁶⁴ risk as the near-dup pipelines; Σ(va·vb) per pair must fit
     * i64 — micros ≤ 3e9 per weight at vocabulary 31 is 6 orders away.
     */
-  private def q41DocVecs(spark: SparkSession, dir: String): DataFrame =
-    tfidfWeights(docs(spark, dir))
+  private def q41DocVecs(spark: SparkSession, dir: String,
+      withBands: Boolean = true): DataFrame = {
+    val vecs = tfidfWeights(docs(spark, dir))
       .groupBy("lang", "source", "doc_id")
       .agg(
         array_sort(collect_list(struct(
@@ -401,12 +402,17 @@ object TextOps {
         transform(col("kv"), e => e.getField("k")).as("ks"),
         transform(col("kv"), e => e.getField("v")).as("vs"),
         col("nrm"))
-      .withColumn("bands", graft.expressions.SignBands.signBands(
+    // bands are skipped on the exact path (qTfidfPairsExact — the
+    // recall REFERENCE must not pay the 96-table kernel it never reads)
+    if (withBands)
+      vecs.withColumn("bands", graft.expressions.SignBands.signBands(
         col("ks"), col("vs"), TfidfLshBits, TfidfLshTables))
+    else vecs
+  }
 
   private def tfidfPairsImpl(spark: SparkSession, dir: String,
       lshPrefilter: Boolean): DataFrame = {
-    val docVecs = q41DocVecs(spark, dir)
+    val docVecs = q41DocVecs(spark, dir, withBands = lshPrefilter)
       .persist() // band explode + both pair-join sides + rerank
     // Candidate pairs. LSH path (production, the q28 shape): explode
     // nTables band keys per doc, equi-join slim (id, band) rows on

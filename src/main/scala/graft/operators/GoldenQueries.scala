@@ -20,7 +20,11 @@ import graft.filters.ztf.ZtfFilters
   */
 object GoldenQueries {
 
-  private val FixtureDir = "/root/reference/datatest/regular"
+  /** Single source of truth for the reference ZTF fixture location —
+    * OracleSql's DuckDB mirror and the test harness derive from this,
+    * so the Spark query and its oracle can never read different data.
+    */
+  val FixtureDir = "/root/reference/datatest/regular"
 
   private def fixture(spark: SparkSession): DataFrame =
     spark.read.parquet(FixtureDir)

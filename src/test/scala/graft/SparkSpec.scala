@@ -38,7 +38,7 @@ object SparkSpec {
     * tools/dev_goldens.py for how expected counts were derived).
     */
   lazy val ztfRegular: DataFrame = {
-    val df = session.read.parquet("/root/reference/datatest/regular")
+    val df = session.read.parquet(graft.operators.GoldenQueries.FixtureDir)
     df.cache()
     df
   }

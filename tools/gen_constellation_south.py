@@ -134,8 +134,14 @@ def emit(r1, r2, dl, abbr):
 for dec_low, rows in subdivided(bands):
     for raLo, raHi, abbr in rows:
         r1, d1 = precess(raLo, dec_low)
-        r2, d2 = precess(raHi if raHi < 24 else 23.99999, dec_low)
-        if raHi == 24: r2 = 24.0
+        # raHi == 24 precesses as RA 0 (same point on the sphere): the
+        # segment's true B1875 end is ~23.89h, and the [23.89, 24) B1875
+        # sliver belongs to whichever constellation owns J2000 RA 0+ in
+        # this band — its wrap-split row covers it. Snapping r2 back to
+        # 24.0 here (the old behavior) shadowed that row wherever the
+        # RA-24 and RA-0 segments name DIFFERENT constellations (e.g.
+        # Tuc|Phe near dec -57: a 1.6h x 1.3deg sliver misassigned Tuc).
+        r2, d2 = precess(raHi % 24.0, dec_low)
         dl = (d1 + d2) / 2.0
         if r1 > r2:
             # the interval precessed across RA 0: split into two rows
