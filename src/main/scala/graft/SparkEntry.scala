@@ -146,7 +146,11 @@ object SparkEntry {
     "q79_constellation" -> (CoreQueries.q79Constellation _),
     // reference-filter goldens over the real ZTF fixture (§2.5 gate)
     "q80_sn_candidates" -> (operators.GoldenQueries.q80SnCandidates _),
-    "q81_class_histogram" -> (operators.GoldenQueries.q81ClassHistogram _))
+    "q81_class_histogram" -> (operators.GoldenQueries.q81ClassHistogram _),
+    // nonlinear Rainbow light-curve fit (G6) — no SQL oracle exists
+    // for an iterative optimizer: the driver records its rows-only
+    // check; values pinned by RainbowFitSpec
+    "q82_rainbow_fit" -> (operators.GoldenQueries.q82RainbowFit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

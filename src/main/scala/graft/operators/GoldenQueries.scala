@@ -51,4 +51,29 @@ object GoldenQueries {
     Classify.classHistogram(fixture(spark))
       .select(col("class"), col("count").as("n"))
       .orderBy(desc("n"), asc("class"))
+
+  /** q82 — the distributed nonlinear Rainbow light-curve fit (G6,
+    * `filter_early_tde_candidates/lcs.py:268-326` re-expressed as the
+    * [[graft.expressions.RainbowFit]] Levenberg-Marquardt kernel) over
+    * every fixture alert: physical converged fits with 6-decimal
+    * parameter rounding under a total order. No DuckDB oracle exists
+    * for an iterative nonlinear optimizer, so this rides the driver's
+    * rows-only check; parameter VALUES are pinned by RainbowFitSpec
+    * (recovery on synthetic curves + optimality vs an independent
+    * Nelder-Mead on the same χ²).
+    */
+  def q82RainbowFit(spark: SparkSession, dir: String): DataFrame =
+    graft.filters.ztf.EarlyTdeScorer.withRainbowFit(fixture(spark))
+      .select(col("objectId").as("object_id"),
+        col("candidate.jd").cast("double").as("jd"),
+        col("rainbow_fit.*"))
+      .filter(col("converged") && col("rise_time").between(0.5, 100) &&
+        col("temperature").between(2000, 50000))
+      .select(col("object_id"), col("jd"),
+        round(col("t0"), 6).as("t0"),
+        round(col("amplitude"), 9).as("amplitude"),
+        round(col("rise_time"), 6).as("rise_time"),
+        round(col("temperature"), 3).as("temperature"),
+        round(col("chi2"), 6).as("chi2"), col("n"))
+      .orderBy("object_id", "jd")
 }

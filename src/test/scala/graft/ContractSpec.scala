@@ -4,13 +4,24 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver contract itself: every declared query has a DuckDB
   * oracle (a query without one silently downgrades the correctness
-  * gate to rows-only), names are unique per qN index, and the flagship
-  * entry returns rows (the driver's smoke check).
+  * gate to rows-only) unless it is EXPLICITLY listed as rows-only
+  * here, names are unique per qN index, and the flagship entry
+  * returns rows (the driver's smoke check).
   */
 class ContractSpec extends AnyFunSuite {
 
+  /** Queries with no SQL-expressible oracle (the contract's documented
+    * weaker rows-only path). Listing is deliberate: adding a query
+    * here must be a conscious decision, never an omission.
+    */
+  private val rowsOnly = Set(
+    "q82_rainbow_fit") // iterative LM optimizer; values pinned by RainbowFitSpec
+
   test("every query has an oracle and vice versa") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.keySet -- rowsOnly ===
+      SparkEntry.oracleSql.keySet)
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.keySet.intersect(rowsOnly).isEmpty)
   }
 
   test("query indexes are unique") {
