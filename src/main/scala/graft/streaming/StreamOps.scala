@@ -226,4 +226,103 @@ object StreamOps {
         max(col("mx")).cast("double").as("max_value"),
         count_distinct(col("d")).as("n_days"))
       .orderBy("event_type")
+
+  /** Streaming heavy hitters over a document stream with BOUNDED state:
+    * a merged CountMinSketch (KB–MB, ε/confidence-sized — NEVER grows
+    * with vocabulary) plus a `4k`-term candidate ring, maintained per
+    * micro-batch as parquet state (the rollup-sink pattern: restart-safe
+    * because the state is files; a retried batch re-reads only state
+    * with `batch_id < current`, so replays are idempotent).
+    *
+    * Per batch: exact in-batch term counts (map-combined aggregation)
+    * yield the batch's top-4k candidates; the batch CMS (fixed seed →
+    * mergeable) merges into the stored sketch; previous ∪ batch
+    * candidates re-score against the MERGED sketch and the best 4k
+    * survive. Contracts: reported counts never undercount and overcount
+    * ≤ ε·N with the configured confidence (CMS bound); candidate RECALL
+    * requires a true heavy hitter to enter some batch's top-4k once —
+    * a term heavy only in aggregate across many batches while never
+    * batch-locally notable can be missed, the standard cost of bounded
+    * streaming top-k (exact recovery at 100 TB = one batch pass routed
+    * through the sketch, the q54 bloom pattern). This is the streaming
+    * face of `Sketches.tokenCms` + q37's exact vocabulary top-k.
+    */
+  def heavyHittersSink(docs: DataFrame, statePath: String, k: Int = 20,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val breadth = k * 4
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val toks = batch.select(explode(
+          graft.expressions.WordShingles.shingles(col(textCol), 1)).as("t"))
+        if (!toks.isEmpty) {
+          val batchTop = toks.groupBy("t").count()
+            .orderBy(col("count").desc, col("t")).limit(breadth)
+            .as[(String, Long)].collect().map(_._1)
+          val batchCms = toks.stat.countMinSketch("t", eps, confidence, 42)
+          val prev = readHeavyState(spark, statePath, batchId)
+          val merged = prev match {
+            case Some((prevCms, _)) => prevCms.mergeInPlace(batchCms)
+            case None => batchCms
+          }
+          val prevCand = prev.map(_._2).getOrElse(Array.empty[String])
+          val cand = (prevCand ++ batchTop).distinct
+            .map(t => (t, merged.estimateCount(t)))
+            .sortBy { case (t, e) => (-e, t) }
+            .take(breadth)
+          val bos = new java.io.ByteArrayOutputStream()
+          merged.writeTo(bos)
+          Seq(bos.toByteArray).toDF("sketch").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/sketch/batch_id=$batchId")
+          cand.toSeq.toDF("term", "est").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/cand/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** Latest persisted (sketch, candidates) strictly BELOW `beforeBatch`
+    * (a retried batch must not read its own failed attempt's state).
+    */
+  private def readHeavyState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, beforeBatch: Long)
+      : Option[(org.apache.spark.util.sketch.CountMinSketch,
+        Array[String])] = {
+    val candTree =
+      try spark.read.parquet(s"$statePath/cand")
+        .filter(col("batch_id") < beforeBatch)
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (candTree.isEmpty) return None
+    // partition-dir inference types batch_id as int; read it as long
+    val latest = candTree.agg(max(col("batch_id").cast("long")))
+      .head().getLong(0)
+    val cand = candTree.filter(col("batch_id") === latest)
+      .orderBy(desc("est"), asc("term"))
+      .select("term").collect().map(_.getString(0))
+    val bytes = spark.read
+      .parquet(s"$statePath/sketch/batch_id=$latest")
+      .head().getAs[Array[Byte]](0)
+    Some((org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes)), cand))
+  }
+
+  /** The current top-k heavy hitters from the stored state: candidates
+    * of the LATEST batch under (estimate desc, term) total order. Pure
+    * file read — callable any time, including after restart.
+    */
+  def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int = 20): DataFrame = {
+    val candTree = spark.read.parquet(s"$statePath/cand")
+    val latest = candTree.agg(max(col("batch_id").cast("long")))
+      .head().getLong(0)
+    candTree.filter(col("batch_id") === latest)
+      .orderBy(desc("est"), asc("term"))
+      .limit(k).select(col("term"), col("est"))
+  }
 }

@@ -246,6 +246,38 @@ class StreamOpsSpec extends SparkSpec {
       ("ZTFa", 3L), ("ZTFb", 2L), ("ZTFc", 1L)))
   }
 
+  test("heavyHittersSink: CMS + candidate state tracks exact top-k across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh")
+    try {
+      val in = MemoryStream[String]
+      val docs = in.toDF().toDF("text")
+      val q = StreamOps.heavyHittersSink(docs, s"$dir/state", k = 3)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      // planted skew: "alpha" heavy in every batch, "beta" heavy only
+      // in batch 2, "gamma" accumulates across batches; noise terms
+      // are all distinct so they can never outrank the planted ones
+      in.addData("alpha alpha alpha gamma n1 n2", "alpha gamma n3 n4")
+      q.processAllAvailable()
+      in.addData("beta beta beta beta alpha gamma n5", "beta beta n6 n7")
+      q.processAllAvailable()
+      in.addData("alpha alpha gamma gamma n8 n9")
+      q.processAllAvailable()
+      q.stop()
+      // exact totals: alpha 7, beta 6, gamma 5, noise 1 each
+      val top = StreamOps.readHeavyHitters(spark, s"$dir/state", k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(top.map(_._1).toSeq === Seq("alpha", "beta", "gamma"))
+      // CMS contract: never undercounts; ε·N overcount is ≪ 1 here
+      assert(top.toMap === Map("alpha" -> 7L, "beta" -> 6L, "gamma" -> 5L))
+      // restart-safety: the report is a pure file read — a fresh reader
+      // with no sink running sees the same state
+      val again = StreamOps.readHeavyHitters(spark, s"$dir/state", k = 3)
+        .collect().map(r => r.getString(0)).toSeq
+      assert(again === Seq("alpha", "beta", "gamma"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("rollupMaintenanceSink: stored partials reproduce the direct report") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup")

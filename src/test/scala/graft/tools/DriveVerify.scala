@@ -337,6 +337,31 @@ object DriveVerify {
       fits.orderBy(col("chi2")).show(5, false)
       println(s"rainbow: ${fits.count()} physical converged fits")
     }
+
+    // streaming heavy hitters: bounded CMS + candidate state over a
+    // file replay of the document corpus (AvailableNow micro-batches)
+    {
+      val hhDir = java.nio.file.Files.createTempDirectory("graft_hh_drive")
+      // the driver testdata is a single parquet FILE; the file stream
+      // source replays a DIRECTORY, so stage a multi-file copy
+      spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+        .write.mode("overwrite").parquet(s"$hhDir/docs")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$hhDir/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$hhDir/docs")
+      val q = graft.streaming.StreamOps
+        .heavyHittersSink(src, s"$hhDir/state", k = 10)
+        .option("checkpointLocation", s"$hhDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val hh = graft.streaming.StreamOps
+        .readHeavyHitters(spark, s"$hhDir/state", k = 10)
+      hh.show(10, false)
+      println(s"heavy hitters tracked: ${hh.count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(hhDir.toFile)
+    }
     spark.stop()
   }
 }
