@@ -114,6 +114,18 @@ for name, msg in ok:
     print(f"PASS {name}: {msg}")
 for name, msg in bad:
     print(f"FAIL {name}: {msg}")
+# engine outputs with no oracle ride the driver's weaker rows-only
+# check (ContractSpec pins them as deliberate) — surface them here so
+# the gate's coverage is visible, not silent
+rows_only = sorted(
+    d for d in os.listdir(OUT)
+    if os.path.isdir(f"{OUT}/{d}") and d not in oracle
+    and (ONLY is None or d in ONLY))
+for name in rows_only:
+    n = len(pd.read_parquet(f"{OUT}/{name}"))
+    print(f"ROWS-ONLY {name}: {n} rows (no SQL oracle)"
+          + ("  ** EMPTY **" if n == 0 else ""))
 print(f"\n{len(ok)} pass / {len(bad)} fail "
-      f"(+{len(set(json.load(open(f'{OUT}/oracle_sql.json')))) - len(ok) - len(bad)} unchecked)")
+      f"(+{len(set(json.load(open(f'{OUT}/oracle_sql.json')))) - len(ok) - len(bad)} unchecked"
+      f", {len(rows_only)} rows-only)")
 sys.exit(1 if bad else 0)
