@@ -282,6 +282,24 @@ object StreamOps {
           cand.toSeq.toDF("term", "est").coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$statePath/cand/batch_id=$batchId")
+          // older state is superseded — prune to the last TWO batches
+          // so a year-long stream doesn't accumulate per-batch dirs.
+          // Keeping batchId-1 (not just batchId) preserves the retry
+          // contract: a replay of batch N reads state < N, which must
+          // still exist even after N's first (failed) attempt wrote
+          // and pruned. Batch N-1 can never itself be retried once N
+          // has committed, so deleting < N-1 is safe.
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for (tree <- Seq("sketch", "cand");
+               p = new org.apache.hadoop.fs.Path(s"$statePath/$tree")
+               if fs.exists(p);
+               st <- fs.listStatus(p)) {
+            val n = st.getPath.getName
+            if (n.startsWith("batch_id=") &&
+                n.stripPrefix("batch_id=").toLong < batchId - 1)
+              fs.delete(st.getPath, true)
+          }
         }
         ()
     }

@@ -275,6 +275,13 @@ class StreamOpsSpec extends SparkSpec {
       val again = StreamOps.readHeavyHitters(spark, s"$dir/state", k = 3)
         .collect().map(r => r.getString(0)).toSeq
       assert(again === Seq("alpha", "beta", "gamma"))
+      // superseded state is pruned: only the last two batches' dirs
+      // survive (a year-long stream must not accumulate per-batch dirs)
+      for (tree <- Seq("sketch", "cand")) {
+        val dirs = new java.io.File(s"$dir/state/$tree")
+          .listFiles().map(_.getName).filter(_.startsWith("batch_id="))
+        assert(dirs.length <= 2, s"$tree state not pruned: ${dirs.toSeq}")
+      }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
