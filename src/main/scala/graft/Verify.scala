@@ -44,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full declared-query list, so validators can tell a rows-only
+    // query (declared, no oracle) from one that crashed and wrote
+    // nothing — absence from disk alone cannot distinguish the two
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -257,60 +257,74 @@ object StreamOps {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // one tokenization pass feeds both the exact top-breadth
+        // aggregation and the CMS build
         val toks = batch.select(explode(
           graft.expressions.WordShingles.shingles(col(textCol), 1)).as("t"))
-        if (!toks.isEmpty) {
+          .persist()
+        try {
           val batchTop = toks.groupBy("t").count()
             .orderBy(col("count").desc, col("t")).limit(breadth)
             .as[(String, Long)].collect().map(_._1)
-          val batchCms = toks.stat.countMinSketch("t", eps, confidence, 42)
-          val prev = readHeavyState(spark, statePath, batchId)
-          val merged = prev match {
-            case Some((prevCms, _)) => prevCms.mergeInPlace(batchCms)
-            case None => batchCms
+          if (batchTop.nonEmpty) {
+            val batchCms = toks.stat.countMinSketch("t", eps, confidence, 42)
+            val prev = readHeavyState(spark, statePath, batchId)
+            val merged = prev match {
+              case Some((_, prevCms, _)) => prevCms.mergeInPlace(batchCms)
+              case None => batchCms
+            }
+            val prevCand =
+              prev.map(_._3).getOrElse(Array.empty[String])
+            val cand = (prevCand ++ batchTop).distinct
+              .map(t => (t, merged.estimateCount(t)))
+              .sortBy { case (t, e) => (-e, t) }
+              .take(breadth)
+            val bos = new java.io.ByteArrayOutputStream()
+            merged.writeTo(bos)
+            Seq(bos.toByteArray).toDF("sketch").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$statePath/sketch/batch_id=$batchId")
+            cand.toSeq.toDF("term", "est").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$statePath/cand/batch_id=$batchId")
+            // Older state is superseded — prune so a year-long stream
+            // doesn't accumulate per-batch dirs. Prune strictly BELOW
+            // the batch id actually READ this batch (NOT batchId-1:
+            // token-less batches write nothing, so the predecessor may
+            // be several ids back — deleting it would strand a crash-
+            // then-replay with no state and silently reset every
+            // count). The read id itself always survives, so a replay
+            // of THIS batch re-reads exactly what this attempt read.
+            // cand (the index tree pick-latest consults) is deleted
+            // FIRST per id: a crash between the two deletes leaves an
+            // orphan sketch — harmless, collected next prune — never a
+            // cand entry whose sketch is gone.
+            for (readId <- prev.map(_._1)) {
+              val fs = new org.apache.hadoop.fs.Path(statePath)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              for (tree <- Seq("cand", "sketch");
+                   p = new org.apache.hadoop.fs.Path(s"$statePath/$tree")
+                   if fs.exists(p);
+                   st <- fs.listStatus(p)) {
+                val n = st.getPath.getName
+                if (n.startsWith("batch_id=") &&
+                    n.stripPrefix("batch_id=").toLong < readId)
+                  fs.delete(st.getPath, true)
+              }
+            }
           }
-          val prevCand = prev.map(_._2).getOrElse(Array.empty[String])
-          val cand = (prevCand ++ batchTop).distinct
-            .map(t => (t, merged.estimateCount(t)))
-            .sortBy { case (t, e) => (-e, t) }
-            .take(breadth)
-          val bos = new java.io.ByteArrayOutputStream()
-          merged.writeTo(bos)
-          Seq(bos.toByteArray).toDF("sketch").coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$statePath/sketch/batch_id=$batchId")
-          cand.toSeq.toDF("term", "est").coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$statePath/cand/batch_id=$batchId")
-          // older state is superseded — prune to the last TWO batches
-          // so a year-long stream doesn't accumulate per-batch dirs.
-          // Keeping batchId-1 (not just batchId) preserves the retry
-          // contract: a replay of batch N reads state < N, which must
-          // still exist even after N's first (failed) attempt wrote
-          // and pruned. Batch N-1 can never itself be retried once N
-          // has committed, so deleting < N-1 is safe.
-          val fs = new org.apache.hadoop.fs.Path(statePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          for (tree <- Seq("sketch", "cand");
-               p = new org.apache.hadoop.fs.Path(s"$statePath/$tree")
-               if fs.exists(p);
-               st <- fs.listStatus(p)) {
-            val n = st.getPath.getName
-            if (n.startsWith("batch_id=") &&
-                n.stripPrefix("batch_id=").toLong < batchId - 1)
-              fs.delete(st.getPath, true)
-          }
-        }
+        } finally toks.unpersist()
         ()
     }
   }
 
-  /** Latest persisted (sketch, candidates) strictly BELOW `beforeBatch`
-    * (a retried batch must not read its own failed attempt's state).
+  /** Latest persisted (batchId, sketch, candidates) strictly BELOW
+    * `beforeBatch` (a retried batch must not read its own failed
+    * attempt's state).
     */
   private def readHeavyState(spark: org.apache.spark.sql.SparkSession,
       statePath: String, beforeBatch: Long)
-      : Option[(org.apache.spark.util.sketch.CountMinSketch,
+      : Option[(Long, org.apache.spark.util.sketch.CountMinSketch,
         Array[String])] = {
     val candTree =
       try spark.read.parquet(s"$statePath/cand")
@@ -326,21 +340,30 @@ object StreamOps {
     val bytes = spark.read
       .parquet(s"$statePath/sketch/batch_id=$latest")
       .head().getAs[Array[Byte]](0)
-    Some((org.apache.spark.util.sketch.CountMinSketch.readFrom(
+    Some((latest, org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes)), cand))
   }
 
   /** The current top-k heavy hitters from the stored state: candidates
-    * of the LATEST batch under (estimate desc, term) total order. Pure
-    * file read — callable any time, including after restart.
+    * of the LATEST batch under (estimate desc, term) total order.
+    * Callable out-of-band (including after restart); the candidate
+    * rows are collected in ONE job so the window for racing a
+    * concurrently-pruning sink is a single listing+scan — on the rare
+    * loss of that race (or an attempt not yet committed by the
+    * checkpoint becoming briefly visible) simply re-call: the state is
+    * per-batch-atomic files, so any successfully read batch dir is
+    * internally consistent.
     */
   def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
       statePath: String, k: Int = 20): DataFrame = {
-    val candTree = spark.read.parquet(s"$statePath/cand")
-    val latest = candTree.agg(max(col("batch_id").cast("long")))
-      .head().getLong(0)
-    candTree.filter(col("batch_id") === latest)
-      .orderBy(desc("est"), asc("term"))
-      .limit(k).select(col("term"), col("est"))
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$statePath/cand")
+      .select(col("batch_id").cast("long"), col("term"), col("est"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val latest = rows.map(_._1).max
+    rows.filter(_._1 == latest)
+      .sortBy { case (_, t, e) => (-e, t) }
+      .take(k).map { case (_, t, e) => (t, e) }.toSeq
+      .toDF("term", "est")
   }
 }

@@ -18,10 +18,10 @@ class ContractSpec extends AnyFunSuite {
     "q82_rainbow_fit") // iterative LM optimizer; values pinned by RainbowFitSpec
 
   test("every query has an oracle and vice versa") {
+    // these two together also force oracleSql ∩ rowsOnly = ∅
     assert(SparkEntry.queries.keySet -- rowsOnly ===
       SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.oracleSql.keySet.intersect(rowsOnly).isEmpty)
   }
 
   test("query indexes are unique") {

@@ -116,16 +116,30 @@ for name, msg in bad:
     print(f"FAIL {name}: {msg}")
 # engine outputs with no oracle ride the driver's weaker rows-only
 # check (ContractSpec pins them as deliberate) — surface them here so
-# the gate's coverage is visible, not silent
+# the gate's coverage is visible, not silent. The DECLARED list (not
+# what happens to exist on disk) is the source of truth: a rows-only
+# query that crashed in Verify and wrote nothing must FAIL here, and a
+# stale leftover dir from a renamed query must not report as covered.
+declared_path = f"{OUT}/declared_queries.json"
+declared = (set(json.load(open(declared_path)))
+            if os.path.exists(declared_path) else set(oracle))
 rows_only = sorted(
-    d for d in os.listdir(OUT)
-    if os.path.isdir(f"{OUT}/{d}") and d not in oracle
-    and (ONLY is None or d in ONLY))
+    d for d in declared - set(oracle) if ONLY is None or d in ONLY)
 for name in rows_only:
+    if not os.path.isdir(f"{OUT}/{name}"):
+        bad.append((name, "declared rows-only query wrote NO output"))
+        print(f"FAIL {name}: declared rows-only query wrote NO output")
+        continue
     n = len(pd.read_parquet(f"{OUT}/{name}"))
     print(f"ROWS-ONLY {name}: {n} rows (no SQL oracle)"
           + ("  ** EMPTY **" if n == 0 else ""))
+stale = sorted(d for d in os.listdir(OUT)
+               if os.path.isdir(f"{OUT}/{d}") and d not in declared
+               and d not in oracle)
+for name in stale:
+    print(f"STALE {name}: output dir is not a declared query (leftover?)")
+oracle_bad = [b for b in bad if b[0] in oracle]
 print(f"\n{len(ok)} pass / {len(bad)} fail "
-      f"(+{len(set(json.load(open(f'{OUT}/oracle_sql.json')))) - len(ok) - len(bad)} unchecked"
+      f"(+{len(set(json.load(open(f'{OUT}/oracle_sql.json')))) - len(ok) - len(oracle_bad)} unchecked"
       f", {len(rows_only)} rows-only)")
 sys.exit(1 if bad else 0)
