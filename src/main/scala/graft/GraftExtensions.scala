@@ -125,6 +125,32 @@ object GraftExtensions {
         case Seq(a, b, c, d) => AngularSeparation(a, b, c, d)
         case _ => throw new IllegalArgumentException(
           "angular_separation(ra1, dec1, ra2, dec2)")
+      }),
+    ("sign_bands",
+      info("sign_bands", "sign_bands(keys, vals, nBits, nTables) - " +
+        "per-table sign-LSH band keys of a sorted sparse vector"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ks, vs, b, t) =>
+          SignBands(ks, vs, intLit(b, "nBits"), intLit(t, "nTables"))
+        case _ => throw new IllegalArgumentException(
+          "sign_bands(keys, vals, nBits, nTables)")
+      }),
+    ("constellation_of",
+      info("constellation_of", "constellation_of(ra, dec) - IAU " +
+        "constellation name at J2000 (ra, dec) degrees"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ra, dec) => ConstellationOf(ra, dec)
+        case _ => throw new IllegalArgumentException(
+          "constellation_of(ra, dec)")
+      }),
+    ("rainbow_fit",
+      info("rainbow_fit", "rainbow_fit(pts, jd_max) - Levenberg-" +
+        "Marquardt Rainbow light-curve fit (sigmoid rise x blackbody) " +
+        "over an array<struct{jd,f,e,fid,ok}> flux history"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, j) => RainbowFit(p, j)
+        case _ => throw new IllegalArgumentException(
+          "rainbow_fit(pts, jd_max)")
       }))
 
   /** Register on an ALREADY-RUNNING session (extensions only apply at

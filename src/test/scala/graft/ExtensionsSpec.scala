@@ -140,6 +140,51 @@ class ExtensionsSpec extends SparkSpec
     assert(cmp(1) === 0.0)
   }
 
+  test("sign_bands, constellation_of, rainbow_fit SQL == Column kernels") {
+    import spark.implicits._
+    // sign_bands over constructed sparse vectors
+    val sv = Seq((Seq(1L, 5L, 9L), Seq(1000000L, 2000000L, 500000L)),
+      (Seq(2L, 3L), Seq(7000000L, 1000000L))).toDF("ks", "vs")
+    sv.createOrReplaceTempView("ext_sv")
+    val sqlBands = spark.sql(
+      "SELECT sign_bands(ks, vs, 12, 96) AS b FROM ext_sv")
+      .collect().map(_.getSeq[Int](0))
+    val colBands = sv.select(graft.expressions.SignBands
+        .signBands(col("ks"), col("vs"), 12, 96))
+      .collect().map(_.getSeq[Int](0))
+    assert(sqlBands.toSeq === colBands.toSeq)
+    assert(sqlBands.forall(_.length === 96))
+    // constellation_of at two anchor points
+    val pts = Seq((37.95, 89.26), (186.65, -63.10)).toDF("ra", "dec")
+    pts.createOrReplaceTempView("ext_pts")
+    val sqlCon = spark.sql(
+      "SELECT constellation_of(ra, dec) AS c FROM ext_pts")
+      .collect().map(_.getString(0))
+    val colCon = pts.select(graft.expressions.ConstellationOf
+        .constellationOf(col("ra"), col("dec")))
+      .collect().map(_.getString(0))
+    assert(sqlCon.toSeq === colCon.toSeq)
+    assert(sqlCon.toSeq === Seq("Ursa Minor", "Crux"))
+    // rainbow_fit over a tiny synthetic history (parity, not physics —
+    // RainbowFitSpec owns the numerics)
+    val hist = spark.sql(
+      """SELECT array(
+        |  named_struct('jd', 1.0d, 'f', 1.0d, 'e', 0.1d, 'fid', 1, 'ok', true),
+        |  named_struct('jd', 2.0d, 'f', 2.0d, 'e', 0.1d, 'fid', 2, 'ok', true),
+        |  named_struct('jd', 3.0d, 'f', 3.0d, 'e', 0.1d, 'fid', 1, 'ok', true),
+        |  named_struct('jd', 4.0d, 'f', 3.5d, 'e', 0.1d, 'fid', 2, 'ok', true),
+        |  named_struct('jd', 5.0d, 'f', 3.8d, 'e', 0.1d, 'fid', 1, 'ok', true)
+        |) AS pts, 5.0d AS jd_max""".stripMargin)
+    hist.createOrReplaceTempView("ext_hist")
+    val sqlFit = spark.sql(
+      "SELECT rainbow_fit(pts, jd_max) AS r FROM ext_hist")
+      .select("r.*").collect()(0)
+    val colFit = hist.select(graft.expressions.RainbowFit
+        .rainbowFit(col("pts"), col("jd_max")).as("r"))
+      .select("r.*").collect()(0)
+    assert(sqlFit === colFit)
+  }
+
   test("intersect_count rejects non-bigint arrays at analysis time") {
     docs
     val e = intercept[Exception] {
