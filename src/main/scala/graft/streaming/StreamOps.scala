@@ -295,10 +295,12 @@ object StreamOps {
             // then-replay with no state and silently reset every
             // count). The read id itself always survives, so a replay
             // of THIS batch re-reads exactly what this attempt read.
-            // cand (the index tree pick-latest consults) is deleted
-            // FIRST per id: a crash between the two deletes leaves an
-            // orphan sketch — harmless, collected next prune — never a
-            // cand entry whose sketch is gone.
+            // The cand TREE (the index pick-latest consults) is fully
+            // pruned before the sketch tree: a crash between the two
+            // tree passes leaves orphan sketches — harmless, collected
+            // next prune — never a cand entry whose sketch is gone.
+            // (The invariant relied on is the per-TREE order of the
+            // Seq below, not a per-id interleaving.)
             for (readId <- prev.map(_._1)) {
               val fs = new org.apache.hadoop.fs.Path(statePath)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -357,13 +359,20 @@ object StreamOps {
   def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
       statePath: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$statePath/cand")
-      .select(col("batch_id").cast("long"), col("term"), col("est"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val latest = rows.map(_._1).max
-    rows.filter(_._1 == latest)
-      .sortBy { case (_, t, e) => (-e, t) }
-      .take(k).map { case (_, t, e) => (t, e) }.toSeq
-      .toDF("term", "est")
+    // bounded even on an unpruned legacy statePath: job 1 finds the
+    // latest id (metadata-cheap agg), job 2 reads ONLY that dir (≤ 4k
+    // rows). One retry covers the listing-to-scan race with a
+    // concurrently pruning sink.
+    def attempt(): Seq[(String, Long)] = {
+      val latest = spark.read.parquet(s"$statePath/cand")
+        .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      spark.read.parquet(s"$statePath/cand/batch_id=$latest")
+        .select(col("term"), col("est"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val rows =
+      try attempt()
+      catch { case _: Exception => attempt() }
+    rows.sortBy { case (t, e) => (-e, t) }.take(k).toDF("term", "est")
   }
 }
