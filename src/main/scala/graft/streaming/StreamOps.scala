@@ -328,10 +328,14 @@ object StreamOps {
       statePath: String, beforeBatch: Long)
       : Option[(Long, org.apache.spark.util.sketch.CountMinSketch,
         Array[String])] = {
-    val candTree =
-      try spark.read.parquet(s"$statePath/cand")
-        .filter(col("batch_id") < beforeBatch)
-      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    // existence probe instead of read-and-catch: Spark's resolver logs
+    // the underlying FileNotFoundException at ERROR level before
+    // throwing the (caught) AnalysisException — pure cold-start noise
+    val candPath = new org.apache.hadoop.fs.Path(s"$statePath/cand")
+    val fs = candPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(candPath)) return None
+    val candTree = spark.read.parquet(s"$statePath/cand")
+      .filter(col("batch_id") < beforeBatch)
     if (candTree.isEmpty) return None
     // partition-dir inference types batch_id as int; read it as long
     val latest = candTree.agg(max(col("batch_id").cast("long")))

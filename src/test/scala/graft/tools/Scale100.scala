@@ -173,6 +173,27 @@ object Scale100 {
       println(f"nearDupStream: $nDocs docs in $dt%.1f s = " +
         f"${nDocs / dt}%.0f rows/s")
     }
+
+    // the same corpus through the bounded-state heavy-hitters sink
+    // (merged CMS + candidate ring, parquet state per micro-batch)
+    locally {
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$sdDir/docs").schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(s"$sdDir/docs")
+      val t0 = System.nanoTime()
+      val query = graft.streaming.StreamOps
+        .heavyHittersSink(src, s"$sdDir/hh_state", k = 20)
+        .option("checkpointLocation", s"$sdDir/hh_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"heavyHittersSink: $nDocs docs in $dt%.1f s = " +
+        f"${nDocs / dt}%.0f rows/s")
+      graft.streaming.StreamOps
+        .readHeavyHitters(spark, s"$sdDir/hh_state", 5).show(5, false)
+    }
     spark.stop()
   }
 }
