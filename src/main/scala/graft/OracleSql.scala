@@ -1678,6 +1678,81 @@ object OracleSql {
        |GROUP BY 1 ORDER BY n DESC, class""".stripMargin
   }
 
+  // ---- Rubin fixture goldens (q83+) — same zero-transcription-drift
+  // rule: flag lists and bad-value lists are generated from the Scala
+  // constants the blocks themselves use.
+
+  private val RubinFixture =
+    s"${graft.operators.GoldenQueries.RubinFixtureDir}/*.parquet"
+
+  /** `NOT(any quality flag OR negative flux OR snr<6)` — the DuckDB
+    * re-expression of [[graft.filters.rubin.RubinBlocks.goodQuality]]
+    * (`rubin/blocks.py:372-418`). Division is cast to DOUBLE on both
+    * engines (Spark's Divide widens FLOAT operands to DOUBLE; DuckDB's
+    * would stay FLOAT without the cast).
+    */
+  private def rubinGoodQualitySql: String = {
+    val flags = graft.filters.rubin.RubinBlocks.QualityFlags
+      .map(f => s"coalesce(diaSource.$f, false)")
+      .mkString(" OR\n       |      ")
+    s"""NOT ($flags OR
+       |      coalesce(diaSource.psfFlux < 0, false) OR
+       |      coalesce(CAST(diaSource.psfFlux AS DOUBLE)
+       |        / CAST(diaSource.psfFluxErr AS DOUBLE) < 6, false))""".stripMargin
+  }
+
+  private lazy val q83 = {
+    val bad = sqlList(graft.filters.rubin.RubinBlocks.BadValues)
+    val hosts = sqlList(graft.filters.rubin.RubinBlocks.EgHosts)
+    val vsx = sqlList(graft.filters.rubin.RubinBlocks.VsxStellar)
+    s"""SELECT diaSourceId AS source_id,
+       |  CAST(coalesce(diaSource.midpointMjdTai
+       |      = misc.firstDiaSourceMjdTaiFink, false) AS INTEGER) AS f_new,
+       |  CAST($rubinGoodQualitySql AS INTEGER) AS f_good_quality,
+       |  CAST(coalesce(pred.is_sso, false) AS INTEGER) AS f_sso,
+       |  CAST(coalesce(xm.simbad_otype IN ($hosts), false) AS INTEGER)
+       |    AS f_simbad_galaxy,
+       |  CAST(xm.simbad_otype IS NULL OR xm.simbad_otype IN ($bad)
+       |    AS INTEGER) AS f_simbad_unknown,
+       |  CAST(coalesce(xm.gaiadr3_DR3Name IS NOT NULL
+       |      AND xm.gaiadr3_DR3Name NOT IN ($bad)
+       |      AND CAST(xm.gaiadr3_Plx AS DOUBLE)
+       |        / CAST(xm.gaiadr3_e_Plx AS DOUBLE) > 5, false) AS INTEGER)
+       |    AS f_gaia_star,
+       |  CAST(coalesce(xm.mangrove_lum_dist > 0, false) AS INTEGER)
+       |    AS f_mangrove,
+       |  CAST(coalesce(xm.vsx_Type IN ($vsx), false) AS INTEGER)
+       |    AS f_vsx_star
+       |FROM '$RubinFixture'
+       |ORDER BY source_id""".stripMargin
+  }
+
+  private lazy val q84 =
+    s"""WITH f AS (
+       |  SELECT diaSourceId AS source_id,
+       |    coalesce(CAST(diaSource.snr AS DOUBLE) > 10, false) AS f_snr,
+       |    coalesce(diaObject.nDiaSources >= 2, false) AS f_nsources,
+       |    ($rubinGoodQualitySql
+       |      AND NOT coalesce(diaSource.isNegative, false)) AS f_gq_not_neg,
+       |    coalesce(CAST(clf.snnSnVsOthers_score AS DOUBLE) >= 0.7, false)
+       |      AS f_snn_sn,
+       |    coalesce(clf.cats_class = 11
+       |      AND CAST(clf.cats_score AS DOUBLE) >= 0.9, false) AS f_cats_sn,
+       |    coalesce(pred.is_sso, false) AS f_sso
+       |  FROM '$RubinFixture')
+       |SELECT source_id,
+       |  CAST(f_snr AS INTEGER) AS f_snr,
+       |  CAST(f_nsources AS INTEGER) AS f_nsources,
+       |  CAST(f_gq_not_neg AS INTEGER) AS f_gq_not_neg,
+       |  CAST(f_snn_sn AS INTEGER) AS f_snn_sn,
+       |  CAST(f_cats_sn AS INTEGER) AS f_cats_sn,
+       |  CAST(f_snn_sn AND f_cats_sn AND NOT f_sso AND f_snr
+       |    AND NOT f_gq_not_neg AND f_nsources AS INTEGER)
+       |    AS f_most_likely_sn,
+       |  CAST(NOT f_sso AND f_snr AND NOT f_gq_not_neg AND f_nsources
+       |    AS INTEGER) AS f_keep_transient
+       |FROM f ORDER BY source_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1759,5 +1834,7 @@ object OracleSql {
     "q78_unpivot" -> q78,
     "q79_constellation" -> q79,
     "q80_sn_candidates" -> q80,
-    "q81_class_histogram" -> q81)
+    "q81_class_histogram" -> q81,
+    "q83_rubin_blocks" -> q83,
+    "q84_rubin_most_likely_sn" -> q84)
 }

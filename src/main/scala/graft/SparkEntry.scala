@@ -150,7 +150,12 @@ object SparkEntry {
     // nonlinear Rainbow light-curve fit (G6) — no SQL oracle exists
     // for an iterative optimizer: the driver records its rows-only
     // check; values pinned by RainbowFitSpec
-    "q82_rainbow_fit" -> (operators.GoldenQueries.q82RainbowFit _))
+    "q82_rainbow_fit" -> (operators.GoldenQueries.q82RainbowFit _),
+    // Rubin fixture goldens — block-vector gates over the real LSST
+    // alert fixture (§2.5 Rubin table, VERDICT r8 item 2)
+    "q83_rubin_blocks" -> (operators.GoldenQueries.q83RubinBlocks _),
+    "q84_rubin_most_likely_sn" ->
+      (operators.GoldenQueries.q84RubinMostLikelySn _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -81,7 +81,11 @@ object RubinBlocks {
   def isNew: Column =
     ds("midpointMjdTai") === col("misc.firstDiaSourceMjdTaiFink")
 
-  private val QualityFlags = Seq(
+  /** The boolean flag columns of the quality cascade — public so the
+    * DuckDB oracle mirror is GENERATED from this same list
+    * (zero-transcription-drift, the q79 pattern).
+    */
+  val QualityFlags: Seq[String] = Seq(
     "isDipole", "pixelFlags", "pixelFlags_bad", "pixelFlags_saturated",
     "pixelFlags_streakCenter", "pixelFlags_interpolated", "pixelFlags_cr",
     "pixelFlags_nodata", "pixelFlags_streak", "pixelFlags_edge",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.classify.Classify
+import graft.filters.rubin.RubinBlocks
 import graft.filters.ztf.ZtfFilters
 
 /** Reference-filter golden queries, oracle-gated over the REAL ZTF
@@ -76,4 +77,66 @@ object GoldenQueries {
         round(col("temperature"), 3).as("temperature"),
         round(col("chi2"), 6).as("chi2"), col("n"))
       .orderBy("object_id", "jd")
+
+  /** Rubin/LSST fixture (27 alerts) — same single-source-of-truth rule
+    * as [[FixtureDir]]: the DuckDB mirrors read this exact path.
+    */
+  val RubinFixtureDir =
+    "/root/reference/datatest/rubin_test_data_10_0.parquet"
+
+  private def rubinFixture(spark: SparkSession): DataFrame =
+    spark.read.parquet(RubinFixtureDir)
+
+  /** q83 — the Rubin quality/cross-match block vector
+    * (`rubin/blocks.py:342-418` + the xmatch blocks at `blocks.py:
+    * 106-235`): one row per fixture alert with every reusable boolean
+    * block evaluated, so the oracle certifies EACH block's null/flag
+    * semantics row-by-row (a stronger gate than a filter whose
+    * surviving set is small). Flags are cast to int for a
+    * representation-neutral hash.
+    */
+  def q83RubinBlocks(spark: SparkSession, dir: String): DataFrame =
+    rubinFixture(spark).select(
+      col("diaSourceId").as("source_id"),
+      coalesce(RubinBlocks.isNew, lit(false)).cast("int").as("f_new"),
+      RubinBlocks.goodQuality.cast("int").as("f_good_quality"),
+      RubinBlocks.isSolarSystem.cast("int").as("f_sso"),
+      RubinBlocks.xmatchedSimbadGalaxy.cast("int").as("f_simbad_galaxy"),
+      RubinBlocks.xmatchedSimbadUnknown.cast("int").as("f_simbad_unknown"),
+      RubinBlocks.xmatchedGaiaStar.cast("int").as("f_gaia_star"),
+      RubinBlocks.xmatchedMangrove.cast("int").as("f_mangrove"),
+      RubinBlocks.xmatchedVsxStar.cast("int").as("f_vsx_star"))
+      .orderBy("source_id")
+
+  /** q84 — the most_likely_sn decomposition
+    * (`rubin/livestream/filter_most_likely_sn/filter.py:69-85`,
+    * including the reference's `~f_good_quality` double-negation quirk
+    * reproduced AS-IS) plus the DESC remove_unlikely_transients cut
+    * (`filter_remove_unlikely_transients/filter.py:59-70`): component
+    * flags AND both final masks per alert. The final most_likely_sn
+    * count on this fixture is 0 (the reference doctest pins exactly
+    * that), so gating the components row-by-row is what actually
+    * certifies the semantics.
+    */
+  def q84RubinMostLikelySn(spark: SparkSession, dir: String): DataFrame = {
+    val ds = (f: String) => col(s"diaSource.$f")
+    val fGqNotNeg = RubinBlocks.goodQuality &&
+      !coalesce(ds("isNegative").cast("boolean"), lit(false))
+    val fSnr = coalesce(ds("snr") > 10, lit(false))
+    val fNsources = coalesce(col("diaObject.nDiaSources") >= 2, lit(false))
+    val fSnn = coalesce(col("clf.snnSnVsOthers_score") >= 0.7, lit(false))
+    val fCats = coalesce(col("clf.cats_class") === 11 &&
+      col("clf.cats_score") >= 0.9, lit(false))
+    val common = !RubinBlocks.isSolarSystem && fSnr && !fGqNotNeg && fNsources
+    rubinFixture(spark).select(
+      col("diaSourceId").as("source_id"),
+      fSnr.cast("int").as("f_snr"),
+      fNsources.cast("int").as("f_nsources"),
+      fGqNotNeg.cast("int").as("f_gq_not_neg"),
+      fSnn.cast("int").as("f_snn_sn"),
+      fCats.cast("int").as("f_cats_sn"),
+      (fSnn && fCats && common).cast("int").as("f_most_likely_sn"),
+      common.cast("int").as("f_keep_transient"))
+      .orderBy("source_id")
+  }
 }

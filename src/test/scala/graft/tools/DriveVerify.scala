@@ -73,6 +73,18 @@ object DriveVerify {
     println("Rubin uniform_sample: " + rsample.count() + " (expect 1)")
     rsample.select("diaSourceId").explain("formatted")
 
+    // Rubin oracle-gate block vectors (q83/q84): the good_quality
+    // column sum must reproduce the golden count, and most_likely_sn
+    // must be empty on this fixture (the reference doctest pins 0)
+    // while its component flags are non-trivial
+    val q83 = graft.operators.GoldenQueries.q83RubinBlocks(spark, "")
+    q83.agg(sum("f_good_quality"), sum("f_new"), sum("f_sso")).show()
+    println("q83 rows: " + q83.count() + " (expect 27; good_quality sum 7)")
+    val q84 = graft.operators.GoldenQueries
+      .q84RubinMostLikelySn(spark, "")
+    q84.agg(sum("f_most_likely_sn").as("sn (expect 0)"),
+      sum("f_keep_transient"), sum("f_snr")).show()
+
     // llmops dedup kernels on real documents: known value for a known
     // token list (md5-based, engine-independent), plus the full near-dup
     // pipelines end-to-end
