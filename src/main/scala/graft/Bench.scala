@@ -4,11 +4,19 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Methodology: one untimed warmup pass (JIT + codegen + parquet footer
-  * caches — Spark's first-query cost is compilation, not execution),
-  * then one timed pass. Results are fully materialized through the
-  * `noop` sink so every column is computed (a bare count() lets Spark
-  * skip projects).
+  * Methodology (the round-8 noise study, SURVEY §8, made executable):
+  * one untimed warmup pass (JIT + codegen + parquet footer caches —
+  * Spark's first-query cost is compilation, not execution), then
+  * SPARK_GRAFT_REPS (default 3) timed passes of the FULL suite,
+  * INTERLEAVED — rep k times every query before rep k+1 starts, so an
+  * ambient load spike on a shared host lands on *different* queries in
+  * different reps instead of poisoning all reps of one query. Reported
+  * time is min-over-reps (steady-state cost); the `spread` field
+  * carries max/min per query so a rep-to-rep drift like round 8's q54
+  * artifact is visible inside the artifact itself (spread near 1 =
+  * stable; large spread = ambient noise, distrust the single number).
+  * Results are fully materialized through the `noop` sink so every
+  * column is computed (a bare count() lets Spark skip projects).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,29 +52,38 @@ object Bench {
       try run(n) catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // interleaved: outer loop over reps, inner over queries (see scaladoc)
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      // a failure must not read as a speedup: record the query in
+      // `failed` and report a -1 sentinel time instead of its (short)
+      // time-to-throw
+      try run(name) catch { case _: Throwable => failed += name }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: drop any persist() a query created so later
+      // queries aren't taxed by cache eviction / GC pressure (untimed)
+      spark.catalog.clearCache()
+      times(name) = times(name) :+ dt
+    }
+    def round3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // a failure must not read as a speedup: record the query in
-        // `failed` and report a -1 sentinel time instead of its (short)
-        // time-to-throw
-        try run(name) catch { case _: Throwable => failed += name }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // isolate queries: drop any persist() a query created so later
-        // queries aren't taxed by cache eviction / GC pressure (untimed)
-        spark.catalog.clearCache()
-        dt
-      }
-      // min = steady-state cost, insulated from GC/compaction noise
-      name -> (if (failed.contains(name)) -1.0 else times.min)
+      name -> (if (failed.contains(name)) -1.0 else times(name).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = names.map { n =>
+      val ts = times(n)
+      val r = if (failed.contains(n) || ts.isEmpty || ts.min <= 0) -1.0
+        else round3(ts.max / ts.min)
+      s"\"" + n + "\":" + r
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

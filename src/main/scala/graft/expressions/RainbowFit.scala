@@ -258,10 +258,16 @@ object RainbowFit {
     var chi2 = chi2Of(theta)
     var lambda = 1.0e-3
     var converged = false
+    // distinguishes "at a minimum" from "never moved off the WLS seed":
+    // damping exhaustion only counts as convergence after at least one
+    // accepted step this run (repeatedly singular normal equations on a
+    // degenerate history must not report the seed as an optimum)
+    var everAccepted = false
     val h = Array.ofDim[Double](4, 4)
     val g = new Array[Double](4)
     var iter = 0
-    while (iter < MaxIter && !converged) {
+    var stuck = false
+    while (iter < MaxIter && !converged && !stuck) {
       // normal equations from the analytic Jacobian
       var r0 = 0; while (r0 < 4) { g(r0) = 0.0
         var c0 = 0; while (c0 < 4) { h(r0)(c0) = 0.0; c0 += 1 }; r0 += 1 }
@@ -318,12 +324,18 @@ object RainbowFit {
             chi2 = trialChi2
             lambda = math.max(1.0e-12, lambda / 3.0)
             accepted = true
+            everAccepted = true
           }
         }
         if (!accepted) lambda *= 5.0
         inner += 1
       }
-      if (!accepted) converged = true // damping exhausted: at a minimum
+      // damping exhausted: at a minimum — but only if the run ever moved.
+      // A run that never accepted a step is stuck at the seed: exit now
+      // (re-deriving the same singular normal equations for the
+      // remaining iterations cannot change the outcome) with
+      // converged=false so consumers filtering on `converged` drop it.
+      if (!accepted) { converged = everAccepted; stuck = !everAccepted }
       iter += 1
     }
 

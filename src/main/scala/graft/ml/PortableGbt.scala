@@ -63,8 +63,17 @@ object PortableGbt {
         "treeWeights" -> JArray(treeWeights.map(JDouble(_)).toList),
         "trees" -> JArray(trees.map(nodeToJson).toList))))
 
-    def save(path: String): Unit =
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson)
+    /** Writes through the Hadoop FileSystem API, so `hdfs://`/`s3a://`
+      * paths work exactly like local ones (the same rule the streaming
+      * state sinks follow).
+      */
+    def save(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(p, true)
+      try out.write(toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   private def compile(node: PNode, features: Int => Column): Column =
@@ -117,8 +126,16 @@ object PortableGbt {
       arr(root \ "trees").map(nodeFromJson))
   }
 
-  def load(path: String): Ensemble =
-    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  /** Hadoop-FS-capable counterpart of [[Ensemble.save]]. */
+  def load(path: String): Ensemble = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try fromJson(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   private def nodeFromJson(v: JValue): PNode = v \ "prediction" match {
     case JNothing =>

@@ -267,10 +267,23 @@ object StreamOps {
             .orderBy(col("count").desc, col("t")).limit(breadth)
             .as[(String, Long)].collect().map(_._1)
           if (batchTop.nonEmpty) {
-            val batchCms = toks.stat.countMinSketch("t", eps, confidence, 42)
+            val batchCms = toks.stat.countMinSketch("t", eps, confidence,
+              CmsSeed)
             val prev = readHeavyState(spark, statePath, batchId)
+            // sketches only merge when built under identical parameters;
+            // a restart with different eps/confidence against existing
+            // state would otherwise surface as a bare
+            // IncompatibleMergeException with no hint of the cause
+            for ((_, _, _, Some((pe, pc))) <- prev
+                 if pe != eps || pc != confidence)
+              throw new IllegalStateException(
+                s"heavyHittersSink state at $statePath was built with " +
+                s"eps=$pe confidence=$pc but this stream was started " +
+                s"with eps=$eps confidence=$confidence; CountMinSketches " +
+                "with different parameters cannot merge. Restart with " +
+                "the original parameters or point at a fresh statePath.")
             val merged = prev match {
-              case Some((_, prevCms, _)) => prevCms.mergeInPlace(batchCms)
+              case Some((_, prevCms, _, _)) => prevCms.mergeInPlace(batchCms)
               case None => batchCms
             }
             val prevCand =
@@ -281,7 +294,10 @@ object StreamOps {
               .take(breadth)
             val bos = new java.io.ByteArrayOutputStream()
             merged.writeTo(bos)
-            Seq(bos.toByteArray).toDF("sketch").coalesce(1)
+            // the parameters travel WITH the sketch bytes so the
+            // mismatch check above can name them on restart
+            Seq((bos.toByteArray, eps, confidence, CmsSeed))
+              .toDF("sketch", "eps", "confidence", "seed").coalesce(1)
               .write.mode("overwrite")
               .parquet(s"$statePath/sketch/batch_id=$batchId")
             cand.toSeq.toDF("term", "est").coalesce(1)
@@ -320,14 +336,22 @@ object StreamOps {
     }
   }
 
-  /** Latest persisted (batchId, sketch, candidates) strictly BELOW
-    * `beforeBatch` (a retried batch must not read its own failed
-    * attempt's state).
+  /** Fixed CMS hash seed — state files are only mergeable with
+    * sketches built under the same seed, so it is a library constant,
+    * not a parameter.
+    */
+  val CmsSeed = 42
+
+  /** Latest persisted (batchId, sketch, candidates, stored params)
+    * strictly BELOW `beforeBatch` (a retried batch must not read its
+    * own failed attempt's state). Params are None for state written by
+    * pre-param-stamp versions of the sink (merge proceeds unchecked —
+    * the legacy default was the library default).
     */
   private def readHeavyState(spark: org.apache.spark.sql.SparkSession,
       statePath: String, beforeBatch: Long)
       : Option[(Long, org.apache.spark.util.sketch.CountMinSketch,
-        Array[String])] = {
+        Array[String], Option[(Double, Double)])] = {
     // existence probe instead of read-and-catch: Spark's resolver logs
     // the underlying FileNotFoundException at ERROR level before
     // throwing the (caught) AnalysisException — pure cold-start noise
@@ -343,11 +367,18 @@ object StreamOps {
     val cand = candTree.filter(col("batch_id") === latest)
       .orderBy(desc("est"), asc("term"))
       .select("term").collect().map(_.getString(0))
-    val bytes = spark.read
-      .parquet(s"$statePath/sketch/batch_id=$latest")
-      .head().getAs[Array[Byte]](0)
+    val sketchRow = spark.read
+      .parquet(s"$statePath/sketch/batch_id=$latest").head()
+    val bytes = sketchRow.getAs[Array[Byte]]("sketch")
+    // params column exists only for state written by the param-stamping
+    // sink version; legacy state merges unchecked
+    val params =
+      if (sketchRow.schema.fieldNames.contains("eps"))
+        Some((sketchRow.getAs[Double]("eps"),
+          sketchRow.getAs[Double]("confidence")))
+      else None
     Some((latest, org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(bytes)), cand))
+      new java.io.ByteArrayInputStream(bytes)), cand, params))
   }
 
   /** The current top-k heavy hitters from the stored state: candidates
@@ -374,9 +405,50 @@ object StreamOps {
         .select(col("term"), col("est"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
+    // retry covers ONLY the listing/scan race with a concurrently
+    // pruning sink (the dir read in job 2 deleted between the jobs, or
+    // an uncommitted listing) — genuine failures (bad path, corrupt
+    // parquet, permissions) propagate from the first attempt instead of
+    // being masked by a second identical one
     val rows =
       try attempt()
-      catch { case _: Exception => attempt() }
+      catch {
+        case _: java.io.FileNotFoundException => attempt()
+        case _: org.apache.spark.sql.AnalysisException => attempt()
+        case e: org.apache.spark.SparkException
+            if e.getCause.isInstanceOf[java.io.FileNotFoundException] =>
+          attempt()
+      }
     rows.sortBy { case (t, e) => (-e, t) }.take(k).toDF("term", "est")
+  }
+
+  /** EXACT counts for the heavy-hitter candidates — the documented
+    * escape hatch of [[heavyHittersSink]]'s bounded-recall contract,
+    * shipped as an operator: one batch pass over a corpus, counting
+    * ONLY the ≤ 4·k candidate terms the state nominated (an
+    * `isin`-style broadcast membership filter at scan speed — the q54
+    * bloom-decontamination route with an exact, tiny membership set).
+    * At 100 TB this is one map-combined aggregation whose key space is
+    * the candidate ring, never the vocabulary; the corpus is scanned
+    * once and nothing but (candidate, count) shuffles.
+    *
+    * Counts are exact over `corpus` — use it to replace the CMS
+    * estimates (overcount ≤ ε·N) with true counts, or to audit recall
+    * against a ground-truth batch. Returns (term, n) for every
+    * candidate present in the corpus, ordered (n desc, term).
+    */
+  def recoverExactCounts(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, corpus: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    // full candidate ring (not just top-k): the ring is the recall
+    // frontier, and a term's exact rank can differ from its CMS rank
+    val cand = readHeavyHitters(spark, statePath, k = Int.MaxValue)
+      .select("term")
+    val toks = corpus.select(explode(
+      graft.expressions.WordShingles.shingles(col(textCol), 1)).as("term"))
+    toks.join(broadcast(cand), "term")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(k)
   }
 }

@@ -282,6 +282,37 @@ class StreamOpsSpec extends SparkSpec {
           .listFiles().map(_.getName).filter(_.startsWith("batch_id="))
         assert(dirs.length <= 2, s"$tree state not pruned: ${dirs.toSeq}")
       }
+      // the documented exact-recovery escape hatch as an operator: one
+      // batch pass over the full corpus must reproduce the exact
+      // groupBy counts for the candidate terms (not the CMS estimates)
+      import spark.implicits._
+      val corpus = Seq(
+        "alpha alpha alpha gamma n1 n2", "alpha gamma n3 n4",
+        "beta beta beta beta alpha gamma n5", "beta beta n6 n7",
+        "alpha alpha gamma gamma n8 n9").toDF("text")
+      val recovered = StreamOps
+        .recoverExactCounts(spark, s"$dir/state", corpus, k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(recovered.toSeq ===
+        Seq(("alpha", 7L), ("beta", 6L), ("gamma", 5L)))
+      // restarting against existing state with DIFFERENT sketch
+      // parameters must fail with the explicit parameter message, not a
+      // bare IncompatibleMergeException. Same source + checkpoint so the
+      // batch counter CONTINUES (a fresh checkpoint would restart at
+      // batch 0 and read no prior state at all).
+      val q2 = StreamOps.heavyHittersSink(docs, s"$dir/state", k = 3,
+        eps = 1e-3)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData("alpha alpha n10")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException]
+        && c.getMessage.contains("eps=1.0E-4") // stored params named
+        && c.getMessage.contains("eps=0.001")))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
