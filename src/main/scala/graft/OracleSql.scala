@@ -1678,6 +1678,33 @@ object OracleSql {
        |GROUP BY 1 ORDER BY n DESC, class""".stripMargin
   }
 
+  /** q85 — the SemDeDup-shape semantic dedup: identical IVF assignment
+    * CTE as q27 (every-97th seeds, round-6 tie-stable argmax), then
+    * per-cell exhaustive pairs and the greedy min-id representative.
+    */
+  private val q85 = {
+    val cosSeed = cosineSql("e.embedding", "seeds.semb", 64)
+    val cosAB = cosineSql("a.embedding", "b.embedding", 64)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS semb FROM e
+       |  WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id FROM (
+       |    SELECT e.vec_id, e.embedding, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round($cosSeed, 6) DESC, seed_id) AS rk
+       |    FROM e, seeds) t WHERE rk = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS vec_id,
+       |    round($cosAB, 6) AS cos_sim
+       |  FROM assign a JOIN assign b USING (seed_id)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT vec_id, min(id_a) AS canonical_id, count(*) AS n_dups
+       |FROM pairs WHERE cos_sim >= 0.25
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ---- Rubin fixture goldens (q83+) — same zero-transcription-drift
   // rule: flag lists and bad-value lists are generated from the Scala
   // constants the blocks themselves use.
@@ -1836,5 +1863,6 @@ object OracleSql {
     "q80_sn_candidates" -> q80,
     "q81_class_histogram" -> q81,
     "q83_rubin_blocks" -> q83,
-    "q84_rubin_most_likely_sn" -> q84)
+    "q84_rubin_most_likely_sn" -> q84,
+    "q85_semantic_dedup" -> q85)
 }

@@ -155,7 +155,11 @@ object SparkEntry {
     // alert fixture (§2.5 Rubin table, VERDICT r8 item 2)
     "q83_rubin_blocks" -> (operators.GoldenQueries.q83RubinBlocks _),
     "q84_rubin_most_likely_sn" ->
-      (operators.GoldenQueries.q84RubinMostLikelySn _))
+      (operators.GoldenQueries.q84RubinMostLikelySn _),
+    // SemDeDup-shape semantic dedup: IVF cells + exhaustive in-cell
+    // cosine + greedy min-id representative (low-threshold modality
+    // that sign-LSH blocking can't serve)
+    "q85_semantic_dedup" -> (Dedup.qSemanticDedup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

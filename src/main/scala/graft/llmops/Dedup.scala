@@ -372,6 +372,63 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-shape SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF
+    * coarse quantizer ([[Similarity.ivfSeeds]]/[[Similarity.ivfAssign]]
+    * — the q27 index), then within each cell compute exact pairwise
+    * cosine and drop every vector that has a qualifying neighbor with
+    * a smaller id (greedy min-id representative, the library's
+    * canonical-assignment rule — deterministic where the paper keeps a
+    * random/centroid-distance representative).
+    *
+    * This is the modality sign-LSH blocking ([[embeddingDedup]])
+    * correctly refuses to chase: at LOW thresholds (0.2–0.8 —
+    * paraphrases, re-renders, translations that embed close without
+    * being near-identical) bucket-collision recall collapses, while
+    * cluster-then-exhaustive keeps recall high for any threshold
+    * BECAUSE the candidate set is the semantic neighborhood itself,
+    * not a hash bucket. The cost model is explicit: per-cell pairs
+    * grow with occupancy² (occupancy = N/nSeeds), so the seed count —
+    * not a hash width — is the knob that must scale with the corpus;
+    * at 100 TB the assignment is one broadcast-seeds map stage, the
+    * pair join is a single co-partitioned shuffle on seed_id, and the
+    * only cross-cell miss is a pair straddling a cell boundary (the
+    * paper accepts the same; raise nProbe-style multi-assignment if
+    * the boundary loss matters).
+    *
+    * Output: one row per DROPPED vector — (vec_id, canonical_id =
+    * min qualifying neighbor, n_dups = qualifying smaller-id
+    * neighbors), the [[embeddingDedup]] contract, so callers swap
+    * blockers without changing downstream anti-joins.
+    */
+  def semanticDedup(e0: DataFrame, threshold: Double): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val assign = Similarity.ivfAssign(e, Similarity.ivfSeeds(e))
+    val a = assign.select(col("seed_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assign.select(col("seed_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("seed_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineWithNorms(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy("vec_id")
+  }
+
+  /** q85 — [[semanticDedup]] as a gate query: the synthetic embedding
+    * corpus has weak correlations, so the pinned threshold is low
+    * enough to produce a non-trivial dropped set whose DuckDB mirror
+    * replays the identical assignment + per-cell pair semantics.
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark.read.parquet(s"$dir/embeddings.parquet"),
+      threshold = 0.25)
+
   /** q49 — asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over the
     * hashed shingle sets, within-source blocked like q25. Jaccard
     * misses subset relations (a tweet quoted inside an article has

@@ -228,6 +228,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: representative invariants + certain in-cell recall") {
+    // the SemDeDup contract: every dropped vector names a smaller-id
+    // canonical, and an EXACT replica of a vector is always dropped
+    // when both land in the same IVF cell — replicas have cos=1 to
+    // their base and identical embeddings assign to identical cells
+    // (same argmax), so in-cell recall for exact replicas is certain,
+    // with no blocking-entropy caveat at all (the advantage over
+    // sign-LSH banding).
+    // vec 0 is the one in-range every-97th seed: a single-cell index,
+    // so the in-cell pair stage is exercised exhaustively
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+      .select("vec_id", "embedding")
+    val replicas = base.unionByName(
+      base.select((col("vec_id") + lit(1000L)).as("vec_id"),
+        col("embedding")))
+    val out = Dedup.semanticDedup(replicas, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    out.foreach { case (v, (canon, n)) =>
+      assert(canon < v && n >= 1L)
+    }
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0))
+    for (v <- baseIds)
+      assert(out.get(v + 1000L).exists(_._1 <= v),
+        s"replica ${v + 1000L} not semantically deduped to <= $v")
+    // at a 0.9 threshold on this weakly-correlated corpus, only the
+    // planted replicas qualify: no base vector is dropped
+    assert(baseIds.forall(v => !out.contains(v)))
+    spark.catalog.clearCache()
+  }
+
   test("SimHash64 on real docs: near-identical texts collide, distinct do not") {
     val d = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -85,6 +85,12 @@ object DriveVerify {
     q84.agg(sum("f_most_likely_sn").as("sn (expect 0)"),
       sum("f_keep_transient"), sum("f_snr")).show()
 
+    // SemDeDup-shape semantic dedup (q85): IVF cells + in-cell cosine
+    val sem = graft.llmops.Dedup
+      .qSemanticDedup(spark, "/root/testdata/sf0.001")
+    println("semanticDedup dropped (sf0.001): " + sem.count() +
+      " (expect 346)")
+
     // llmops dedup kernels on real documents: known value for a known
     // token list (md5-based, engine-independent), plus the full near-dup
     // pipelines end-to-end
