@@ -143,6 +143,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "constellation_of(ra, dec)")
       }),
+    ("image_dhash",
+      info("image_dhash", "image_dhash(pixels, w, h) - 64-bit " +
+        "perceptual difference hash of a row-major w x h grayscale " +
+        "raster (9x8 area-average grid, horizontal gradient signs)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, w, h) => ImageDHash(p, w, h)
+        case _ => throw new IllegalArgumentException(
+          "image_dhash(pixels, w, h)")
+      }),
     ("rainbow_fit",
       info("rainbow_fit", "rainbow_fit(pts, jd_max) - Levenberg-" +
         "Marquardt Rainbow light-curve fit (sigmoid rise x blackbody) " +

@@ -1705,6 +1705,57 @@ object OracleSql {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** q86 — the perceptual dHash over token-derived 18×16 rasters. The
+    * 18×16 → 9×8 resize is exact 2×2 box averaging, so the mirror
+    * compares raw 4-pixel sums (the kernel's average comparison scaled
+    * by the constant area — strict < is preserved exactly); chunk ck
+    * carries hash bits [16ck, 16ck+16) with bit r·8+c set iff
+    * cell(r,c) < cell(r,c+1), the [[graft.expressions.ImageDHash]]
+    * construction replayed from md5 hex digits alone.
+    */
+  private val q86 = {
+    def cellSum(r: Int, c: Int): String = {
+      val i0 = (2 * r) * 18 + 2 * c
+      val i1 = (2 * r + 1) * 18 + 2 * c
+      s"(p[${i0 + 1}] + p[${i0 + 2}] + p[${i1 + 1}] + p[${i1 + 2}])"
+    }
+    def chunk(ck: Int): String = sumL((0 until 16).map { local =>
+      val b = ck * 16 + local
+      val r = b / 8
+      val c = b % 8
+      s"CASE WHEN ${cellSum(r, c)} < ${cellSum(r, c + 1)} " +
+        s"THEN ${1 << local} ELSE 0 END"
+    })
+    val ham = sumL((0 to 3).map(k =>
+      s"bit_count(xor(a.c$k, b.c$k))"))
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, list_transform(toks,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 2)) AS INTEGER)) AS hv
+       |  FROM t WHERE len(toks) > 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 288), i -> hv[(i % len(hv)) + 1]) AS p
+       |  FROM hs),
+       |dh AS (
+       |  SELECT doc_id, ${(0 to 3).map(k => s"${chunk(k)} AS c$k")
+            .mkString(",\n    ")}
+       |  FROM px),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    $ham AS hamming
+       |  FROM dh a JOIN dh b
+       |    ON a.doc_id < b.doc_id
+       |    AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+       |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM cand WHERE hamming <= 10
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- Rubin fixture goldens (q83+) — same zero-transcription-drift
   // rule: flag lists and bad-value lists are generated from the Scala
   // constants the blocks themselves use.
@@ -1864,5 +1915,6 @@ object OracleSql {
     "q81_class_histogram" -> q81,
     "q83_rubin_blocks" -> q83,
     "q84_rubin_most_likely_sn" -> q84,
-    "q85_semantic_dedup" -> q85)
+    "q85_semantic_dedup" -> q85,
+    "q86_image_dhash" -> q86)
 }

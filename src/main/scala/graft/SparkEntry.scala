@@ -159,7 +159,9 @@ object SparkEntry {
     // SemDeDup-shape semantic dedup: IVF cells + exhaustive in-cell
     // cosine + greedy min-id representative (low-threshold modality
     // that sign-LSH blocking can't serve)
-    "q85_semantic_dedup" -> (Dedup.qSemanticDedup _))
+    "q85_semantic_dedup" -> (Dedup.qSemanticDedup _),
+    // perceptual image dHash near-dups (content-level multimodal dedup)
+    "q86_image_dhash" -> (Multimodal.qImageDhashPairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -128,6 +128,76 @@ object Multimodal {
       round(scale, 6).as("scale"))
   }
 
+  /** Content-level image near-duplicates via the perceptual difference
+    * hash ([[graft.expressions.ImageDHash]]) — the q24 SimHash banding
+    * shape applied to raster space: hash each image, explode 4×16-bit
+    * band keys, candidates share ANY band, `bit_count(xor)` Hamming
+    * verifies every candidate exactly (precision exact, recall the
+    * standard banding bound: a pair is missed only when all four bands
+    * differ, i.e. its ≤ maxHamming bit flips spread across all bands).
+    *
+    * Scale shape: the hash is a map-stage codegen'd kernel over the
+    * raster; the self-join carries (img_id, band, bucket, hash) — 24
+    * bytes/row, never pixels; exchanges are equi-joins on (band,
+    * bucket). `imgs` must carry (`idCol`, `pxCol` row-major
+    * array<double> of exactly w·h pixels).
+    */
+  def imageDHashPairs(imgs: DataFrame, idCol: String, pxCol: String,
+      w: Int, h: Int, maxHamming: Int): DataFrame = {
+    val d = imgs.select(col(idCol).as("img_id"),
+      graft.expressions.ImageDHash.dhash(col(pxCol), lit(w), lit(h))
+        .as("dh"))
+    val chunked = d.select(col("img_id"), col("dh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("band"),
+          shiftright(col("dh"), c * 16).bitwiseAND(0xFFFF).as("bk"))
+      }: _*)).as("b"))
+      .select(col("img_id"), col("dh"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = chunked.select(col("band"), col("bk"),
+      col("img_id").as("img_a"), col("dh").as("dh_a"))
+    val b = chunked.select(col("band"), col("bk"),
+      col("img_id").as("img_b"), col("dh").as("dh_b"))
+    val hamming = bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int")
+    a.join(b, Seq("band", "bk"))
+      .filter(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("img_a", "img_b")
+  }
+
+  /** Deterministic 18×16 grayscale raster from a document's token
+    * stream — the corpus-derived stand-in for decoded image rasters
+    * (the container ships no codecs; [[graft.multimodal.FitsOps]] is
+    * the real decode path for FITS stamps): pixel i = the first md5
+    * byte of token (i mod n_tokens). Cross-engine exact — integer
+    * pixel values and (for the 18×16 → 9×8 resize) weight-1 box
+    * averaging mean the DuckDB mirror reproduces the hash bit-for-bit
+    * from md5 hex digits alone.
+    */
+  def tokenRaster(text: Column): Column = {
+    val toks = graft.expressions.WordShingles.shingles(text, 1)
+    val hv = transform(toks,
+      t => conv(substring(md5(t), 1, 2), 16, 10).cast("double"))
+    transform(sequence(lit(0), lit(18 * 16 - 1)),
+      i => element_at(hv, (i % size(hv)) + 1))
+  }
+
+  /** q86 — [[imageDHashPairs]] over token-derived rasters: perceptual
+    * near-duplicate image pairs at the standard Hamming ≤ 10 band.
+    */
+  def qImageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokenRaster(col("text")).as("px"),
+        size(graft.expressions.WordShingles.shingles(col("text"), 1))
+          .as("ntok"))
+      .filter(col("ntok") > 0)
+    imageDHashPairs(d, "doc_id", "px", 18, 16, maxHamming = 10)
+      .select(col("img_a").as("doc_a"), col("img_b").as("doc_b"),
+        col("hamming"))
+  }
+
   // ---- queries over the documents table (text payload as bytes) ----
 
   /** Multimodal metadata query for the correctness gate: the binary

@@ -85,6 +85,12 @@ object DriveVerify {
     q84.agg(sum("f_most_likely_sn").as("sn (expect 0)"),
       sum("f_keep_transient"), sum("f_snr")).show()
 
+    // perceptual image dHash (q86): codegen'd kernel + q24 band join
+    val dh = graft.llmops.Multimodal
+      .qImageDhashPairs(spark, "/root/testdata/sf0.001")
+    println("image dHash near-dup pairs (sf0.001): " + dh.count() +
+      " (expect 10)")
+
     // SemDeDup-shape semantic dedup (q85): IVF cells + in-cell cosine
     val sem = graft.llmops.Dedup
       .qSemanticDedup(spark, "/root/testdata/sf0.001")
