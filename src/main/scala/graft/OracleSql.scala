@@ -1705,6 +1705,34 @@ object OracleSql {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** q87 — the anomaly-history counter: nightly per-user best row,
+    * nightly top-10, then the 90-day trailing count ending at the
+    * newest stored night ([[graft.pipeline.AnomalyPipeline]] G9).
+    */
+  private val q87 =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS night, user_id, value AS s,
+      |    event_id AS tb
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+      |dedup AS (
+      |  SELECT night, user_id, s, tb FROM (
+      |    SELECT night, user_id, s, tb,
+      |      row_number() OVER (PARTITION BY night, user_id
+      |        ORDER BY s, tb) AS rn
+      |    FROM ev) t WHERE rn = 1),
+      |topn AS (
+      |  SELECT night, user_id FROM (
+      |    SELECT night, user_id,
+      |      row_number() OVER (PARTITION BY night
+      |        ORDER BY s, tb, user_id) AS rk
+      |    FROM dedup) t WHERE rk <= 10),
+      |b AS (SELECT max(night) AS as_of FROM topn)
+      |SELECT user_id, count(*) AS n_top_hits
+      |FROM topn, b WHERE night > as_of - 90
+      |GROUP BY user_id
+      |ORDER BY n_top_hits DESC, user_id""".stripMargin
+
   /** q86 — the perceptual dHash over token-derived 18×16 rasters. The
     * 18×16 → 9×8 resize is exact 2×2 box averaging, so the mirror
     * compares raw 4-pixel sums (the kernel's average comparison scaled
@@ -1916,5 +1944,6 @@ object OracleSql {
     "q83_rubin_blocks" -> q83,
     "q84_rubin_most_likely_sn" -> q84,
     "q85_semantic_dedup" -> q85,
-    "q86_image_dhash" -> q86)
+    "q86_image_dhash" -> q86,
+    "q87_anomaly_history" -> q87)
 }

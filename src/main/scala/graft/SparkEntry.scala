@@ -161,7 +161,9 @@ object SparkEntry {
     // that sign-LSH blocking can't serve)
     "q85_semantic_dedup" -> (Dedup.qSemanticDedup _),
     // perceptual image dHash near-dups (content-level multimodal dedup)
-    "q86_image_dhash" -> (Multimodal.qImageDhashPairs _))
+    "q86_image_dhash" -> (Multimodal.qImageDhashPairs _),
+    // G9 anomaly-history counter: nightly top-N partials + 90-day count
+    "q87_anomaly_history" -> (EventQueries.q87AnomalyHistory _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -534,6 +534,27 @@ object EventQueries {
     * this check; at scale those ride as sketches, cf. llmops.Sketches'
     * HLL union.)
     */
+  /** q87 — the anomaly-history counter (G9) as a gate query: nightly
+    * per-user top-10 by most-negative value (the
+    * [[graft.pipeline.AnomalyPipeline.nightlyTopAnomalies]] partials)
+    * counted per user over the trailing 90 days ending at the newest
+    * stored night ([[graft.pipeline.AnomalyPipeline
+    * .anomalyHistoryCounter]]) — the engine analog of the reference's
+    * REST-archive Counter
+    * (`filter_anomaly_notification/filter_utils.py:160-192`).
+    */
+  def q87AnomalyHistory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("night"), col("user_id"),
+        col("value"), col("event_id"))
+    val nightly = graft.pipeline.AnomalyPipeline.nightlyTopAnomalies(
+      ev, scoreCol = "value", objectIdCol = "user_id",
+      nightCol = "night", n = 10, tieBreakCol = "event_id")
+    graft.pipeline.AnomalyPipeline.anomalyHistoryCounter(nightly, 90)
+      .select(col("object_id").as("user_id"), col("n_top_hits"))
+  }
+
   def q70IncrementalRollup(spark: SparkSession, dir: String,
       cutoff: String = "2024-03-01"): DataFrame = {
     val ev = CoreQueries.events(spark, dir)

@@ -51,4 +51,52 @@ object AnomalyPipeline {
       .limit(threshold)
     (top, median)
   }
+
+  /** Per-night top-`n` anomalies — the nightly [[select]] semantics as
+    * one batch operator over a multi-night frame (per-object dedup to
+    * the best (score, tieBreak) row, then rank within the night): the
+    * PARTIAL table of the anomaly-history counter (G9). One shuffle on
+    * (night, object) for the dedup; the per-night ranking reuses the
+    * same partitioning modulo the grain change — at scale this is the
+    * nightly batch job whose ≤ n-row output lands in the history
+    * table, so the counter never re-scans alert history.
+    *
+    * Output: (night, object_id, score, rk) with rk 1..n.
+    */
+  def nightlyTopAnomalies(df: DataFrame, scoreCol: String = "anomaly_score",
+      objectIdCol: String = "objectId", nightCol: String = "night",
+      n: Int = 10, tieBreakCol: String = "candid"): DataFrame = {
+    val perObj = df
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy(col(nightCol).as("night"), col(objectIdCol).as("object_id"))
+      .agg(min(struct(col(scoreCol).as("s"), col(tieBreakCol).as("tb")))
+        .as("best"))
+      .select(col("night"), col("object_id"),
+        col("best.s").as("score"), col("best.tb").as("tb"))
+    val w = Window.partitionBy("night")
+      .orderBy(col("score").asc, col("tb").asc, col("object_id"))
+    perObj.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .drop("tb")
+  }
+
+  /** The anomaly-history counter (G9,
+    * `filter_anomaly_notification/filter_utils.py:160-192`): how many
+    * times each object hit the nightly top-N inside the trailing
+    * `deltaDays` window — the reference fetches exactly this Counter
+    * from its REST archive; here it reads the stored
+    * [[nightlyTopAnomalies]] partials (≤ n rows/night, so the input is
+    * bounded by policy, not by corpus size). The as-of date is the
+    * newest stored night (a single-row broadcast, never a driver
+    * collect).
+    */
+  def anomalyHistoryCounter(nightly: DataFrame,
+      deltaDays: Int = 90): DataFrame = {
+    val bounds = nightly.agg(max(col("night")).as("as_of"))
+    nightly.crossJoin(broadcast(bounds))
+      .filter(col("night") > date_sub(col("as_of"), deltaDays))
+      .groupBy("object_id")
+      .agg(count(lit(1)).as("n_top_hits"))
+      .orderBy(desc("n_top_hits"), asc("object_id"))
+  }
 }

@@ -110,6 +110,29 @@ class StreamAndPipelineSpec extends SparkSpec {
     assert(scores.head <= median)
   }
 
+  test("anomaly history counter: nightly top-N partials + 90-day window") {
+    import spark.implicits._
+    // 3 nights: obj A tops every night, B tops two, C only on the
+    // stale night outside the 90-day window ending at the newest night
+    val rows = Seq(
+      // (night, objectId, score, candid) — lower score = more anomalous
+      ("2024-06-01", "A", -9.0, 1L), ("2024-06-01", "B", -8.0, 2L),
+      ("2024-06-01", "A", -1.0, 3L), // dedup: A keeps -9
+      ("2024-06-02", "A", -7.0, 4L), ("2024-06-02", "B", -6.0, 5L),
+      ("2023-01-01", "C", -9.9, 6L), ("2023-01-01", "A", -0.5, 7L))
+      .toDF("night_s", "objectId", "anomaly_score", "candid")
+      .withColumn("night", to_date(col("night_s")))
+    val nightly = AnomalyPipeline.nightlyTopAnomalies(rows, n = 2)
+    // per-night ≤ n rows, best-row dedup kept A at -9 on night 1
+    assert(nightly.count() === 6)
+    assert(nightly.filter(col("night") === "2024-06-01" &&
+      col("object_id") === "A").head().getDouble(2) === -9.0)
+    val counter = AnomalyPipeline.anomalyHistoryCounter(nightly, 90)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // C's only hit is 2023-01-01, outside the window ending 2024-06-02
+    assert(counter.toSeq === Seq("A" -> 2L, "B" -> 2L))
+  }
+
   test("multimodal: FITS magic + byte features on real cutouts") {
     val df = SparkSpec.ztfRegular
       .select(col("candid"),
