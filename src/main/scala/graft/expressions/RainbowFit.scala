@@ -29,9 +29,17 @@ import org.apache.spark.sql.types._
   *
   * Input: the `struct(jd, f, e, fid, ok)` history array of
   * `ZtfPhotometryFilters.fluxHistoryCol` and the alert epoch jd_max
-  * (only detections with ok ∧ fid ∈ {1,2} ∧ e > 0 enter the fit — the
-  * reference additionally feeds 5σ upper limits, which the in-alert
-  * history does not carry; documented divergence).
+  * (only detections with ok ∧ fid ∈ {1,2} ∧ e > 0 enter the fit
+  * two-sided). When the struct carries the OPTIONAL `ul` boolean field
+  * (`fluxHistoryWithLimitsCol`), rows with ul = true are 5σ
+  * NON-DETECTIONS — f = 10^(11 − 0.4·diffmaglim), e = f/5, exactly the
+  * reference's substitution (`lcs.py:175,285-298`) — and enter the fit
+  * one-sided (censored): residual max(0, (F − f)/e), i.e. a limit
+  * penalizes the model only while the model sits ABOVE it, the
+  * standard censored-likelihood hinge the reference's `upper_mask`
+  * encodes. Seeds and the min-point gate use detections only; `n`
+  * reports detections only, so fits without limits are bit-identical
+  * to the pre-limit kernel.
   *
   * Output: struct(t0, amplitude, rise_time, temperature, chi2, n,
   * converged) — t0 in absolute JD (the reference's `reference_time`),
@@ -80,16 +88,19 @@ case class RainbowFit(pts: Expression, jdMax: Expression)
   private lazy val ordE = st.fieldIndex("e")
   private lazy val ordFid = st.fieldIndex("fid")
   private lazy val ordOk = st.fieldIndex("ok")
+  // optional censored-point marker (−1 = history carries no limits)
+  private lazy val ordUl =
+    if (st.fieldNames.contains("ul")) st.fieldIndex("ul") else -1
 
   override protected def nullSafeEval(p: Any, j: Any): Any =
     RainbowFit.compute(p.asInstanceOf[ArrayData], j.asInstanceOf[Double],
-      st.size, ordJd, ordF, ordE, ordFid, ordOk)
+      st.size, ordJd, ordF, ordE, ordFid, ordOk, ordUl)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (p, j) => s"""
       |${ev.value} = graft.expressions.RainbowFit.compute(
-      |  $p, $j, ${st.size}, $ordJd, $ordF, $ordE, $ordFid, $ordOk);
+      |  $p, $j, ${st.size}, $ordJd, $ordF, $ordE, $ordFid, $ordOk, $ordUl);
       |if (${ev.value} == null) { ${ev.isNull} = true; }
       |""".stripMargin)
 
@@ -148,14 +159,16 @@ object RainbowFit {
     * null when the fit is undefined (< 5 usable points).
     */
   def compute(pts: ArrayData, jdMax: Double, numFields: Int, iJd: Int,
-      iF: Int, iE: Int, iFid: Int, iOk: Int): InternalRow = {
+      iF: Int, iE: Int, iFid: Int, iOk: Int, iUl: Int): InternalRow = {
     val total = pts.numElements()
-    // gather usable detections, time centered on the alert epoch
+    // gather usable points, time centered on the alert epoch;
+    // detections first (indices [0, nDet)), then censored 5σ limits
+    // ([nDet, n)) so every detections-only loop is a prefix walk
     val u = new Array[Double](total)
     val y = new Array[Double](total)
     val s = new Array[Double](total)
     val lam = new Array[Double](total)
-    var n = 0
+    var nDet = 0
     var i = 0
     while (i < total) {
       if (!pts.isNullAt(i)) {
@@ -164,17 +177,40 @@ object RainbowFit {
         if (p.getBoolean(iOk) && (fid == 1 || fid == 2)) {
           val e = p.getDouble(iE)
           if (e > 0.0 && java.lang.Double.isFinite(e)) {
-            u(n) = p.getDouble(iJd) - jdMax
-            y(n) = p.getDouble(iF)
-            s(n) = e
-            lam(n) = if (fid == 1) LambdaG else LambdaR
-            n += 1
+            u(nDet) = p.getDouble(iJd) - jdMax
+            y(nDet) = p.getDouble(iF)
+            s(nDet) = e
+            lam(nDet) = if (fid == 1) LambdaG else LambdaR
+            nDet += 1
           }
         }
       }
       i += 1
     }
-    if (n < MinPoints) return null
+    if (nDet < MinPoints) return null
+    var n = nDet
+    if (iUl >= 0) {
+      i = 0
+      while (i < total) {
+        if (!pts.isNullAt(i)) {
+          val p = pts.getStruct(i, numFields)
+          val fid = p.getInt(iFid)
+          if (p.getBoolean(iUl) && (fid == 1 || fid == 2)) {
+            val f = p.getDouble(iF)
+            val e = p.getDouble(iE)
+            if (f > 0.0 && java.lang.Double.isFinite(f) && e > 0.0 &&
+                java.lang.Double.isFinite(e)) {
+              u(n) = p.getDouble(iJd) - jdMax
+              y(n) = f
+              s(n) = e
+              lam(n) = if (fid == 1) LambdaG else LambdaR
+              n += 1
+            }
+          }
+        }
+        i += 1
+      }
+    }
 
     // ---- WLS seed: per-band level a and rate m at the alert epoch ----
     // (same closed forms as the linear stage: centered intercept =
@@ -187,7 +223,7 @@ object RainbowFit {
       var sw = 0.0; var swx = 0.0; var swy = 0.0; var swxx = 0.0
       var swxy = 0.0; var nb = 0
       var j = 0
-      while (j < n) {
+      while (j < nDet) {
         if (lam(j) == lb) {
           val w = 1.0 / (s(j) * s(j))
           sw += w; swx += w * u(j); swy += w * y(j)
@@ -227,7 +263,7 @@ object RainbowFit {
     // amplitude seed: brightest point over its SED factor, / S ≈ 0.8
     var aSeed = 0.0
     i = 0
-    while (i < n) {
+    while (i < nDet) {
       val cand = y(i) / sed(lam(i), tSeed)
       if (cand > aSeed) aSeed = cand
       i += 1
@@ -249,7 +285,8 @@ object RainbowFit {
       while (j < n) {
         val sg = sigmoid((u(j) - th(0)) / tau)
         val r = (a * sg * sed(lam(j), t) - y(j)) / s(j)
-        c += r * r
+        // censored suffix: a 5σ limit penalizes only a model ABOVE it
+        if (j < nDet || r > 0.0) c += r * r
         j += 1
       }
       c
@@ -279,6 +316,10 @@ object RainbowFit {
         val se = sed(lam(j), t)
         val f = a * sg * se
         val r = (f - y(j)) / s(j)
+        // inactive censored point: zero residual AND zero gradient (the
+        // hinge is flat below the limit) — contributes nothing
+        if (j >= nDet && r <= 0.0) { j += 1 }
+        else {
         val dsg = sg * (1.0 - sg)
         val jr = new Array[Double](4)
         jr(0) = -a * se * dsg / tau / s(j)
@@ -293,6 +334,7 @@ object RainbowFit {
           p += 1
         }
         j += 1
+        }
       }
       var p = 1
       while (p < 4) { var q = 0; while (q < p) { h(p)(q) = h(q)(p); q += 1 }
@@ -346,7 +388,7 @@ object RainbowFit {
     row.update(2, math.exp(theta(2)))
     row.update(3, math.exp(theta(3)))
     row.update(4, chi2)
-    row.update(5, n)
+    row.update(5, nDet) // detections only: limit-free fits stay pinned
     row.update(6, converged)
     row
   }

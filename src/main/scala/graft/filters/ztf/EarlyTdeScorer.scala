@@ -210,9 +210,11 @@ object EarlyTdeScorer {
     * default pipeline keeps the closed-form features (whose golden
     * regression is pinned), and a trained scorer can consume both.
     */
-  def withRainbowFit(df: DataFrame): DataFrame =
+  def withRainbowFit(df: DataFrame,
+      useUpperLimits: Boolean = false): DataFrame =
     df.withColumn("rainbow_fit", graft.expressions.RainbowFit.rainbowFit(
-      ZtfPhotometryFilters.fluxHistoryCol,
+      if (useUpperLimits) ZtfPhotometryFilters.fluxHistoryWithLimitsCol
+      else ZtfPhotometryFilters.fluxHistoryCol,
       col("candidate.jd").cast("double")))
 
   /** The reference's feature-quality cuts (`filter.py:184-196`) read on

@@ -21,6 +21,40 @@ object ZtfPhotometryFilters {
     */
   private[ztf] def fluxHistoryCol: Column = fluxHistory
 
+  /** [[fluxHistoryCol]] plus the 5σ NON-DETECTIONS: history points
+    * whose magpsf is null/NaN (tag `upperlim` in the reference's
+    * archive) become censored rows with f = 10^(11 − 0.4·diffmaglim)
+    * and e = f/5 — the exact substitution the reference feeds the
+    * Rainbow fit (`filter_early_tde_candidates/lcs.py:175,285-298`) —
+    * marked by the extra `ul` field [[graft.expressions.RainbowFit]]
+    * treats one-sided. Rows that are neither valid detections nor
+    * carry a usable diffmaglim stay ok=false, ul=false (skipped).
+    */
+  private[ztf] def fluxHistoryWithLimitsCol: Column = {
+    val z = arrays_zip(
+      chist("jd").as("cjd"), chist("magpsf").as("cmag"),
+      chist("sigmapsf").as("csig"), chist("isdiffpos").as("cisd"),
+      chist("fid").as("cfid"), chist("diffmaglim").as("clim"))
+    transform(z, p => {
+      val m = p.getField("cmag").cast("double")
+      val s = p.getField("csig").cast("double")
+      val lim = p.getField("clim").cast("double")
+      val det = m.isNotNull && !isnan(m)
+      val ul = !det && lim.isNotNull && !isnan(lim)
+      val sign = when(p.getField("cisd") === "f", -1.0).otherwise(1.0)
+      val fDet = sign * pow(10.0, lit(-0.4) * m) * 1e11
+      val fLim = pow(10.0, lit(-0.4) * lim) * 1e11
+      struct(
+        p.getField("cjd").cast("double").as("jd"),
+        when(det, fDet).otherwise(fLim).as("f"),
+        when(det, lit(9.21034e10) * exp(lit(-0.921034) * m) * s)
+          .otherwise(fLim / 5.0).as("e"),
+        p.getField("cfid").cast("int").as("fid"),
+        det.as("ok"),
+        ul.as("ul"))
+    })
+  }
+
   private def fluxHistory: Column = {
     // arrays_zip: each chist() array is a COLLECTION argument, evaluated
     // once per row — an element_at(chist(..), i) inside the lambda body

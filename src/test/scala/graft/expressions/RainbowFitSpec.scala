@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
 case class RainbowPt(jd: Double, f: Double, e: Double, fid: Int,
     ok: Boolean)
 
+case class RainbowPtUl(jd: Double, f: Double, e: Double, fid: Int,
+    ok: Boolean, ul: Boolean)
+
 class RainbowFitSpec extends SparkSpec {
 
   private type Pt = RainbowPt
@@ -161,6 +164,49 @@ class RainbowFitSpec extends SparkSpec {
       .selectExpr("fit.t0", "fit.rise_time", "fit.temperature", "fit.chi2")
       .collect()
     assert(rows.map(_.toString).distinct.length === 1)
+  }
+
+  test("upper limits: inert when absent/loose, binding when violated") {
+    import spark.implicits._
+    def fitUl(pts: Seq[RainbowPtUl]) =
+      Seq((pts, JdMax)).toDF("pts", "jd_max")
+        .select(RainbowFit.rainbowFit(col("pts"), col("jd_max")).as("fit"))
+        .selectExpr("fit.t0", "fit.amplitude", "fit.rise_time",
+          "fit.temperature", "fit.chi2", "fit.n", "fit.converged")
+        .collect()(0)
+    val det = syntheticPts.map(p =>
+      RainbowPtUl(p.jd, p.f, p.e, p.fid, p.ok, ul = false))
+    val plain = fitOf(syntheticPts)
+    // 1. the extra ul field alone changes nothing (bit-identical)
+    assert(fitUl(det).toString === plain.toString)
+    // 2. loose limits (10× the true flux at their epochs) are inactive
+    //    at the optimum reached from the same seed: still bit-identical
+    val loose = det ++ Seq(-20.0, -15.0).map { u =>
+      val lim = 10.0 * math.max(1e-6,
+        model(u, LamG, T0c, Amp, Tau, Temp))
+      RainbowPtUl(JdMax + u, lim, lim / 5.0, 1, ok = false, ul = true)
+    }
+    assert(fitUl(loose).toString === plain.toString)
+    // 3. deep limits the true curve VIOLATES (5σ flux far below the
+    //    model on the early rise) must change the fit: the constrained
+    //    optimum pushes the early-epoch flux down toward the limits
+    val uLim = -12.0
+    val deepVal = 0.05 * model(uLim, LamG, T0c, Amp, Tau, Temp)
+    val deep = det ++ Seq(
+      RainbowPtUl(JdMax + uLim, deepVal, deepVal / 5.0, 1,
+        ok = false, ul = true))
+    val con = fitUl(deep)
+    assert(con.getBoolean(6), "constrained fit must converge")
+    assert(con.getInt(5) === 30, "n reports detections only")
+    assert(con.toString !== plain.toString,
+      "a violated limit must move the optimum")
+    def fluxAt(r: org.apache.spark.sql.Row, u: Double) =
+      model(u, LamG, r.getDouble(0) - JdMax, r.getDouble(1),
+        r.getDouble(2), r.getDouble(3))
+    assert(fluxAt(con, uLim) < fluxAt(plain, uLim),
+      "constrained model must sit lower at the limit epoch")
+    // the hinge really contributed: χ² includes a positive penalty
+    assert(con.getDouble(4) > plain.getDouble(4))
   }
 
   test("fits the real ZTF fixture via withRainbowFit") {
