@@ -1859,6 +1859,77 @@ object OracleSql {
        |    AS INTEGER) AS f_keep_transient
        |FROM f ORDER BY source_id""".stripMargin
 
+  /** `CASE diaSource.band WHEN 'u' THEN diaObject.u_<stat> …` — the
+    * dynamic per-band column idiom (A8), generated over the same band
+    * order as RubinBlocks.bandColumn.
+    */
+  private def rubinBandColSql(stat: String): String =
+    "CASE diaSource.band " +
+      graft.filters.rubin.RubinBlocks.Bands
+        .map(b => s"WHEN '$b' THEN diaObject.${b}_$stat")
+        .mkString(" ") + " END"
+
+  /** q88 — the extragalactic cascade + per-band blocks + galactic
+    * latitude. The NGP trig constants are EMBEDDED as the same JVM
+    * doubles Astro computes at plan build (sin/cos of the NGP pole),
+    * so only the per-row sin/cos/asin differ between engines — round-6
+    * absorbs the libm-vs-Math ulp.
+    */
+  private lazy val q88 = {
+    val d2r = 0.017453292519943295
+    val sinNgp = math.sin(27.12825 * d2r)
+    val cosNgp = math.cos(27.12825 * d2r)
+    val bad = sqlList(graft.filters.rubin.RubinBlocks.BadValues)
+    val hosts = sqlList(graft.filters.rubin.RubinBlocks.EgHosts)
+    val vsx = sqlList(graft.filters.rubin.RubinBlocks.VsxStellar)
+    val bGal = s"""(asin(sin(diaSource."dec" * $d2r) * $sinNgp
+       |      + cos(diaSource."dec" * $d2r) * $cosNgp
+       |      * cos((diaSource.ra - 192.85948) * $d2r)) / $d2r)""".stripMargin
+    val fluxDiff = s"(diaSource.psfFlux - ${rubinBandColSql("psfFluxMean")})"
+    val signif = s"(abs($fluxDiff) > ${rubinBandColSql("psfFluxMeanErr")})"
+    s"""WITH f AS (
+       |  SELECT diaSourceId AS source_id,
+       |    $bGal AS b_gal,
+       |    coalesce(abs($bGal) > 20, false) AS f_outside_plane,
+       |    $rubinGoodQualitySql AS f_gq,
+       |    coalesce(xm.simbad_otype IN ($hosts), false) AS f_sim_gal,
+       |    (xm.simbad_otype IS NULL OR xm.simbad_otype IN ($bad))
+       |      AS f_sim_unk,
+       |    coalesce(xm.mangrove_lum_dist > 0, false) AS f_mangrove,
+       |    coalesce(xm.gaiadr3_DR3Name IS NOT NULL
+       |      AND xm.gaiadr3_DR3Name NOT IN ($bad)
+       |      AND CAST(xm.gaiadr3_Plx AS DOUBLE)
+       |        / CAST(xm.gaiadr3_e_Plx AS DOUBLE) > 5, false) AS f_gaia,
+       |    coalesce(xm.vsx_Type IN ($vsx), false) AS f_vsx,
+       |    coalesce(pred.is_sso, false) AS f_sso,
+       |    coalesce(xm.legacydr8_zphot > 0, false) AS f_legacy,
+       |    coalesce($signif AND $fluxDiff > 0, false) AS f_rising,
+       |    coalesce($signif AND $fluxDiff < 0, false) AS f_fading,
+       |    coalesce(${rubinBandColSql("psfFluxNdata")} >= 2, false)
+       |      AS f_two_same_band
+       |  FROM '$RubinFixture'),
+       |g AS (
+       |  SELECT *,
+       |    (f_legacy AND (f_sim_unk OR f_sim_gal)) AS f_legacy_valid,
+       |    (NOT f_gaia AND NOT f_vsx) AS f_not_star
+       |  FROM f)
+       |SELECT source_id, round(b_gal, 6) AS b_gal,
+       |  CAST(f_outside_plane AS INTEGER) AS f_outside_plane,
+       |  CAST(f_legacy_valid AS INTEGER) AS f_legacy_valid,
+       |  CAST(f_not_star AS INTEGER) AS f_not_star,
+       |  CAST(f_gq AND (f_sim_gal OR f_mangrove OR f_legacy_valid
+       |      OR f_sim_unk)
+       |    AND f_outside_plane AND NOT f_sso AND f_not_star AS INTEGER)
+       |    AS f_eg_loose,
+       |  CAST(f_gq AND (f_sim_gal OR f_mangrove OR f_legacy_valid)
+       |    AND f_outside_plane AND NOT f_sso AND f_not_star AS INTEGER)
+       |    AS f_eg_near_galaxy,
+       |  CAST(f_rising AS INTEGER) AS f_rising,
+       |  CAST(f_fading AS INTEGER) AS f_fading,
+       |  CAST(f_two_same_band AS INTEGER) AS f_two_same_band
+       |FROM g ORDER BY source_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1945,5 +2016,6 @@ object OracleSql {
     "q84_rubin_most_likely_sn" -> q84,
     "q85_semantic_dedup" -> q85,
     "q86_image_dhash" -> q86,
-    "q87_anomaly_history" -> q87)
+    "q87_anomaly_history" -> q87,
+    "q88_rubin_extragalactic" -> q88)
 }

@@ -163,7 +163,10 @@ object SparkEntry {
     // perceptual image dHash near-dups (content-level multimodal dedup)
     "q86_image_dhash" -> (Multimodal.qImageDhashPairs _),
     // G9 anomaly-history counter: nightly top-N partials + 90-day count
-    "q87_anomaly_history" -> (EventQueries.q87AnomalyHistory _))
+    "q87_anomaly_history" -> (EventQueries.q87AnomalyHistory _),
+    // Rubin extragalactic cascade + per-band blocks + galactic trig
+    "q88_rubin_extragalactic" ->
+      (operators.GoldenQueries.q88RubinExtragalactic _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -180,8 +180,14 @@ object Multimodal {
     val toks = graft.expressions.WordShingles.shingles(text, 1)
     val hv = transform(toks,
       t => conv(substring(md5(t), 1, 2), 16, 10).cast("double"))
-    transform(sequence(lit(0), lit(18 * 16 - 1)),
-      i => element_at(hv, (i % size(hv)) + 1))
+    // wrap-around indexing WITHOUT referencing hv inside a per-pixel
+    // lambda: `transform(sequence(0,287), i -> element_at(hv, i%n+1))`
+    // inlines the whole md5-per-token transform into the lambda body,
+    // so Spark re-evaluates it 288× per row (measured 295 s at sf0.1
+    // vs ~1 s for this repeat-and-slice form, which evaluates hv O(1)
+    // times per row). Same values bit-for-bit.
+    slice(flatten(array_repeat(hv,
+      ceil(lit(18.0 * 16.0) / size(hv)).cast("int"))), 1, 18 * 16)
   }
 
   /** q86 — [[imageDHashPairs]] over token-derived rasters: perceptual

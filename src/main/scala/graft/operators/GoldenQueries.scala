@@ -139,4 +139,32 @@ object GoldenQueries {
       common.cast("int").as("f_keep_transient"))
       .orderBy("source_id")
   }
+
+  /** q88 — the Rubin extragalactic cascade (`blocks.py:421-531`) and
+    * the per-band dynamic-column blocks (A6-A8/G4, `rubin/utils.py:
+    * 49-112` + `blocks.py:262-339`) as a flag vector, plus the
+    * galactic latitude itself (round-6) so the ICRS→galactic trig is
+    * gated numerically, not just through the 20° threshold.
+    */
+  def q88RubinExtragalactic(spark: SparkSession, dir: String): DataFrame =
+    rubinFixture(spark).select(
+      col("diaSourceId").as("source_id"),
+      round(graft.astro.Astro.galacticLatDeg(
+        col("diaSource.ra").cast("double"),
+        col("diaSource.dec").cast("double")), 6).as("b_gal"),
+      coalesce(RubinBlocks.outsideGalacticPlane(20), lit(false))
+        .cast("int").as("f_outside_plane"),
+      (coalesce(col("xm.legacydr8_zphot") > 0, lit(false)) &&
+        (RubinBlocks.xmatchedSimbadUnknown ||
+          RubinBlocks.xmatchedSimbadGalaxy))
+        .cast("int").as("f_legacy_valid"),
+      (!RubinBlocks.xmatchedGaiaStar && !RubinBlocks.xmatchedVsxStar)
+        .cast("int").as("f_not_star"),
+      RubinBlocks.extragalacticLoose.cast("int").as("f_eg_loose"),
+      RubinBlocks.extragalacticNearGalaxy.cast("int")
+        .as("f_eg_near_galaxy"),
+      RubinBlocks.isRising.cast("int").as("f_rising"),
+      RubinBlocks.isFading.cast("int").as("f_fading"),
+      RubinBlocks.hasTwoPointsSameBand.cast("int").as("f_two_same_band"))
+      .orderBy("source_id")
 }
