@@ -284,6 +284,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti, BuildRight, true"), p)
   }
 
+  test("q85: seeds broadcast; the pair stage is an equi-join on seed_id") {
+    val p = plan(graft.llmops.Dedup.qSemanticDedup(spark, dir))
+    // the coarse quantizer is a broadcast (seeds are driver-tiny);
+    // the in-cell pair stage must be a hash equi-join on seed_id, and
+    // nothing may fall back to a cartesian product
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("seed_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q86: dHash banding is an equi-join; the raster is never re-derived per pixel") {
+    val p = plan(graft.llmops.Multimodal.qImageDhashPairs(spark, dir))
+    // band-bucket candidate join, never all-pairs
+    assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("image_dhash"), p)
+    // the 295 s regression this pins against: indexing the md5-token
+    // array via element_at INSIDE a per-pixel lambda — the inner
+    // transform's whole md5 pass re-evaluates once per element. The
+    // plan signature of that shape is a nested
+    // element_at(transform(...)) inside a lambda.
+    assert(!p.contains("element_at(transform("),
+      "per-pixel re-derivation of the token-hash array is back:\n" + p)
+  }
+
+  test("q87: history counter ranks per night and bounds via broadcast") {
+    val p = plan(graft.operators.EventQueries.q87AnomalyHistory(spark, dir))
+    // the as-of bound joins back as a broadcast (single-row), and the
+    // nightly ranking both partitions by night AND gets the rank-limit
+    // pushdown (WindowGroupLimit prunes below rank 10 before the full
+    // sort — the shape that keeps per-night state bounded at scale)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(night"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
