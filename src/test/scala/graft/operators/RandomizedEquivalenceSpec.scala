@@ -73,4 +73,45 @@ class RandomizedEquivalenceSpec extends SparkSpec {
           .filterNot(_ == graft.plans.ZonePruneRule)
     }
   }
+
+  test("semanticDedup == driver brute force of the same rule on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val n = 180 + rnd.nextInt(60) // ≥2 every-97th seeds
+      val dim = 8
+      val vecs = Seq.tabulate(n)(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      val theta = 0.2
+      val out = graft.llmops.Dedup.semanticDedup(
+        vecs.toDF("vec_id", "embedding"), threshold = theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted
+      // driver replica: argmax-cosine cell assignment (tie: smallest
+      // seed id), then the greedy min-id rule within each cell
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val den = math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)
+        if (den > 0) dot / den else 0.0
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val seeds = vecs.filter(_._1 % 97 == 0)
+      val cellOf = vecs.map { case (id, e) =>
+        id -> seeds.map { case (sid, se) => (cos(e, se), sid) }
+          .minBy { case (c, sid) => (-c, sid) }._2
+      }.toMap
+      val expected = vecs.flatMap { case (b, eb) =>
+        val quals = vecs.filter { case (a, ea) =>
+          a < b && cellOf(a) == cellOf(b) && r6(cos(ea, eb)) >= theta
+        }
+        if (quals.isEmpty) None
+        else Some((b, quals.map(_._1).min, quals.size.toLong))
+      }.sorted
+      assert(out.toSeq === expected,
+        s"trial $trial: ${out.length} vs ${expected.length} dropped")
+      assert(out.nonEmpty, s"trial $trial produced no pairs at θ=$theta")
+    }
+  }
 }

@@ -75,6 +75,28 @@ object Scale100 {
         nTables = 4, planesPer = 14, threshold = 0.3) }
     onBig("q33 dedup clusters (CC) 100x") {
       graft.llmops.Cluster.qDedupClusters(spark, dir100) }
+    // semantic dedup at 200k vectors: ~2.1k every-97th seeds → cell
+    // occupancy ≈ 100, so the in-cell pair stage is ~10M cosine pairs
+    // (occupancy² × cells) — the knob that scales is the SEED COUNT,
+    // not a hash width; at 0.9 threshold only the exact replicas
+    // qualify on this corpus
+    onBig("q85 semantic dedup 100x (0.9 threshold)") {
+      graft.llmops.Dedup.semanticDedup(
+        spark.read.parquet(s"$dir100/embeddings.parquet"),
+        threshold = 0.9) }
+    // perceptual dHash at 500k docs: every doc's 99 exact replicas
+    // hash identically, so every band bucket holds ≥100 identical
+    // members — the worst-case banding profile (pairs ≈ replica² per
+    // group); the md5-token raster derivation is the scan-bound part
+    onBig("q86 image dHash near-dup 100x") {
+      val d = spark.read.parquet(s"$dir100/documents.parquet")
+        .select(col("doc_id"),
+          graft.llmops.Multimodal.tokenRaster(col("text")).as("px"),
+          size(graft.expressions.WordShingles.shingles(col("text"), 1))
+            .as("ntok"))
+        .filter(col("ntok") > 0)
+      graft.llmops.Multimodal.imageDHashPairs(
+        d, "doc_id", "px", 18, 16, maxHamming = 10) }
 
     // IVF-PQ search over the 200k-vector corpus: index build timed
     // separately from the per-query probe (the recurring cost)
