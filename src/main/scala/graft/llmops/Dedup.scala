@@ -420,6 +420,44 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** The INGEST form of [[semanticDedup]] — the q46 shape in embedding
+    * space: a landing batch is pruned against the LANDED corpus first
+    * (any qualifying landed neighbor in the same cell drops the batch
+    * vector — landed vectors always win, whatever their ids), then
+    * within itself (greedy min-id). The coarse quantizer comes from
+    * the landed corpus alone, matching production reality: the cells
+    * are trained on the stable corpus and a batch only ASSIGNS against
+    * them, so ingest never re-shuffles landed vectors — per batch the
+    * landed side contributes one cell-key equi-join probe.
+    *
+    * Returns the SURVIVING batch rows (full original columns).
+    * `landed` must be non-empty (it provides the seeds; dedup the
+    * first batch with [[semanticDedup]] itself).
+    */
+  def semanticDedupIncrement(batch: DataFrame, landed: DataFrame,
+      threshold: Double): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val l = prep(landed)
+    val b = prep(batch)
+    val seeds = Similarity.ivfSeeds(l)
+    val la = Similarity.ivfAssign(l, seeds)
+    val ba = Similarity.ivfAssign(b, seeds)
+    def cosTo(side: DataFrame, idAs: String) = ba.join(
+      side.select(col("seed_id"), col("vec_id").as(idAs),
+        col("embedding").as("e2"), col("nrm").as("n2")), Seq("seed_id"))
+      .withColumn("cos_sim", round(Similarity.cosineWithNorms(
+        col("embedding"), col("e2"), col("nrm"), col("n2")), 6))
+      .filter(col("cos_sim") >= threshold)
+    val dropVsLanded = cosTo(la, "lid")
+      .select("vec_id").distinct()
+    val dropInBatch = cosTo(ba, "bid")
+      .filter(col("bid") < col("vec_id"))
+      .select("vec_id").distinct()
+    batch.join(dropVsLanded.unionByName(dropInBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** q85 — [[semanticDedup]] as a gate query: the synthetic embedding
     * corpus has weak correlations, so the pinned threshold is low
     * enough to produce a non-trivial dropped set whose DuckDB mirror

@@ -261,6 +261,32 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedupIncrement: landed wins, then min-id within batch") {
+    // landed = 40 base vectors (vec 0 is the quantizer seed); batch =
+    // exact replicas of 10 landed vectors (must drop vs landed even
+    // though their ids are smaller than nothing landed — landed always
+    // wins), 10 fresh vectors (survive), and replicas of those fresh
+    // vectors at higher ids (must drop within-batch, original id wins)
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val landed = base.filter(col("vec_id") < 40)
+    val fresh = base.filter(col("vec_id") >= 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val replicaOfLanded = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+    val replicaOfFresh = fresh
+      .select((col("vec_id") + 30000L).as("vec_id"), col("embedding"))
+    val batch = fresh.unionByName(replicaOfLanded)
+      .unionByName(replicaOfFresh)
+    val kept = Dedup.semanticDedupIncrement(batch, landed,
+      threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === (10040L to 10049L),
+      s"kept ${kept.toSeq} — expected exactly the 10 fresh originals")
+    spark.catalog.clearCache()
+  }
+
   test("SimHash64 on real docs: near-identical texts collide, distinct do not") {
     val d = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
