@@ -60,9 +60,16 @@ object ImageDHash {
   val GridH = 8
 
   /** Java-callable kernel (referenced from generated code). */
-  def compute(px: ArrayData, w: Int, h: Int): Long = {
-    require(w > 0 && h > 0 && px.numElements() == w * h,
-      s"image_dhash: raster of ${px.numElements()} pixels is not ${w}x$h")
+  def compute(px: ArrayData, w: Int, h: Int): Long =
+    compute(px.toDoubleArray(), w, h)
+
+  /** Plain-array core — shared by the Catalyst expression and JVM-side
+    * decoders ([[graft.llmops.Multimodal.withFitsDHash]] hashes decoded
+    * FITS rasters through exactly this code path).
+    */
+  def compute(px: Array[Double], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"image_dhash: raster of ${px.length} pixels is not ${w}x$h")
     val cell = new Array[Double](GridW * GridH)
     var r = 0
     while (r < GridH) {
@@ -82,7 +89,7 @@ object ImageDHash {
           val xEnd = math.ceil(x1).toInt
           while (x < xEnd) {
             val wx = math.min(x + 1, x1) - math.max(x, x0)
-            sum += px.getDouble(y * w + x) * (wy * wx)
+            sum += px(y * w + x) * (wy * wx)
             area += wy * wx
             x += 1
           }

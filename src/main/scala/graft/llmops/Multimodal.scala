@@ -167,6 +167,53 @@ object Multimodal {
       .orderBy("img_a", "img_b")
   }
 
+  /** REAL content-level image hashing: decode each FITS payload
+    * (gzipped or raw single-HDU float32, the ZTF cutout format —
+    * [[graft.multimodal.FitsOps.decodeFloatImage]]) and dHash the
+    * decoded raster through the same kernel core the q86 expression
+    * uses. NaN pixels (masked detector regions) are replaced by the
+    * finite-pixel mean first — a neutral value that cannot flip a
+    * gradient sign on its own. Appends `outCol` (LongType; null when
+    * the payload is null or undecodable) — a partition-level map, no
+    * shuffle, payload bytes never leave the stage.
+    */
+  def withFitsDHash(df: DataFrame, payloadCol: String,
+      outCol: String = "dhash"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null
+          else r.get(idx).asInstanceOf[Array[Byte]]
+        val dh: Any = if (bytes == null) null else
+          try {
+            val (w, h, px) = graft.multimodal.FitsOps
+              .decodeFloatImage(bytes)
+            val d = new Array[Double](px.length)
+            var sum = 0.0; var nFinite = 0
+            var i = 0
+            while (i < px.length) {
+              if (java.lang.Float.isFinite(px(i))) {
+                sum += px(i); nFinite += 1
+              }
+              i += 1
+            }
+            val fill = if (nFinite > 0) sum / nFinite else 0.0
+            i = 0
+            while (i < px.length) {
+              d(i) = if (java.lang.Float.isFinite(px(i))) px(i).toDouble
+                else fill
+              i += 1
+            }
+            graft.expressions.ImageDHash.compute(d, w, h)
+          } catch { case _: IllegalArgumentException => null }
+        Row.fromSeq(r.toSeq :+ dh)
+      }
+    }(enc)
+  }
+
   /** Deterministic 18×16 grayscale raster from a document's token
     * stream — the corpus-derived stand-in for decoded image rasters
     * (the container ships no codecs; [[graft.multimodal.FitsOps]] is

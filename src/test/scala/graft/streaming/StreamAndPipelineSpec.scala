@@ -110,6 +110,34 @@ class StreamAndPipelineSpec extends SparkSpec {
     assert(scores.head <= median)
   }
 
+  test("withFitsDHash: real ZTF cutouts hash deterministically, replicas collide") {
+    val df = SparkSpec.ztfRegular
+      .select(col("candid"), col("cutoutScience.stampData").as("payload"))
+    val hashed = Multimodal.withFitsDHash(df, "payload")
+      .select("candid", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(hashed.length === 133)
+    // every fixture stamp decodes (real gzipped FITS payloads)
+    assert(hashed.forall(_._2.isDefined))
+    // content hash is non-degenerate across distinct fields
+    assert(hashed.flatMap(_._2).distinct.length > 10)
+    // deterministic: a second pass produces identical hashes
+    val again = Multimodal.withFitsDHash(df, "payload")
+      .select("candid", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.forall { case (id, h) => again(id) == h.get })
+    // an exact payload replica hashes identically (the dedup contract):
+    // re-id 10 stamps and require each to collide with its original
+    val replicas = df.filter(col("candid") % 7 === 0).limit(10)
+      .select((col("candid") + 1L).as("candid"), col("payload"))
+    val both = Multimodal.withFitsDHash(df.unionByName(replicas), "payload")
+      .select("candid", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    replicas.select("candid").collect().map(_.getLong(0)).foreach { rid =>
+      assert(both(rid) === both(rid - 1L), s"replica $rid diverged")
+    }
+  }
+
   test("anomaly history counter: nightly top-N partials + 90-day window") {
     import spark.implicits._
     // 3 nights: obj A tops every night, B tops two, C only on the
