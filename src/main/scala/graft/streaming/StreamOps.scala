@@ -62,6 +62,102 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** Streaming SEMANTIC dedup over an embedding stream — the ingest
+    * sink of [[graft.llmops.Dedup.semanticDedup]]: per micro-batch,
+    * assign the batch's vectors against a FIXED coarse quantizer, drop
+    * any vector with a qualifying (round-6 cosine ≥ threshold) landed
+    * neighbor in the same cell or a smaller-id batch neighbor, and
+    * append the survivors as parquet state partitioned by cell.
+    *
+    * Production semantics made explicit:
+    *  - the quantizer is trained ONCE (every-97th vector of the first
+    *    non-empty batch; falls back to its min-id vector when the id
+    *    space carries no every-97th member) and persisted under
+    *    `statePath/seeds` — cells must be stable across batches or
+    *    landed state would need re-assignment;
+    *  - landed vectors carry their stored seed_id, so a batch costs
+    *    one broadcast-seeds assignment of the BATCH plus one cell-key
+    *    equi-join probe of the landed state — landed embeddings are
+    *    read but never re-assigned or shuffled;
+    *  - state is per-batch-atomic parquet dirs (the rollup-sink
+    *    pattern): a retried batch reads only `batch_id < current` and
+    *    overwrites its own dir, so replays are idempotent.
+    *
+    * Read the deduplicated corpus back with [[readDeduped]].
+    */
+  def semanticDedupSink(vectors: DataFrame, statePath: String,
+      threshold: Double = 0.9)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.llmops.Similarity
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.select(col("vec_id"), col("embedding"))
+            .withColumn("nrm", Similarity.norm(col("embedding")))
+          val hc = spark.sparkContext.hadoopConfiguration
+          val seedsPath = new org.apache.hadoop.fs.Path(s"$statePath/seeds")
+          val fs = seedsPath.getFileSystem(hc)
+          val seeds =
+            if (fs.exists(seedsPath))
+              spark.read.parquet(seedsPath.toString)
+            else {
+              val every = b.filter(pmod(col("vec_id"), lit(97)) === 0)
+              val chosen =
+                if (every.isEmpty) b.orderBy("vec_id").limit(1) else every
+              val s = chosen.select(col("vec_id").as("seed_id"),
+                col("embedding").as("semb"), col("nrm").as("snrm"))
+              s.coalesce(1).write.mode("overwrite")
+                .parquet(seedsPath.toString)
+              spark.read.parquet(seedsPath.toString)
+            }
+          // ivfAssign returns (vec_id, embedding, nrm, seed_id)
+          val ba = Similarity.ivfAssign(b, seeds)
+          def shape(df: DataFrame) = df.select(col("seed_id"),
+            col("vec_id").as("oid"), col("embedding").as("e2"),
+            col("nrm").as("n2"))
+          def qualifying(side: DataFrame, pred: org.apache.spark.sql.Column) =
+            ba.join(side, Seq("seed_id"))
+              .filter(pred)
+              .filter(round(Similarity.cosineWithNorms(col("embedding"),
+                col("e2"), col("nrm"), col("n2")), 6) >= threshold)
+              .select("vec_id").distinct()
+          val landedPath = new org.apache.hadoop.fs.Path(
+            s"$statePath/landed")
+          val dropVsLanded =
+            if (fs.exists(landedPath)) {
+              // nrm travels with the state: landed vectors are read,
+              // never re-normalized or re-assigned
+              val landed = spark.read.parquet(landedPath.toString)
+                .filter(col("batch_id") < batchId)
+              qualifying(shape(landed), lit(true))
+            } else spark.range(0).select(col("id").as("vec_id"))
+          val dropInBatch = qualifying(shape(ba),
+            col("oid") < col("vec_id"))
+          val survivors = ba
+            .join(dropVsLanded.unionByName(dropInBatch).distinct(),
+              Seq("vec_id"), "left_anti")
+            .select("vec_id", "embedding", "nrm", "seed_id")
+          survivors.write.mode("overwrite")
+            .partitionBy("seed_id")
+            .parquet(s"$statePath/landed/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The deduplicated corpus accumulated by [[semanticDedupSink]]:
+    * (vec_id, embedding, seed_id) — cell-partitioned survivors across
+    * all landed batches.
+    */
+  def readDeduped(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/landed")
+      .select(col("vec_id"), col("embedding"),
+        // partition-dir inference narrows the type; restore long
+        col("seed_id").cast("long").as("seed_id"))
+
   /** Hourly per-type counts/sums with late-data tolerance. */
   def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

@@ -316,6 +316,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("semanticDedupSink: stable quantizer, landed wins, replay-safe state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup")
+    try {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(col("vec_id") < 40).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.semanticDedupSink(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/state",
+        threshold = 0.9)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      // batch 1: 20 base vectors (incl. the every-97th seed, vec 0)
+      in.addData(base.take(20).toSeq)
+      q.processAllAvailable()
+      // batch 2: replicas of batch-1 vectors (drop vs landed), fresh
+      // vectors, and an in-batch replica pair (min id wins)
+      val fresh = base.drop(20).map { case (id, e) => (id + 100L, e) }
+      val replicaOfLanded = base.take(5).map { case (id, e) =>
+        (id + 200L, e) }
+      val inBatchDup = fresh.take(3).map { case (id, e) => (id + 300L, e) }
+      in.addData((fresh ++ replicaOfLanded ++ inBatchDup).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val landed = StreamOps.readDeduped(spark, s"$dir/state")
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      val expect = (base.take(20).map(_._1) ++ fresh.map(_._1)).sorted
+      assert(landed.toSeq === expect.toSeq,
+        s"landed ${landed.toSeq}")
+      // quantizer persisted once and stable
+      assert(spark.read.parquet(s"$dir/state/seeds").count() === 1)
+      // every landed row carries its cell and norm (read, never redone)
+      val cols = spark.read.parquet(s"$dir/state/landed").columns.toSet
+      assert(Set("vec_id", "embedding", "nrm").subsetOf(cols), cols)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("rollupMaintenanceSink: stored partials reproduce the direct report") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup")
