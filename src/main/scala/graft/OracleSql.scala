@@ -1930,6 +1930,80 @@ object OracleSql {
        |FROM g ORDER BY source_id""".stripMargin
   }
 
+  /** q89 — the 18-filter predicate-catalog survivors table. One SELECT
+    * per filter name, UNION ALL, ordered; the name list is asserted
+    * identical to [[graft.operators.GoldenQueries.ZtfSurvivorFilters]]
+    * so the two sides can never cover different filters.
+    */
+  private lazy val q89 = {
+    import graft.filters.ztf.SimbadClasses
+    val hosts = sqlList(SimbadClasses.ExtragalacticHosts)
+    val blazars = sqlList(SimbadClasses.Blazars)
+    val grav = sqlList(SimbadClasses.Gravitational)
+    val yso = sqlList(SimbadClasses.Yso)
+    // DuckDB map extraction yields a single-element list; try_cast of
+    // the Python 'None'/'nan' sentinels mirrors the engine's ANSI-safe
+    // coercion (both sides fail the < 200 comparison)
+    val mangroveLum = "TRY_CAST(mangrove['lum_dist'][1] AS DOUBLE)"
+    val preds: Seq[(String, String)] = Seq(
+      "ztf.livestream.early_sn_candidates" ->
+        s"""(snn_snia_vs_nonia > 0.5 OR snn_sn_vs_all > 0.5)
+           |      AND cdsxmatch IN ($hosts)
+           |      AND candidate.drb > 0.5 AND candidate.classtar > 0.4
+           |      AND candidate.ndethist <= 20
+           |      AND rf_snia_vs_nonia > 0.5""".stripMargin,
+      "ztf.livestream.kn_candidates" ->
+        s"""rf_kn_vs_nonkn > 0.5 AND candidate.drb > 0.5
+           |      AND candidate.classtar > 0.4
+           |      AND (candidate.jd - candidate.jdstarthist) < 5
+           |      AND roid <> 3 AND candidate.ndethist < 20
+           |      AND cdsxmatch IN ($hosts)""".stripMargin,
+      "ztf.livestream.sso_ztf_candidates" -> "roid = 3",
+      "ztf.livestream.sso_fink_candidates" -> "roid = 2",
+      "ztf.livestream.microlensing_candidates" -> "mulens > 0.0",
+      "ztf.livestream.blazar" -> s"cdsxmatch IN ($blazars)",
+      "ztf.livestream.simbad_grav_candidates" -> s"cdsxmatch IN ($grav)",
+      "ztf.livestream.tns_match" ->
+        "tns <> '' AND (candidate.jd - candidate.jdstarthist) <= 30",
+      "ztf.livestream.vra" ->
+        """cdsxmatch = 'Unknown' AND roid <> 3
+          |      AND candidate.magpsf > 19.5
+          |      AND candidate.drb > 0.5""".stripMargin,
+      "ztf.livestream.yso_candidates" -> s"cdsxmatch IN ($yso)",
+      "ztf.rrlyr" -> "cdsxmatch IN ('RRLyr', 'RRLyrae')",
+      "ztf.simbad_candidates" ->
+        """NOT cdsxmatch IN ('Unknown', 'Transient', 'Fail', 'Fail 504')
+          |      AND cdsxmatch NOT LIKE 'Fail%'
+          |      AND cdsxmatch NOT LIKE 'Galaxy%'""".stripMargin,
+      "ztf.gaia_dr3_candidates" -> "DR3Name <> 'nan'",
+      // substr, not LIKE: '_' is a SQL wildcard (the q81 lesson)
+      "ztf.tracklet_candidates" -> "substr(tracklet, 1, 5) = 'TRCK_'",
+      "ztf.snlike" ->
+        """rf_snia_vs_nonia > 0.0 AND cdsxmatch = 'Unknown'
+          |      AND candidate.neargaia > 5.0
+          |      AND candidate.distpsnr1 > 5.0""".stripMargin,
+      "ztf.example_filter" ->
+        """NOT cdsxmatch IN ('Unknown', 'Transient')
+          |      AND cdsxmatch NOT LIKE 'Fail%'
+          |      AND cdsxmatch NOT LIKE 'Galaxy%'
+          |      AND candidate.magpsf > 20.5""".stripMargin,
+      "ztf.vast_supernovae" ->
+        s"""$mangroveLum < 200 AND candidate."dec" < -10
+           |      AND NOT tns IN ('', 'Unknown')""".stripMargin,
+      "ztf.vast_supernovae_candidates" ->
+        s"""$mangroveLum < 200 AND candidate."dec" < -10
+           |      AND snn_sn_vs_all > 0.5""".stripMargin)
+    require(preds.map(_._1) ==
+      graft.operators.GoldenQueries.ZtfSurvivorFilters,
+      "q89 mirror filter list diverged from GoldenQueries")
+    preds.map { case (name, p) =>
+      s"""SELECT '$name' AS filter, objectId AS object_id,
+         |  CAST(candidate.jd AS DOUBLE) AS jd
+         |FROM '$ZtfFixture'
+         |WHERE $p""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY filter, object_id, jd")
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2017,5 +2091,6 @@ object OracleSql {
     "q85_semantic_dedup" -> q85,
     "q86_image_dhash" -> q86,
     "q87_anomaly_history" -> q87,
-    "q88_rubin_extragalactic" -> q88)
+    "q88_rubin_extragalactic" -> q88,
+    "q89_ztf_filter_survivors" -> q89)
 }

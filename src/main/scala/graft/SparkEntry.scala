@@ -166,7 +166,10 @@ object SparkEntry {
     "q87_anomaly_history" -> (EventQueries.q87AnomalyHistory _),
     // Rubin extragalactic cascade + per-band blocks + galactic trig
     "q88_rubin_extragalactic" ->
-      (operators.GoldenQueries.q88RubinExtragalactic _))
+      (operators.GoldenQueries.q88RubinExtragalactic _),
+    // 18 predicate catalog filters certified in one survivors table
+    "q89_ztf_filter_survivors" ->
+      (operators.GoldenQueries.q89ZtfFilterSurvivors _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -167,4 +167,41 @@ object GoldenQueries {
       RubinBlocks.isFading.cast("int").as("f_fading"),
       RubinBlocks.hasTwoPointsSameBand.cast("int").as("f_two_same_band"))
       .orderBy("source_id")
+
+  /** The 18 predicate-only ZTF catalog filters q89 certifies — the
+    * single source of truth: the Spark side applies each by registry
+    * name, the DuckDB mirror is generated from this list (class lists
+    * from the shared [[graft.filters.ztf.SimbadClasses]] constants).
+    * History/xmatch-backed filters stay with their golden suites; this
+    * set is every catalog filter whose columns exist in ALL fixture
+    * part files (the fixture's parts have two schemas — blazar_stats
+    * and the anomaly columns exist only in some, and a column absent
+    * from one part fails both engines' scans).
+    */
+  val ZtfSurvivorFilters: Seq[String] = Seq(
+    "ztf.livestream.early_sn_candidates", "ztf.livestream.kn_candidates",
+    "ztf.livestream.sso_ztf_candidates",
+    "ztf.livestream.sso_fink_candidates",
+    "ztf.livestream.microlensing_candidates", "ztf.livestream.blazar",
+    "ztf.livestream.simbad_grav_candidates", "ztf.livestream.tns_match",
+    "ztf.livestream.vra", "ztf.livestream.yso_candidates",
+    "ztf.rrlyr", "ztf.simbad_candidates", "ztf.gaia_dr3_candidates",
+    "ztf.tracklet_candidates", "ztf.snlike", "ztf.example_filter",
+    "ztf.vast_supernovae", "ztf.vast_supernovae_candidates")
+
+  /** q89 — the predicate catalog survivors table: one row per (filter,
+    * surviving alert) across [[ZtfSurvivorFilters]], certifying
+    * EIGHTEEN filters' exact semantics (class lists, the string-"nan"
+    * Gaia sentinel, the TRCK_ prefix with its SQL-wildcard trap, the
+    * mangrove map's Python "None" sentinels through try_cast, null
+    * propagation everywhere) against the DuckDB mirror in one gate.
+    */
+  def q89ZtfFilterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val df = fixture(spark)
+    ZtfSurvivorFilters.map { n =>
+      df.filter(graft.filters.FilterRegistry.get(n).mask(df))
+        .select(lit(n).as("filter"), col("objectId").as("object_id"),
+          col("candidate.jd").cast("double").as("jd"))
+    }.reduce(_ unionByName _).orderBy("filter", "object_id", "jd")
+  }
 }
