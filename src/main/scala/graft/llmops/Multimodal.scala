@@ -167,6 +167,46 @@ object Multimodal {
       .orderBy("img_a", "img_b")
   }
 
+  /** The INGEST form of [[imageDHashPairs]] — the q46 shape in
+    * perceptual-hash space: a landing batch of images drops every
+    * member whose dHash is within `maxHamming` of a LANDED hash
+    * sharing any 16-bit band (landed always wins), then applies the
+    * greedy min-id rule within the batch. The landed side is the
+    * (img_id, dhash) INDEX — 16 bytes/row, the only thing ingest ever
+    * reads back; at scale it lives banded/bucketed and a batch is one
+    * band-key equi-join probe. Returns surviving batch rows.
+    */
+  def imageDHashIncrement(batch: DataFrame, landedIndex: DataFrame,
+      idCol: String, pxCol: String, w: Int, h: Int,
+      maxHamming: Int): DataFrame = {
+    val hashed = batch.withColumn("__dh",
+      graft.expressions.ImageDHash.dhash(col(pxCol), lit(w), lit(h)))
+    def banded(df: DataFrame, id: String, dh: String) =
+      df.select(col(id), col(dh),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("band"),
+            shiftright(col(dh), c * 16).bitwiseAND(0xFFFF).as("bk"))
+        }: _*)).as("b"))
+        .select(col(id), col(dh), col("b.band").as("band"),
+          col("b.bk").as("bk"))
+    val bb = banded(hashed.select(col(idCol), col("__dh")), idCol, "__dh")
+    def hits(side: DataFrame, pred: org.apache.spark.sql.Column) =
+      bb.join(side, Seq("band", "bk"))
+        .filter(pred)
+        .filter(bit_count(col("__dh").bitwiseXOR(col("odh")))
+          .cast("int") <= maxHamming)
+        .select(idCol).distinct()
+    val vsLanded = hits(
+      banded(landedIndex.select(col("img_id").as("oid"),
+        col("dhash").as("odh")), "oid", "odh"), lit(true))
+    val inBatch = hits(
+      bb.select(col(idCol).as("oid"), col("__dh").as("odh"),
+        col("band"), col("bk")),
+      col("oid") < col(idCol))
+    batch.join(vsLanded.unionByName(inBatch).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** REAL content-level image hashing: decode each FITS payload
     * (gzipped or raw single-HDU float32, the ZTF cutout format —
     * [[graft.multimodal.FitsOps.decodeFloatImage]]) and dHash the

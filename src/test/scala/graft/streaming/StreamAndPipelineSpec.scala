@@ -110,6 +110,32 @@ class StreamAndPipelineSpec extends SparkSpec {
     assert(scores.head <= median)
   }
 
+  test("imageDHashIncrement: landed index wins, then min-id within batch") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        Multimodal.tokenRaster(col("text")).as("px"))
+      .filter(size(col("px")) === 18 * 16)
+    val landed = d.filter(col("doc_id") < 30)
+    val landedIndex = landed.select(col("doc_id").as("img_id"),
+      graft.expressions.ImageDHash.dhash(col("px"), lit(18), lit(16))
+        .as("dhash"))
+    val fresh = d.filter(col("doc_id").between(30, 39))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("px"))
+    val replicaOfLanded = landed.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000L).as("doc_id"), col("px"))
+    val inBatchDup = fresh.limit(3)
+      .select((col("doc_id") + 3000L).as("doc_id"), col("px"))
+    val batch = fresh.unionByName(replicaOfLanded).unionByName(inBatchDup)
+    val kept = Multimodal.imageDHashIncrement(batch, landedIndex,
+      "doc_id", "px", 18, 16, maxHamming = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // exact raster replicas are Hamming-0 in every band — certain drop;
+    // distinct corpus docs sit far apart at maxHamming=2, so exactly
+    // the 10 fresh originals land
+    assert(kept.toSeq === (1030L to 1039L), s"kept ${kept.toSeq}")
+  }
+
   test("withFitsDHash: real ZTF cutouts hash deterministically, replicas collide") {
     val df = SparkSpec.ztfRegular
       .select(col("candid"), col("cutoutScience.stampData").as("payload"))
