@@ -97,6 +97,25 @@ object DriveVerify {
     println("semanticDedup dropped (sf0.001): " + sem.count() +
       " (expect 346)")
 
+    // ingest forms: batch-vs-landed pruning in embedding and
+    // perceptual-hash space (landed wins, then min-id within batch)
+    val embAll = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embBatch = embAll.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      .unionByName(embAll.filter(col("vec_id").between(100, 109)))
+    println("semanticDedupIncrement survivors (expect 10): " +
+      graft.llmops.Dedup.semanticDedupIncrement(
+        embBatch, embAll.filter(col("vec_id") < 50), 0.9).count())
+
+    // real FITS rasters through the dHash kernel core
+    val fitsHashed = graft.llmops.Multimodal.withFitsDHash(
+      df.select(col("candid"),
+        col("cutoutScience.stampData").as("payload")), "payload")
+    println("withFitsDHash non-null (expect 133): " +
+      fitsHashed.filter(col("dhash").isNotNull).count())
+
     // llmops dedup kernels on real documents: known value for a known
     // token list (md5-based, engine-independent), plus the full near-dup
     // pipelines end-to-end
