@@ -2004,6 +2004,90 @@ object OracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY filter, object_id, jd")
   }
 
+  /** q90 — semantic decontamination: train-side seeds (every 97th TRAIN
+    * id), train assigned to its one nearest cell, eval probing its two
+    * nearest cells, in-cell cross-split cosine ≥ 0.3
+    * ([[graft.llmops.Curation.semanticDecontaminate]]).
+    */
+  private val q90 = {
+    val cosT = cosineSql("tr.embedding", "seeds.semb", 64)
+    val cosE = cosineSql("ev.embedding", "seeds.semb", 64)
+    val cosTE = cosineSql("temb", "eemb", 64)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7),
+       |ev AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 7),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS semb FROM tr
+       |  WHERE vec_id % 97 = 0),
+       |assign_t AS (
+       |  SELECT vec_id AS train_id, embedding AS temb, seed_id FROM (
+       |    SELECT tr.vec_id, tr.embedding, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY tr.vec_id
+       |        ORDER BY round($cosT, 6) DESC, seed_id) AS rk
+       |    FROM tr, seeds) t WHERE rk = 1),
+       |probe_e AS (
+       |  SELECT vec_id AS eval_id, embedding AS eemb, seed_id FROM (
+       |    SELECT ev.vec_id, ev.embedding, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY ev.vec_id
+       |        ORDER BY round($cosE, 6) DESC, seed_id) AS rk
+       |    FROM ev, seeds) t WHERE rk <= 2),
+       |pairs AS (
+       |  SELECT train_id, eval_id, round($cosTE, 6) AS cos_sim
+       |  FROM assign_t JOIN probe_e USING (seed_id))
+       |SELECT train_id AS vec_id, count(*) AS n_eval_hits,
+       |  max(cos_sim) AS max_cos, min(eval_id) AS first_eval_id
+       |FROM pairs WHERE cos_sim >= 0.3
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q91 — C4-shape corpus-global span dedup: the same regex chunking,
+    * md5 keep-first decisions and survivor reconstruction as
+    * [[graft.llmops.TextOps.spanDedup]] (chr(1) = the engine's \\u0001
+    * separator; \\1 = RE2's $1).
+    */
+  private val q91 =
+    """WITH sp AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(text,
+      |      '((\S+ ){2}\S+) ', '\1' || chr(1), 'g'), chr(1)) AS sps
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, u.span_idx, u.span FROM (
+      |    SELECT doc_id, unnest(list_transform(sps,
+      |      (x, i) -> struct_pack(span_idx := i - 1, span := x))) AS u
+      |    FROM sp) t),
+      |keep AS (
+      |  SELECT doc_id, span_idx, span,
+      |    row_number() OVER (PARTITION BY md5(span)
+      |      ORDER BY doc_id, span_idx) = 1 AS keep
+      |  FROM spans)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(string_agg(CASE WHEN keep THEN span END, ' '
+      |    ORDER BY span_idx)) AS clean_sig,
+      |  CAST(sum(CASE WHEN keep THEN length(span) ELSE 0 END)
+      |    AS BIGINT) AS n_chars_kept
+      |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q92 — fuzzy part-name pairs: the NAIVE all-pairs levenshtein
+    * formulation. The engine runs symmetric-delete blocking + verify
+    * ([[graft.llmops.Linkage]]), so the hash match certifies the
+    * blocking scheme loses no pair.
+    */
+  private val q92 =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+      |c AS (SELECT p_name AS name, count(*) AS np FROM part GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |    CAST(levenshtein(a.name, b.name) AS INT) AS ed
+      |  FROM n a, n b
+      |  WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2)
+      |SELECT name_a, name_b, ed, ca.np AS n_parts_a, cb.np AS n_parts_b
+      |FROM pairs
+      |JOIN c ca ON ca.name = pairs.name_a
+      |JOIN c cb ON cb.name = pairs.name_b
+      |ORDER BY name_a, name_b""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2092,5 +2176,8 @@ object OracleSql {
     "q86_image_dhash" -> q86,
     "q87_anomaly_history" -> q87,
     "q88_rubin_extragalactic" -> q88,
-    "q89_ztf_filter_survivors" -> q89)
+    "q89_ztf_filter_survivors" -> q89,
+    "q90_semantic_decontam" -> q90,
+    "q91_span_dedup" -> q91,
+    "q92_fuzzy_join" -> q92)
 }

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, EventQueries, ExtraQueries}
-import graft.llmops.{Cluster, Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,7 +169,15 @@ object SparkEntry {
       (operators.GoldenQueries.q88RubinExtragalactic _),
     // 18 predicate catalog filters certified in one survivors table
     "q89_ztf_filter_survivors" ->
-      (operators.GoldenQueries.q89ZtfFilterSurvivors _))
+      (operators.GoldenQueries.q89ZtfFilterSurvivors _),
+    // semantic (embedding-space) train/eval decontamination: the
+    // paraphrase-leak member of the q32/q54 decontamination trio
+    "q90_semantic_decontam" -> (Curation.qSemanticDecontam _),
+    // C4-shape corpus-global k-token span dedup with content signature
+    "q91_span_dedup" -> (TextOps.qSpanDedup _),
+    // edit-distance fuzzy join via symmetric-delete blocking + verify
+    // (oracle runs naive all-pairs: a blocking-completeness certificate)
+    "q92_fuzzy_join" -> (Linkage.qFuzzyJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

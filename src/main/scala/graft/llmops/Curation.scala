@@ -375,4 +375,70 @@ object Curation {
         max(col("n_common")).as("max_overlap"))
       .orderBy("eval_doc_id")
   }
+
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination trio (q32 = fuzzy shingle overlap, q54 = verbatim
+    * bloom, this = paraphrase leakage that shares no shingles). The
+    * shape is the q85 SemDeDup composition pointed ACROSS splits: a
+    * coarse quantizer is trained on the TRAIN side only (the realistic
+    * direction — eval sets arrive later and must not influence the
+    * index), every train vector lands in its one nearest cell, and
+    * each eval vector probes its `nProbe` nearest cells (eval is the
+    * small side, so probing costs nProbe·|eval| assignments, not a
+    * corpus re-shuffle). In-cell eval×train cosine ≥ `threshold` marks
+    * the train vector contaminated.
+    *
+    * Scale shape: seeds broadcast to both assignments; the only
+    * shuffle is the eval→train cell equi-join keyed on `seed_id`, and
+    * train vectors never leave their cell. A pair can match in at
+    * most one cell (the train side has exactly one), so no pair dedup
+    * is needed. Recall contract is the SemDeDup one: a leak is found
+    * iff the eval vector probes the train vector's cell — raising
+    * `nProbe` buys recall linearly in eval-side cost only.
+    *
+    * Returns one row per contaminated TRAIN vector:
+    * (vec_id, n_eval_hits, max_cos, first_eval_id).
+    */
+  def semanticDecontaminate(train: DataFrame, eval0: DataFrame,
+      threshold: Double, nProbe: Int = 2): DataFrame = {
+    val tr = train.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val ev = eval0.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val seeds = Similarity.ivfSeeds(tr)
+    val trainCells = Similarity.ivfAssign(tr, seeds)
+      .select(col("seed_id"), col("vec_id").as("train_id"),
+        col("embedding").as("temb"), col("nrm").as("tnrm"))
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("seed_id"))
+    val evalProbes = ev.crossJoin(broadcast(seeds))
+      .withColumn("cs", Similarity.cs("embedding", "semb", "nrm", "snrm"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("seed_id"), col("vec_id").as("eval_id"),
+        col("embedding").as("eemb"), col("nrm").as("enrm"))
+    trainCells.join(evalProbes, Seq("seed_id"))
+      .select(col("train_id"), col("eval_id"),
+        Similarity.cs("temb", "eemb", "tnrm", "enrm").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("train_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max("cos_sim").as("max_cos"),
+        min("eval_id").as("first_eval_id"))
+      .orderBy("vec_id")
+  }
+
+  /** q90 — [[semanticDecontaminate]] as a gate query: eval split =
+    * every vec_id ≡ 7 (mod 10) of the synthetic embeddings (~10%),
+    * train = the rest, τ = 0.3, nProbe = 2. The DuckDB mirror replays
+    * the train-side seed selection, both assignments and the in-cell
+    * cosine bit-for-bit.
+    */
+  def qSemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    semanticDecontaminate(
+      e.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+      e.filter(pmod(col("vec_id"), lit(10)) === 7),
+      threshold = 0.3, nProbe = 2)
+  }
 }

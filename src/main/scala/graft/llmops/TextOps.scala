@@ -710,4 +710,59 @@ object TextOps {
       .filter(col("n_shared") >= 2)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Corpus-global SPAN dedup (the C4 shape: any k-token span that
+    * occurs more than once in the whole corpus is removed from every
+    * document but the first). Chunking is done with ONE global regex
+    * pass — every k-token group's trailing space becomes a 
+    * separator, then one split — instead of a `transform` lambda
+    * slicing a computed token array, which Spark would inline and
+    * re-evaluate per span (the q86 lambda-inlining lesson: that
+    * formulation is O(doc²/k) per document). Contract: text is
+    * single-space tokenized (the pre-tokenizer normalization every
+    * corpus pipeline runs first); the trailing <k-token remainder is
+    * its own span.
+    *
+    * Scale shape: span rows shuffle ONCE on the span digest for the
+    * global keep-first window (order = first occurrence position
+    * (doc_id, span_idx) — deterministic), survivors shuffle once on
+    * doc_id for reassembly. The digest is md5 so the DuckDB mirror
+    * replays identical keep decisions.
+    */
+  def spanDedup(d: DataFrame, k: Int): DataFrame = {
+    val sep = ""
+    val spansStr = regexp_replace(col("text"),
+      s"((\\S+ ){${k - 1}}\\S+) ", "$1" + sep)
+    val spans = d.select(col("doc_id"),
+        posexplode(split(spansStr, sep)).as(Seq("span_idx", "span")))
+    val wFirst = Window.partitionBy(md5(col("span")))
+      .orderBy(col("doc_id"), col("span_idx"))
+    val kept = spans
+      .withColumn("rn", row_number().over(wFirst))
+      .withColumn("keep", col("rn") === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // NULL (not md5("")) when every span was dropped, matching
+        // SQL string_agg-over-no-rows semantics
+        when(sum(when(col("keep"), 1L).otherwise(0L)) > 0,
+          md5(array_join(transform(array_sort(
+              collect_list(when(col("keep"),
+                struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")), " "))).as("clean_sig"),
+        sum(when(col("keep"), length(col("span")))
+          .otherwise(0L)).as("n_chars_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** q91 — [[spanDedup]] with k = 3 over the documents table: per doc
+    * the span count, surviving-span count, an md5 signature of the
+    * reconstructed cleaned text (survivors rejoined in order with a
+    * single space) and the surviving character mass. The DuckDB
+    * mirror rebuilds the same spans, keep-first decisions and
+    * reconstruction, so the signature match certifies the cleaned
+    * CONTENT, not just the counts.
+    */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(docs(spark, dir), 3)
 }

@@ -192,4 +192,46 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("max_overlap") >= 5L)
     }
   }
+
+  test("semantic decontamination: a planted verbatim leak is flagged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(c: Int): Array[Float] = {
+      val base = Array.tabulate(8)(i => if (i % 2 == c) 1.0f else 0.05f)
+      base.map(v => v + rnd.nextFloat() * 0.01f)
+    }
+    // train ids 0..99 in two clusters; id 0 is the (train-side) seed
+    // of cluster 0 and 97 the seed of cluster 1 (vec_id % 97 == 0)
+    val train = (0L to 99L).map(i => (i, vec((i % 2).toInt))).toDF("vec_id", "embedding")
+    val leakVec = vec(0)
+    val eval0 = Seq(
+      (1007L, leakVec),                       // near cluster 0
+      (1008L, Array.fill(8)(0.0f))            // zero vector: no hits
+    ).toDF("vec_id", "embedding")
+    // plant: train 5 gets EXACTLY the leaked eval vector
+    val planted = train.withColumn("embedding",
+      when(col("vec_id") === 5L, typedLit(leakVec))
+        .otherwise(col("embedding")))
+    val out = Curation.semanticDecontaminate(planted, eval0, 0.99, nProbe = 2)
+      .collect()
+    val flagged = out.map(r => r.getLong(0) -> r).toMap
+    assert(flagged.contains(5L), "verbatim leak not flagged")
+    assert(flagged(5L).getAs[Double]("max_cos") === 1.0)
+    assert(flagged(5L).getAs[Long]("first_eval_id") === 1007L)
+    // the zero eval vector matches nothing at tau 0.99
+    assert(out.forall(_.getAs[Double]("max_cos") >= 0.99))
+  }
+
+  test("semantic decontamination: nProbe=2 hits are a superset of nProbe=1") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tr = e.filter(col("vec_id") % 10 =!= 7)
+    val ev = e.filter(col("vec_id") % 10 === 7)
+    def hits(nProbe: Int): Set[Long] =
+      Curation.semanticDecontaminate(tr, ev, 0.3, nProbe)
+        .collect().map(_.getLong(0)).toSet
+    val one = hits(1)
+    val two = hits(2)
+    assert(one.subsetOf(two))
+    assert(two.nonEmpty)
+  }
 }

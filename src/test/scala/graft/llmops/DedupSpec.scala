@@ -296,4 +296,49 @@ class DedupSpec extends SparkSpec {
     // the fingerprint must not be degenerate: more than one distinct value
     assert(d.select("sh").distinct().count() > 1)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+
+  test("spanDedup: global keep-first, reconstruction, all-dropped doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // owns spans "a b c", "d e f"
+      (2L, "a b c x y z"),        // keeps only "x y z"
+      (3L, "a b c d e f g h"),    // keeps only the "g h" remainder
+      (4L, "a b c"),              // loses its single span entirely
+      (5L, "p q r p q r s")       // in-doc duplicate span dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = out(id)
+    assert(row(1L).getAs[Long]("n_spans") === 2L)
+    assert(row(1L).getAs[Long]("n_kept") === 2L)
+    assert(row(1L).getAs[String]("clean_sig") === md5hex("a b c d e f"))
+    assert(row(2L).getAs[Long]("n_kept") === 1L)
+    assert(row(2L).getAs[String]("clean_sig") === md5hex("x y z"))
+    assert(row(3L).getAs[Long]("n_spans") === 3L)
+    assert(row(3L).getAs[Long]("n_kept") === 1L)
+    assert(row(3L).getAs[String]("clean_sig") === md5hex("g h"))
+    assert(row(4L).getAs[Long]("n_kept") === 0L)
+    assert(row(4L).getAs[String]("clean_sig") === null)
+    assert(row(4L).getAs[Long]("n_chars_kept") === 0L)
+    assert(row(5L).getAs[Long]("n_spans") === 3L)
+    assert(row(5L).getAs[Long]("n_kept") === 2L)
+    assert(row(5L).getAs[String]("clean_sig") === md5hex("p q r s"))
+  }
+
+  test("spanDedup: character mass conserved and bounded by the original") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.spanDedup(d, 3)
+    val bad = out.join(d, "doc_id")
+      .filter(col("n_chars_kept") > length(col("text")) ||
+        col("n_kept") > col("n_spans") ||
+        (col("n_kept") === col("n_spans")) =!=
+          (col("n_chars_kept") === length(col("text"))
+            - (col("n_spans") - 1)))
+      .count()
+    assert(bad === 0L)
+  }
 }

@@ -320,6 +320,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q90: seeds broadcast to both splits; cross-split stage is a seed_id equi-join") {
+    val p = plan(graft.llmops.Curation.qSemanticDecontam(spark, dir))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("seed_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91: span keep-first shuffles once on the digest; spans chunked by ONE regex pass") {
+    val p = plan(graft.llmops.TextOps.qSpanDedup(spark, dir))
+    // one window over the projected digest (md5(span) AS _w0, one
+    // exchange on _w0), one doc_id reassembly agg — and no
+    // lambda-sliced token array (the q86 inlining regression class):
+    // the chunker must be regexp_replace + split, not transform(slice(
+    assert(p.contains("md5(cast(span"), p)
+    assert(p.contains("hashpartitioning(_w0"), p)
+    assert(!p.contains("slice(split("), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q92: variant blocking is a hash equi-join on the variant key, never all-pairs") {
+    val p = plan(graft.llmops.Linkage.qFuzzyJoin(spark, dir))
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -405,6 +405,27 @@ object DriveVerify {
       println(s"heavy hitters tracked: ${hh.count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(hhDir.toFile)
     }
+
+    // round-9 late trio: semantic decontamination, C4 span dedup,
+    // symmetric-delete fuzzy join
+    {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val decon = graft.llmops.Curation.semanticDecontaminate(
+        e.filter(col("vec_id") % 10 =!= 7),
+        e.filter(col("vec_id") % 10 === 7), threshold = 0.3)
+      decon.show(3, false)
+      println(s"semantic decontam: ${decon.count()} flagged train vectors")
+      val sd = graft.llmops.TextOps.spanDedup(
+        spark.read.parquet(s"$sf/documents.parquet"), 3)
+      sd.show(3, false)
+      val tot = sd.agg(sum("n_spans"), sum("n_kept")).collect()(0)
+      println(s"span dedup: ${tot.getLong(1)}/${tot.getLong(0)} spans kept")
+      val fz = graft.llmops.Linkage.fuzzyNamePairs(
+        spark.read.parquet(s"$sf/part.parquet"), "p_name", maxDist = 2)
+      fz.show(5, false)
+      println(s"fuzzy name pairs (ed<=2): ${fz.count()}")
+    }
     spark.stop()
   }
 }
