@@ -2088,6 +2088,35 @@ object OracleSql {
       |JOIN c cb ON cb.name = pairs.name_b
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** One z-interleave dimension as a sum of shift/mask terms — the
+    * same unrolled algebra as [[graft.operators.Layout.zValue]] (bit i
+    * of column j at position i·d + (d−1−j); disjoint bits sum).
+    */
+  private def zTermsSql(c: String, j: Int, d: Int, bits: Int): String =
+    (0 until bits)
+      .map(i => s"((($c >> $i) & 1) * ${1L << (i * d + (d - 1 - j))})")
+      .mkString(" + ")
+
+  /** q93 — the Morton z-order kernel under the hash gate: interleave
+    * the low 8 bits of (l_partkey, l_suppkey), profile 64-cell
+    * z-buckets. The bucket bounding boxes ARE the locality property
+    * (8×8 key-space rectangles), pinned quantitatively by LayoutSpec.
+    */
+  private val q93 =
+    s"""WITH sc AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    l_partkey % 256 AS p, l_suppkey % 256 AS s
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (${zTermsSql("p", 0, 2, 8)})
+       |    + (${zTermsSql("s", 1, 2, 8)}) AS zval
+       |  FROM sc)
+       |SELECT (zval >> 6) AS z_bucket, count(*) AS n,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2179,5 +2208,6 @@ object OracleSql {
     "q89_ztf_filter_survivors" -> q89,
     "q90_semantic_decontam" -> q90,
     "q91_span_dedup" -> q91,
-    "q92_fuzzy_join" -> q92)
+    "q92_fuzzy_join" -> q92,
+    "q93_zorder_layout" -> q93)
 }

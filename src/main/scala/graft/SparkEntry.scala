@@ -177,7 +177,9 @@ object SparkEntry {
     "q91_span_dedup" -> (TextOps.qSpanDedup _),
     // edit-distance fuzzy join via symmetric-delete blocking + verify
     // (oracle runs naive all-pairs: a blocking-completeness certificate)
-    "q92_fuzzy_join" -> (Linkage.qFuzzyJoin _))
+    "q92_fuzzy_join" -> (Linkage.qFuzzyJoin _),
+    // Morton z-order layout kernel (multi-dimensional file clustering)
+    "q93_zorder_layout" -> (operators.Layout.qZOrder _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

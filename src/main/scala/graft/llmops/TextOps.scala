@@ -729,17 +729,21 @@ object TextOps {
     * doc_id for reassembly. The digest is md5 so the DuckDB mirror
     * replays identical keep decisions.
     */
-  def spanDedup(d: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, span_idx, span) rows — the one-regex-pass chunker shared
+    * by [[spanDedup]] and its ingest form.
+    */
+  private def spanRows(d: DataFrame, k: Int): DataFrame = {
     val sep = ""
     val spansStr = regexp_replace(col("text"),
       s"((\\S+ ){${k - 1}}\\S+) ", "$1" + sep)
-    val spans = d.select(col("doc_id"),
-        posexplode(split(spansStr, sep)).as(Seq("span_idx", "span")))
-    val wFirst = Window.partitionBy(md5(col("span")))
-      .orderBy(col("doc_id"), col("span_idx"))
-    val kept = spans
-      .withColumn("rn", row_number().over(wFirst))
-      .withColumn("keep", col("rn") === 1)
+    d.select(col("doc_id"),
+      posexplode(split(spansStr, sep)).as(Seq("span_idx", "span")))
+  }
+
+  /** Per-doc report (n_spans, n_kept, clean_sig, n_chars_kept) from
+    * span rows carrying a `keep` flag.
+    */
+  private def spanReport(kept: DataFrame): DataFrame =
     kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -753,7 +757,57 @@ object TextOps {
         sum(when(col("keep"), length(col("span")))
           .otherwise(0L)).as("n_chars_kept"))
       .orderBy("doc_id")
+
+  def spanDedup(d: DataFrame, k: Int): DataFrame = {
+    val wFirst = Window.partitionBy(md5(col("span")))
+      .orderBy(col("doc_id"), col("span_idx"))
+    spanReport(spanRows(d, k)
+      .withColumn("rn", row_number().over(wFirst))
+      .withColumn("keep", col("rn") === 1))
   }
+
+  /** The landed span-hash index for [[spanDedupIncrement]]: one
+    * `span_md5` row per distinct span in the landed corpus. At scale
+    * this is the persisted state an ingest pipeline appends
+    * [[spanDedupIncrement]]'s `index_delta` to each batch.
+    */
+  def spanIndex(d: DataFrame, k: Int): DataFrame =
+    spanRows(d, k).select(md5(col("span")).as("span_md5")).distinct()
+
+  /** The INGEST form of [[spanDedup]] — the q46 anti-join shape at
+    * span granularity: a landing batch's spans are dropped if their
+    * digest is already in the LANDED index (landed always wins —
+    * exactly [[spanDedup]]'s keep-first rule when landed docs precede
+    * the batch), then first-occurrence dedup runs WITHIN the batch.
+    * Landed text never re-chunks and never shuffles; the per-batch
+    * cost is one span-digest anti-join against the index plus the
+    * in-batch window. Returns the per-doc report plus `index_delta` =
+    * the distinct new span digests to append to the index (so
+    * successive batches compose associatively — spec-pinned equal to
+    * one whole-corpus [[spanDedup]] pass).
+    */
+  def spanDedupIncrement(batch: DataFrame, landedIndex: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val wFirst = Window.partitionBy("span_md5")
+      .orderBy(col("doc_id"), col("span_idx"))
+    val flagged = spanRows(batch, k)
+      .withColumn("span_md5", md5(col("span")))
+      .join(markerIndex(landedIndex), Seq("span_md5"), "left")
+      .withColumn("rn", row_number().over(wFirst))
+      .withColumn("keep", col("__landed").isNull && col("rn") === 1)
+    val report = spanReport(flagged)
+    val delta = flagged.filter(col("keep"))
+      .select(col("span_md5")).distinct()
+    (report, delta)
+  }
+
+  /** Left-join marker relation for the landed index (a left JOIN, not
+    * left_anti, because dropped spans must still count in `n_spans`;
+    * never broadcast — the index scales with the corpus's distinct
+    * spans, so this is the q46 shuffle-anti-join class).
+    */
+  private def markerIndex(idx: DataFrame): DataFrame =
+    idx.select(col("span_md5"), lit(1).as("__landed"))
 
   /** q91 — [[spanDedup]] with k = 3 over the documents table: per doc
     * the span count, surviving-span count, an md5 signature of the

@@ -329,6 +329,42 @@ class DedupSpec extends SparkSpec {
     assert(row(5L).getAs[String]("clean_sig") === md5hex("p q r s"))
   }
 
+  test("spanDedupIncrement == whole-corpus spanDedup; deltas compose the index") {
+    import spark.implicits._
+    // landed ids precede batch ids, so whole-corpus keep-first (doc_id
+    // order) and ingest-time precedence (landed wins) agree
+    val landed = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "d e f q r s"),        // "d e f" landed-dup, "q r s" fresh
+      (11L, "q r s q r s t")       // in-batch dup of doc 10's fresh span
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "q r s u v w t")       // "q r s" now landed via batch1
+    ).toDF("doc_id", "text")
+    val idx0 = TextOps.spanIndex(landed, 3)
+    val (rep1, delta1) = TextOps.spanDedupIncrement(batch1, idx0, 3)
+    val whole1 = TextOps.spanDedup(landed.unionByName(batch1), 3)
+      .filter(col("doc_id") >= 10L)
+    assert(rep1.collect().toSeq.map(_.toSeq) ===
+      whole1.collect().toSeq.map(_.toSeq))
+    // index composition: idx0 ∪ delta1 == spanIndex(landed ∪ batch1)
+    val composed = idx0.unionByName(delta1)
+      .select("span_md5").distinct().as[String].collect().sorted.toSeq
+    val direct = TextOps.spanIndex(landed.unionByName(batch1), 3)
+      .as[String].collect().sorted.toSeq
+    assert(composed === direct)
+    // second batch against the composed index == whole-corpus restriction
+    val (rep2, _) = TextOps.spanDedupIncrement(batch2,
+      idx0.unionByName(delta1).distinct(), 3)
+    val whole2 = TextOps.spanDedup(
+      landed.unionByName(batch1).unionByName(batch2), 3)
+      .filter(col("doc_id") >= 20L)
+    assert(rep2.collect().toSeq.map(_.toSeq) ===
+      whole2.collect().toSeq.map(_.toSeq))
+  }
+
   test("spanDedup: character mass conserved and bounded by the original") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.spanDedup(d, 3)

@@ -346,6 +346,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q93: z-value is a pure map stage; scan pruned to the two key columns") {
+    val p = plan(graft.operators.Layout.qZOrder(spark, dir))
+    // the interleave is shift/mask Column algebra inside codegen — one
+    // partial-agg exchange, nothing else, and only the two z columns read
+    assert(p.contains("shiftright"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -425,6 +425,25 @@ object DriveVerify {
         spark.read.parquet(s"$sf/part.parquet"), "p_name", maxDist = 2)
       fz.show(5, false)
       println(s"fuzzy name pairs (ed<=2): ${fz.count()}")
+      // ingest form of span dedup: second half of the corpus lands
+      // against the first half's span index
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val (rep, delta) = graft.llmops.TextOps.spanDedupIncrement(
+        docs.filter(col("doc_id") >= 250),
+        graft.llmops.TextOps.spanIndex(docs.filter(col("doc_id") < 250), 3), 3)
+      val repTot = rep.agg(sum("n_spans"), sum("n_kept")).collect()(0)
+      println(s"span ingest: ${repTot.getLong(1)}/${repTot.getLong(0)} " +
+        s"spans kept, ${delta.count()} new index digests")
+      // z-order layout: kernel profile + clustered write
+      graft.operators.Layout.qZOrder(spark, sf).show(3, false)
+      val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_drive")
+      graft.operators.Layout.writeZOrdered(
+        spark.read.parquet(s"$sf/lineitem.parquet"),
+        Seq((col("l_partkey"), 9999L), (col("l_orderkey"), 99999L)),
+        bits = 8, path = zDir.toString, numFiles = 8)
+      println(s"z-ordered write: ${spark.read.parquet(zDir.toString).count()} rows in " +
+        s"${new java.io.File(zDir.toString).listFiles().count(_.getName.endsWith(".parquet"))} files")
+      org.apache.commons.io.FileUtils.deleteQuietly(zDir.toFile)
     }
     spark.stop()
   }
