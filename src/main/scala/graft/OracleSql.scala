@@ -2117,6 +2117,32 @@ object OracleSql {
        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q94 — Duffield–Lund–Thorup priority sampling: q = w/u with the
+    * md5 24-bit uniform, computed as ONE double division of exact
+    * integers so the bits match across engines (see
+    * [[graft.llmops.Curation.prioritySample]]); rank ties break by id.
+    */
+  private val q94 = {
+    val fold6 = (1 to 6).map { p =>
+      s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (6 - p))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, $tokSql AS n_tokens,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    (CAST(n_tokens AS DOUBLE) * 16777216.0)
+       |      / CAST($fold6 + 1 AS DOUBLE) AS priority
+       |  FROM d)
+       |SELECT lang, rk, doc_id, n_tokens, priority FROM (
+       |  SELECT lang, doc_id, n_tokens, priority,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY priority DESC, doc_id) AS rk
+       |  FROM p) t
+       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2209,5 +2235,6 @@ object OracleSql {
     "q90_semantic_decontam" -> q90,
     "q91_span_dedup" -> q91,
     "q92_fuzzy_join" -> q92,
-    "q93_zorder_layout" -> q93)
+    "q93_zorder_layout" -> q93,
+    "q94_priority_sample" -> q94)
 }

@@ -179,7 +179,10 @@ object SparkEntry {
     // (oracle runs naive all-pairs: a blocking-completeness certificate)
     "q92_fuzzy_join" -> (Linkage.qFuzzyJoin _),
     // Morton z-order layout kernel (multi-dimensional file clustering)
-    "q93_zorder_layout" -> (operators.Layout.qZOrder _))
+    "q93_zorder_layout" -> (operators.Layout.qZOrder _),
+    // weighted priority sampling (DLT scheme, md5-uniform, exact
+    // division arithmetic — reproducible weighted random sample)
+    "q94_priority_sample" -> (Curation.qPrioritySample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -428,6 +428,50 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup): a weighted random
+    * sample of k items per stratum with priority q = w/u, u a
+    * per-item uniform — the scheme whose top-k-by-priority sample
+    * supports unbiased subset-sum estimation. Two deliberate choices
+    * make it engine-reproducible where the textbook version is not:
+    * u comes from the md5 24-bit integer U as (U+1)/2^24 ∈ (0, 1]
+    * (no RNG state — the [[hashUniform]] currency, so the decision is
+    * a pure function of the id and every batch/backfill agrees), and
+    * the priority is computed as ONE IEEE double division of exact
+    * integers (w·2^24 and U+1 are both exact in a double) — division
+    * is correctly rounded, so Spark and any external engine produce
+    * the SAME bits, unlike ln/pow-based exponential-clock keys
+    * (libm functions differ by 1 ulp across engines; the A-Res
+    * u^(1/w) ordering is the same sample, the arithmetic is not
+    * portable). Rank ties (same weight, same digest value) break by
+    * id. One shuffle on the stratum key; the rank window truncates
+    * per-stratum state at k (WindowGroupLimit).
+    */
+  def prioritySample(d: DataFrame, strataCols: Seq[String],
+      weightCol: String, idCol: String, k: Int): DataFrame = {
+    val u24 = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 6), 16, 10).cast("long")
+    val priority = (col(weightCol).cast("double") * lit((1L << 24).toDouble))
+      ./((u24 + lit(1L)).cast("double"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("priority").desc, col(idCol))
+    d.withColumn("priority", priority)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** q94 — [[prioritySample]] as a gate query: 10 documents per lang
+    * weighted by token count. The mirror replays digest, division and
+    * rank bit-for-bit.
+    */
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(
+      docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens")),
+      Seq("lang"), "n_tokens", "doc_id", k = 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_tokens"),
+        col("priority"))
+      .orderBy("lang", "rk")
+
   /** q90 — [[semanticDecontaminate]] as a gate query: eval split =
     * every vec_id ≡ 7 (mod 10) of the synthetic embeddings (~10%),
     * train = the rest, τ = 0.3, nProbe = 2. The DuckDB mirror replays

@@ -193,6 +193,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("prioritySample == driver replication; exactly k per stratum") {
+    import spark.implicits._
+    val rows = (0L until 400L).map { id =>
+      (id, s"s${id % 3}", 1L + (id * 7) % 100)
+    }
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val got = Curation.prioritySample(df, Seq("stratum"), "w", "doc_id", 5)
+      .select("stratum", "rk", "doc_id", "priority")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // driver reference: same digest, same exact double division
+    def u24(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString.take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (stratum, rs) =>
+      rs.map { case (id, _, w) =>
+        (id, w.toDouble * 16777216.0 / (u24(id) + 1).toDouble)
+      }.sortBy { case (id, p) => (-p, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, p), i) => (stratum, i + 1, id, p) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+    // determinism across runs
+    val again = Curation.prioritySample(df, Seq("stratum"), "w", "doc_id", 5)
+      .select("stratum", "rk", "doc_id", "priority").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("semantic decontamination: a planted verbatim leak is flagged") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -355,6 +355,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"), p)
   }
 
+  test("q94: priority sampling ranks per stratum with the rank-limit pushdown") {
+    val p = plan(graft.llmops.Curation.qPrioritySample(spark, dir))
+    // per-stratum state must truncate at k before the full sort
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(lang"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -444,6 +444,8 @@ object DriveVerify {
       println(s"z-ordered write: ${spark.read.parquet(zDir.toString).count()} rows in " +
         s"${new java.io.File(zDir.toString).listFiles().count(_.getName.endsWith(".parquet"))} files")
       org.apache.commons.io.FileUtils.deleteQuietly(zDir.toFile)
+      // weighted priority sample (reproducible weighted random pick)
+      graft.llmops.Curation.qPrioritySample(spark, sf).show(5, false)
     }
     spark.stop()
   }

@@ -98,6 +98,56 @@ object Scale100 {
       graft.llmops.Multimodal.imageDHashPairs(
         d, "doc_id", "px", 18, 16, maxHamming = 10) }
 
+    // semantic decontamination at 100x: 180k train / 20k eval; the
+    // eval side pays nProbe x |eval| seed assignments (the small-side
+    // cost) and the only shuffle is the seed_id cell join
+    onBig("q90 semantic decontam 100x (180k train / 20k eval)") {
+      val e = spark.read.parquet(s"$dir100/embeddings.parquet")
+      graft.llmops.Curation.semanticDecontaminate(
+        e.filter(col("vec_id") % 10 =!= 7),
+        e.filter(col("vec_id") % 10 === 7),
+        threshold = 0.3, nProbe = 2) }
+
+    // span dedup at 500k docs: every span has >= 100 exact replicas
+    // (worst-case digest skew — each window partition holds the whole
+    // replica group); the shuffle carries ~9.5M (digest, doc, idx, span)
+    // rows once
+    onBig("q91 span dedup 100x (500k docs)") {
+      graft.llmops.TextOps.spanDedup(
+        spark.read.parquet(s"$dir100/documents.parquet"), 3) }
+
+    // span INGEST: one 5k-doc replica lands against the index of the
+    // other 99 (the landed side never re-chunks; per-batch cost is the
+    // digest anti-join + in-batch window)
+    locally {
+      val all = spark.read.parquet(s"$dir100/documents.parquet")
+      val landed = all.filter(col("doc_id") < 99000000L)
+      val batch = all.filter(col("doc_id") >= 99000000L)
+      val idx = time("span index build (495k landed docs)") {
+        val i = graft.llmops.TextOps.spanIndex(landed, 3).persist()
+        i.count(); i
+      }
+      onBig("span ingest (5k-doc batch vs landed index)") {
+        graft.llmops.TextOps.spanDedupIncrement(batch, idx, 3)._1 }
+      idx.unpersist()
+    }
+
+    // fuzzy join on a 200k-name vocabulary (random 8-hex names — no
+    // replica shortcut: ~37 deletion variants each, 7.4M variant keys)
+    onBig("q92 fuzzy join 100x (200k random names, ed<=2)") {
+      val names = spark.range(200000L)
+        .select(substring(md5(col("id").cast("string")), 1, 8).as("name"))
+      graft.llmops.Linkage.fuzzyNamePairs(names, "name", maxDist = 2) }
+
+    // z-order layout write of the sf0.1 fact (600k rows -> 32 files,
+    // each covering a small (partkey, orderkey) rectangle)
+    time("z-order write sf0.1 lineitem (600k rows, 32 files)") {
+      graft.operators.Layout.writeZOrdered(
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
+        Seq((col("l_partkey"), 19999L), (col("l_orderkey"), 599999L)),
+        bits = 12, path = s"$dir100/zorder_lineitem", numFiles = 32)
+    }
+
     // IVF-PQ search over the 200k-vector corpus: index build timed
     // separately from the per-query probe (the recurring cost)
     locally {
