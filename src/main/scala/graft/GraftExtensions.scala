@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.ZonePruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedEditDistanceRule)
   }
 }
 
@@ -170,10 +171,12 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.ZonePruneRule)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ZonePruneRule
-    }
+    Seq(graft.plans.ZonePruneRule, graft.plans.BoundedEditDistanceRule)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule)) {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+        }
+      }
   }
 }

@@ -74,8 +74,11 @@ object Linkage {
       .join(v.select(col("vkey"), col("name").as("name_b")), Seq("vkey"))
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b").distinct()
-      .withColumn("ed", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("ed") <= maxDist)
+      // threshold form: banded O(k·n) DP with a length fast path,
+      // returning -1 above the bound (what BoundedEditDistanceRule
+      // rewrites user-written `levenshtein(a,b) <= k` into)
+      .withColumn("ed", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("ed") >= 0)
   }
 
   /** q92 — fuzzy part-name matching: all distinct `p_name` pairs

@@ -23,7 +23,8 @@ class ExtensionsSpec extends SparkSpec
   override protected def afterAll(): Unit = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.ZonePruneRule)
+        .filterNot(r => r == graft.plans.ZonePruneRule ||
+          r == graft.plans.BoundedEditDistanceRule)
     super.afterAll()
   }
 
@@ -294,6 +295,54 @@ class ExtensionsSpec extends SparkSpec
       .findAllMatchIn(loose.queryExecution.optimizedPlan.toString).length
     assert(nAbsLoose === 2, s"tight prune missing under loose bound ($nAbsLoose)")
     assert(loose.count() === 1)
+  }
+
+  test("BoundedEditDistanceRule: every comparison shape rewrites and preserves semantics") {
+    // parquet-backed source: a LocalRelation would be constant-folded
+    // wholesale before the rewrite is observable in the plan
+    val df = docs.select(substring(col("text"), 1, 5).as("s"),
+      substring(col("text"), 7, 5).as("t"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val shapes: Seq[(String, Int => Boolean)] = Seq(
+      ("levenshtein(s, t) <= 2", _ <= 2),
+      ("levenshtein(s, t) < 2", _ < 2),
+      ("2 >= levenshtein(s, t)", _ <= 2),
+      ("levenshtein(s, t) > 1", _ > 1),
+      ("1 < levenshtein(s, t)", _ > 1),
+      ("levenshtein(s, t) >= 2", _ >= 2),
+      ("levenshtein(s, t) = 1", _ == 1),
+      ("1 = levenshtein(s, t)", _ == 1))
+    shapes.foreach { case (cond, pred) =>
+      val q = df.filter(expr(cond))
+      val opt = q.queryExecution.optimizedPlan.toString
+      // the rewritten plan carries a THREE-argument levenshtein
+      // (the threshold prints as Some(k) in the logical plan)
+      assert("levenshtein\\(.*Some\\(\\d+\\)\\)".r
+        .findFirstIn(opt).isDefined, s"no threshold rewrite for '$cond':\n$opt")
+      assert(q.count() === rows.count { case (a, b) => pred(lev(a, b)) },
+        s"semantics changed for '$cond'")
+    }
+  }
+
+  test("BoundedEditDistanceRule: non-literal and negative bounds are untouched") {
+    val df = docs.select(substring(col("text"), 1, 4).as("s"),
+      substring(col("text"), 6, 4).as("t"),
+      (col("doc_id") % 3).cast("int").as("klim"))
+    val colBound = df.filter(expr("levenshtein(s, t) <= klim"))
+    val opt = colBound.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein("), opt)
+    assert(!opt.contains("Some("), s"column bound must not rewrite:\n$opt")
+    // negative literal: left for constant folding, not a threshold
+    val neg = df.filter(expr("levenshtein(s, t) <= -1"))
+    assert(neg.count() === 0)
   }
 
   test("ZonePruneRule leaves non-spatial predicates untouched") {
