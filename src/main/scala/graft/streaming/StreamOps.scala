@@ -158,6 +158,60 @@ object StreamOps {
         // partition-dir inference narrows the type; restore long
         col("seed_id").cast("long").as("seed_id"))
 
+  /** Streaming SPAN dedup — the streaming face of
+    * [[graft.llmops.TextOps.spanDedupIncrement]] (the C4 shape as an
+    * ingest sink): each micro-batch of (doc_id, text) is span-chunked,
+    * spans whose digest is already in the landed index are dropped
+    * (landed wins — temporal precedence), first-occurrence dedup runs
+    * within the batch, and two per-batch-atomic parquet dirs land: the
+    * per-doc cleaned report and the batch's NEW span digests (the
+    * index delta). Replay idempotence is the file-state contract every
+    * sink here shares: a retried batch reads only `batch_id <
+    * current`, and its own directories are overwritten whole. State
+    * never re-chunks landed text — per-batch cost is the digest
+    * anti-join plus the in-batch window.
+    */
+  def spanDedupSink(docs: DataFrame, statePath: String, k: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val hc = spark.sparkContext.hadoopConfiguration
+          val idxPath = new org.apache.hadoop.fs.Path(s"$statePath/index")
+          val fs = idxPath.getFileSystem(hc)
+          val landedIdx =
+            if (fs.exists(idxPath))
+              spark.read.parquet(idxPath.toString)
+                .filter(col("batch_id") < batchId)
+                .select("span_md5")
+            else
+              spark.range(0).select(lit("").as("span_md5"))
+          val (report, delta) = graft.llmops.TextOps
+            .spanDedupIncrement(batch, landedIdx, k)
+          report.write.mode("overwrite")
+            .parquet(s"$statePath/reports/batch_id=$batchId")
+          delta.write.mode("overwrite")
+            .parquet(s"$statePath/index/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** Per-doc cleaned reports accumulated by [[spanDedupSink]]:
+    * (doc_id, n_spans, n_kept, clean_sig, n_chars_kept, batch_id).
+    */
+  def readSpanReports(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/reports")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** The landed span-digest index accumulated by [[spanDedupSink]]. */
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/index").select("span_md5")
+
   /** Hourly per-type counts/sums with late-data tolerance. */
   def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

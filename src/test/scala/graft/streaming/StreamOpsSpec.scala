@@ -354,6 +354,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.spanDedupSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state", k = 3)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData((1L, "a b c d e f"), (2L, "a b c x y z"))
+      q.processAllAvailable()
+      // batch 2: "a b c"/"d e f"/"x y z" are landed; "q r s" fresh
+      // twice in-batch (doc 10 wins); "t u" a fresh remainder
+      in.addData((10L, "d e f q r s"), (11L, "q r s t u"))
+      q.processAllAvailable()
+      q.stop()
+      val rep = StreamOps.readSpanReports(spark, s"$dir/state")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"))).toMap
+      assert(rep(1L) === ((2L, 2L)))
+      assert(rep(2L) === ((2L, 1L)))   // "a b c" dropped vs doc 1
+      assert(rep(10L) === ((2L, 1L)))  // "d e f" landed; "q r s" kept
+      assert(rep(11L) === ((2L, 1L)))  // "q r s" lost in-batch; "t u" kept
+      // index = all distinct spans across both batches
+      val idx = StreamOps.readSpanIndex(spark, s"$dir/state")
+        .collect().map(_.getString(0)).sorted
+      val whole = graft.llmops.TextOps.spanIndex(
+        Seq((1L, "a b c d e f"), (2L, "a b c x y z"),
+          (10L, "d e f q r s"), (11L, "q r s t u"))
+          .toDF("doc_id", "text"), 3)
+        .collect().map(_.getString(0)).sorted
+      assert(idx.toSeq === whole.toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("rollupMaintenanceSink: stored partials reproduce the direct report") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup")

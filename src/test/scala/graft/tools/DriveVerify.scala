@@ -446,6 +446,29 @@ object DriveVerify {
       org.apache.commons.io.FileUtils.deleteQuietly(zDir.toFile)
       // weighted priority sample (reproducible weighted random pick)
       graft.llmops.Curation.qPrioritySample(spark, sf).show(5, false)
+      // streaming span dedup over a 2-file replay of the corpus
+      val sdDir = java.nio.file.Files.createTempDirectory("graft_sd_drive")
+      spark.read.parquet(s"$sf/documents.parquet").repartition(2)
+        .write.mode("overwrite").parquet(s"$sdDir/docs")
+      val sdSrc = spark.readStream
+        .schema(spark.read.parquet(s"$sdDir/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$sdDir/docs")
+        .select("doc_id", "text")
+      val sq = graft.streaming.StreamOps
+        .spanDedupSink(sdSrc, s"$sdDir/state", 3)
+        .option("checkpointLocation", s"$sdDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val srep = graft.streaming.StreamOps
+        .readSpanReports(spark, s"$sdDir/state")
+      val sagg = srep.agg(sum("n_spans"), sum("n_kept")).collect()(0)
+      println(s"stream span dedup: ${srep.count()} docs, " +
+        s"${sagg.getLong(1)}/${sagg.getLong(0)} spans kept, " +
+        s"${graft.streaming.StreamOps.readSpanIndex(spark, s"$sdDir/state")
+          .count()} index digests")
+      org.apache.commons.io.FileUtils.deleteQuietly(sdDir.toFile)
     }
     spark.stop()
   }
