@@ -2143,6 +2143,176 @@ object OracleSql {
        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
   }
 
+  /** q95 — exact set-similarity join, the NAIVE full co-count
+    * formulation over distinct bigram-hash sets of corpus + planted
+    * truncations. The engine runs prefix-filter blocking
+    * ([[graft.llmops.Dedup.setSimilarityJoin]]); the match certifies
+    * the prefix bound drops no qualifying pair.
+    */
+  private val q95 =
+    """WITH tr AS (
+      |  SELECT doc_id + 20000 AS doc_id,
+      |    array_to_string(toks[1:greatest(1, (len(toks)*7)//10)], ' ')
+      |      AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 200)),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM tr),
+      |toks0 AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+      |      AS toks
+      |  FROM corpus),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) - 1 > 0
+      |      THEN list_transform(range(0, len(toks) - 1),
+      |             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+      |      ELSE [array_to_string(toks, ' ')] END AS b
+      |  FROM toks0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(b, s -> substr(md5(s), 1, 16)))
+      |      AS sh
+      |  FROM bg),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT doc_a, doc_b, CAST(sa.n AS BIGINT) AS na,
+      |    CAST(sb.n AS BIGINT) AS nb, CAST(inter AS BIGINT) AS inter
+      |  FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = pairs.doc_a
+      |  JOIN sizes sb ON sb.doc_id = pairs.doc_b)
+      |SELECT doc_a, doc_b, na, nb, inter AS n_common,
+      |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+      |FROM j
+      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q96 — integer-PageRank mirror: the identical BIGINT recurrence as
+    * chained CTEs (one c/d/r trio per power iteration, generated by
+    * the same loop count the engine runs). Every division is `//`
+    * (floor — operands all non-negative, matching Spark's `div`),
+    * every sum CAST back to BIGINT (DuckDB widens sum(BIGINT) to
+    * HUGEINT); exact arithmetic is what lets an iterative fixpoint be
+    * hash-compared at all.
+    */
+  private val q96 = {
+    val iters = 3
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS contrib
+         |  FROM $prev r JOIN outdeg d ON d.node = r.node
+         |  JOIN edges e ON e.src = r.node GROUP BY 1),
+         |d$i AS (
+         |  SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) AS dang
+         |  FROM $prev r LEFT JOIN outdeg d ON d.node = r.node
+         |  WHERE d.node IS NULL),
+         |r$i AS (
+         |  SELECT n0.node,
+         |    CAST(150000000000 +
+         |      ((coalesce(c.contrib, 0) + d$i.dang // nn.n) // 100) * 85
+         |      AS BIGINT) AS pr
+         |  FROM nodes n0 LEFT JOIN c$i c ON c.node = n0.node, d$i, nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM seq a JOIN seq b
+       |    ON a.ok = b.ok AND b.ln = a.ln + 1
+       |   AND a.l_partkey <> b.l_partkey),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+       |$steps
+       |SELECT node AS part_key, pr AS rank_scaled
+       |FROM r$iters ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** q97 — integer-k-means mirror: the identical quantize/assign/update
+    * recurrence with centroids as CTE relations (the engine inlines
+    * them as collected literals — same values, different plan). One
+    * d/a/g/cent CTE quartet per Lloyd iteration, generated per-dim
+    * sum and coalesce columns, row_number argmin with the (dist, cid)
+    * tie-break, every quantity CAST BIGINT.
+    */
+  private val q97 = {
+    val iters = 3
+    val dim = 64
+    val k = 8
+    val off = 1048576L
+    val qe = "list_transform(embedding, x -> " +
+      s"CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) + $off)"
+    val centSel = (0 until dim).map(j => s"qe[${j + 1}] AS c$j")
+      .mkString(", ")
+    def distTerms(cent: String) = (0 until dim).map(j =>
+      s"(v.qe[${j + 1}] - c.c$j) * (v.qe[${j + 1}] - c.c$j)")
+      .mkString(" + ")
+    val steps = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      val sumCols = (0 until dim).map(j =>
+        s"CAST(sum(qe[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")
+      val newC = (0 until dim).map(j =>
+        s"CAST(coalesce(g.s$j // g.n, p.c$j) AS BIGINT) AS c$j")
+        .mkString(", ")
+      s"""d$i AS (
+         |  SELECT v.vec_id, v.qe, c.cid,
+         |    CAST(${distTerms(prev)} AS BIGINT) AS dist
+         |  FROM v, $prev c),
+         |a$i AS (
+         |  SELECT vec_id, qe, cid, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d$i),
+         |g$i AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n, $sumCols
+         |  FROM a$i WHERE rn = 1 GROUP BY cid),
+         |cent$i AS (
+         |  SELECT p.cid, $newC
+         |  FROM $prev p LEFT JOIN g$i g ON g.cid = p.cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val normExpr = (0 until dim).map(j =>
+      s"(c$j - $off) * (c$j - $off)").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, $qe AS qe FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, $centSel
+       |  FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT $k)),
+       |$steps,
+       |df AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(${distTerms(s"cent$iters")} AS BIGINT) AS dist
+       |  FROM v, cent$iters c),
+       |af AS (
+       |  SELECT vec_id, cid, dist, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM df),
+       |fin AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM af WHERE rn = 1 GROUP BY cid),
+       |nrm AS (
+       |  SELECT cid, CAST($normExpr AS BIGINT) AS centroid_norm2
+       |  FROM cent$iters)
+       |SELECT f.cid AS cluster, f.n_members, nrm.centroid_norm2,
+       |  f.inertia
+       |FROM fin f JOIN nrm ON nrm.cid = f.cid ORDER BY cluster"""
+      .stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2236,5 +2406,8 @@ object OracleSql {
     "q91_span_dedup" -> q91,
     "q92_fuzzy_join" -> q92,
     "q93_zorder_layout" -> q93,
-    "q94_priority_sample" -> q94)
+    "q94_priority_sample" -> q94,
+    "q95_setsim_join" -> q95,
+    "q96_pagerank" -> q96,
+    "q97_kmeans" -> q97)
 }

@@ -182,7 +182,16 @@ object SparkEntry {
     "q93_zorder_layout" -> (operators.Layout.qZOrder _),
     // weighted priority sampling (DLT scheme, md5-uniform, exact
     // division arithmetic — reproducible weighted random sample)
-    "q94_priority_sample" -> (Curation.qPrioritySample _))
+    "q94_priority_sample" -> (Curation.qPrioritySample _),
+    // exact set-similarity join via lossless prefix-filter blocking
+    // (oracle runs the full co-count: a losslessness certificate)
+    "q95_setsim_join" -> (Dedup.qSetSimJoin _),
+    // integer-arithmetic PageRank (3 power iterations, BIGINT floor
+    // divisions — an iterative fixpoint made hash-gateable)
+    "q96_pagerank" -> (operators.GraphQueries.q96PageRank _),
+    // integer Lloyd k-means (quantized grid, exact BIGINT distances
+    // and floor-div centroid updates; assignment is a pure map stage)
+    "q97_kmeans" -> (Cluster.qKmeans _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

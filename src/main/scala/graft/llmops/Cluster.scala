@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected-components clustering over near-duplicate pairs — the step
@@ -206,4 +206,88 @@ object Cluster {
         col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** Lloyd k-means in EXACT integer arithmetic — like q96's PageRank,
+    * an iterative fixpoint made hash-gateable by keeping every step
+    * order-independent: embeddings quantize to a shared integer grid
+    * (floor(x·quantScale + 0.5) + offset — the offset keeps every
+    * coordinate POSITIVE so the centroid-update floor division is
+    * identical across engines; Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they only agree on non-negative
+    * operands), distances are exact BIGINT sums of squares, centroid
+    * updates are integer floor-divided means, and argmin ties break to
+    * the lowest centroid id. Seeds are the k lowest-vec_id vectors.
+    *
+    * Scale shape: centroids are a k×dim driver-side array (the PQ
+    * codebook precedent — bounded by k, never by data), so assignment
+    * is a PURE MAP stage: k inlined literal-centroid distance
+    * expressions, array_min over (dist, cid) structs — no crossJoin
+    * row blowup, no shuffle. The one shuffle per iteration is the
+    * (cid, n, Σ per-dim) partial-aggregated update. Empty clusters
+    * keep their previous centroid.
+    *
+    * Returns one row per cluster: (cluster, n_members,
+    * centroid_norm2 = Σ(c_j − offset)², inertia = Σ member distances
+    * to the FINAL centroids) — counts, a centroid digest, and the
+    * objective, all exact BIGINTs.
+    */
+  def kmeansInt(vecs: DataFrame, k: Int, iters: Int,
+      quantScale: Double = 1000.0, offset: Long = 1048576L): DataFrame = {
+    val spark = vecs.sparkSession
+    val q = vecs.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * quantScale + 0.5).cast("long")
+            + offset).as("qe"))
+      .localCheckpoint()
+    val dim = q.select(size(col("qe"))).head().getInt(0)
+    var cent: Array[(Long, Array[Long])] = q.orderBy("vec_id").limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def dist(c: Array[Long]): Column =
+      (0 until dim).map { j =>
+        val d = element_at(col("qe"), j + 1) - lit(c(j)); d * d
+      }.reduce(_ + _)
+    def best: Column = array_min(array(cent.map { case (cid, c) =>
+      struct(dist(c).as("d"), lit(cid).as("cid")) }: _*))
+    for (_ <- 1 to iters) {
+      val sums = q.withColumn("cid", best.getField("cid"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(j =>
+            sum(element_at(col("qe"), j + 1)).as(s"s$j")): _*)
+      val g = sums.collect().map { r =>
+        (r.getLong(0), (r.getLong(1),
+          Array.tabulate(dim)(j => r.getLong(2 + j))))
+      }.toMap
+      cent = cent.map { case (cid, c) =>
+        g.get(cid) match {
+          case Some((n, s)) => (cid, s.map(_ / n))
+          case None         => (cid, c) // empty cluster: keep centroid
+        }
+      }
+    }
+    val norms = cent.toSeq.map { case (cid, c) =>
+      (cid, c.map(v => { val d = v - offset; d * d }).sum)
+    }
+    import spark.implicits._
+    val normDf = norms.toDF("cluster", "centroid_norm2")
+    q.select(best.getField("d").as("dd"),
+        best.getField("cid").as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("dd")).as("inertia"))
+      .join(broadcast(normDf), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("centroid_norm2"),
+        col("inertia"))
+      .orderBy("cluster")
+  }
+
+  /** q97 — [[kmeansInt]] k=8, 3 Lloyd iterations over the embeddings
+    * table. The DuckDB mirror replays the identical recurrence with
+    * the centroids as CTE relations (generated per-dim sum/coalesce
+    * columns, row_number argmin) — same values, different plan, which
+    * is exactly what an oracle is for.
+    */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansInt(spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding"), k = 8, iters = 3)
 }

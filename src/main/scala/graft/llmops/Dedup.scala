@@ -565,4 +565,86 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** EXACT set-similarity self-join with PREFIX-FILTER blocking (the
+    * PPJoin/AllPairs family): all pairs with Jaccard ≥ `threshold`,
+    * found WITHOUT the full token equi-join. Tokens get a global
+    * rarest-first total order (ascending document frequency, token
+    * tie-break); each set only indexes its first
+    * n − ⌈t·n⌉ + 1 ordered tokens, because two sets with
+    * J(A,B) ≥ t whose prefixes of those lengths are disjoint cannot
+    * exist (the Bayardo/Chaudhuri prefix-filter bound) — so the
+    * candidate join runs on the rare prefix tokens only, a small
+    * fraction of the q25 full co-count volume at high thresholds.
+    * Candidates then verify EXACTLY on their full hash sets. Unlike
+    * MinHash banding (q23), nothing probabilistic: the result set is
+    * exactly the naive all-pairs answer — which is what the q95
+    * oracle computes (full co-count formulation), making the gate a
+    * losslessness certificate for the prefix bound.
+    *
+    * Scale shape: the df aggregation and candidate join shuffle slim
+    * (token, doc_id) rows; full sets rejoin only for candidate docs.
+    * Input: (doc_id, sh) with `sh` the DISTINCT md5-16 token-hash set.
+    */
+  def setSimilarityJoin(d: DataFrame, threshold: Double): DataFrame = {
+    val sets = d.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("n")).persist()
+    val dfreq = sets.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = sets
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy("doc_id", "n")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("otoks"))
+    val prefixLen =
+      (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefix = ordered.select(col("doc_id"),
+      explode(slice(col("otoks"), lit(1), prefixLen)).as("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+    val jacc = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    // threshold the UNROUNDED ratio (the oracle's WHERE); round only
+    // the projected column (the q49 lesson)
+    withSets.filter(jacc >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("inter").as("n_common"), round(jacc, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q95 — [[setSimilarityJoin]] at t = 0.5 over distinct BIGRAM
+    * shingle sets of the corpus plus planted 70%-prefix truncations of
+    * the first 200 docs (J ≈ 0.7 vs their parents by construction —
+    * the corpus itself has no natural high-Jaccard pairs). Truncation
+    * uses integer arithmetic ((n·7) div 10 tokens) so both engines cut
+    * identically. The oracle runs the FULL co-count formulation; a
+    * hash match proves the prefix filter dropped no qualifying pair.
+    */
+  def qSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val trunc = d0.filter(col("doc_id") < 200)
+      .select((col("doc_id") + lit(20000L)).as("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), lit(1),
+          greatest(lit(1),
+            ((size(col("toks")) * 7).cast("double") / 10).cast("int"))),
+          " ").as("text"))
+    val corpus = d0.select(col("doc_id"), col("text")).unionByName(trunc)
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(TextOps.shingleHashes(
+        graft.expressions.WordShingles.shingles(col("text"), 2))).as("sh"))
+    setSimilarityJoin(sets, 0.5)
+  }
 }

@@ -82,6 +82,88 @@ object GraphQueries {
       .groupBy("vertex")
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** PageRank over a directed `(src, dst)` edge list in EXACT integer
+    * arithmetic — every quantity a BIGINT, every division an integer
+    * floor division, every sum a sum of integers (order-independent,
+    * so bit-identical across engines and across partitionings; the
+    * same reproducibility discipline as q94's division-only priority
+    * keys, applied to an iterative computation). Ranks start at
+    * `scale` per node; one power step is
+    *
+    *   pr'(v) = 0.15·scale + 85 · ((Σ_{(u,v)∈E} pr(u) div deg(u)
+    *                                  + dangling div N) div 100)
+    *
+    * i.e. the standard damped update with dangling-mass
+    * redistribution, quantized by floor divisions (each node loses
+    * < deg remainder units per step — bounded, documented drift from
+    * the real-valued fixpoint, the price of exactness). `scale` must
+    * be a multiple of 100; Long range holds while N·scale < 9·10^18
+    * (at the default 10^12 scale: 9M nodes — drop scale for bigger
+    * graphs).
+    *
+    * Scale shape: per iteration one equi-join of ranks to edges on
+    * src and one groupBy dst — slim (dst, contrib) rows shuffle,
+    * never adjacency lists; dangling mass is a single-row broadcast
+    * (the repo's scalar-crossJoin pattern). Edges and nodes are
+    * materialized once (`localCheckpoint`) and reused by all
+    * iterations; N is the one driver-side scalar (a count). With the
+    * edge list pre-partitioned by src (bucketed at 100 TB), the
+    * per-iteration join is Exchange-free on the edge side.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(scale % 100L == 0L, "scale must be a multiple of 100")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val base = scale / 100L * 15L
+    var r = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val withDeg = r.join(outdeg, Seq("node"), "left")
+      val contrib = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("cnode"), expr("pr div deg").as("c"))
+        .groupBy("cnode").agg(sum(col("c")).as("contrib"))
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      r = nodes
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
+              * 85L).as("pr"))
+    }
+    r
+  }
+
+  /** q96 — integer PageRank of the part "purchased-next" graph: a
+    * directed edge links part A to part B when some order's line
+    * `i + 1` (part B) follows line `i` (part A) — the sequential
+    * co-purchase graph recommendation pipelines rank. 3 power
+    * iterations of [[pageRankInt]], top 20 parts (rank desc, key
+    * tie-break). The DuckDB mirror replays the identical integer
+    * recurrence as chained CTEs — exact arithmetic is what makes an
+    * ITERATIVE fixpoint hash-gateable at all.
+    */
+  def q96PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = CoreQueries.table(spark, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"),
+      (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("dst"))
+    val edges = a.join(b, Seq("ok", "ln"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    pageRankInt(edges, 3)
+      .orderBy(desc("pr"), asc("node"))
+      .limit(20)
+      .select(col("node").as("part_key"), col("pr").as("rank_scaled"))
+  }
+
   def q68Triangles(spark: SparkSession, dir: String): DataFrame = {
     val ps = CoreQueries.table(spark, dir, "lineitem")
       .filter(pmod(col("l_suppkey"), lit(7L)) === 0L)

@@ -395,4 +395,62 @@ class ClusterAndEventsSpec extends SparkSpec {
     val total = graft.operators.CoreQueries.events(spark, dir).count()
     assert(out.map(_.getLong(2)).sum === total)
   }
+
+  /** Independent driver-side replication of integer k-means — plain
+    * Scala collections, nothing shared with the DataFrame path.
+    */
+  private def refKmeans(vecs: Seq[(Long, Seq[Float])], k: Int,
+      iters: Int, qs: Double, off: Long)
+      : Seq[(Long, Long, Long, Long)] = {
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * qs + 0.5).toLong + off).toArray
+    val q = vecs.map { case (id, v) => (id, quant(v)) }
+    var cent = q.sortBy(_._1).take(k)
+      .map { case (id, v) => (id, v.clone()) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(j => { val d = a(j) - b(j); d * d }).sum
+    def assign(v: Array[Long]): (Long, Long) =
+      cent.map { case (cid, c) => (d2(v, c), cid) }.min.swap
+    for (_ <- 1 to iters) {
+      val byC = q.groupBy { case (_, v) => assign(v)._1 }
+      cent = cent.map { case (cid, c) =>
+        byC.get(cid) match {
+          case Some(m) =>
+            (cid, Array.tabulate(c.length)(j =>
+              m.map(_._2(j)).sum / m.size))
+          case None => (cid, c)
+        }
+      }
+    }
+    val byC = q.groupBy { case (_, v) => assign(v)._1 }
+    cent.flatMap { case (cid, c) =>
+      byC.get(cid).map { m =>
+        (cid, m.size.toLong,
+          c.map(x => { val d = x - off; d * d }).sum,
+          m.map { case (_, v) => d2(v, c) }.sum)
+      }
+    }.sortBy(_._1)
+  }
+
+  test("q97 kmeansInt == independent Scala replication") {
+    import spark.implicits._
+    // three tight blobs plus an outlier; 48 vectors, 5 dims — small
+    // enough to replicate exactly, structured enough that assignments
+    // move across iterations
+    val rnd = new scala.util.Random(97L)
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 48L).map { id =>
+      val center = (id % 3).toInt
+      val base = Array.fill(5)(center * 2.0f)
+      val v =
+        if (id == 47L) Seq.fill(5)(9.5f)
+        else base.map(x => x + (rnd.nextFloat() - 0.5f)).toSeq
+      (id, v)
+    }
+    val got = Cluster
+      .kmeansInt(vecs.toDF("vec_id", "embedding"), k = 4, iters = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === refKmeans(vecs, 4, 3, 1000.0, 1048576L))
+  }
 }

@@ -365,6 +365,46 @@ class DedupSpec extends SparkSpec {
       whole2.collect().toSeq.map(_.toSeq))
   }
 
+  test("setSimilarityJoin == naive all-pairs on a randomized corpus") {
+    import spark.implicits._
+    // seeded random sets over a small universe force plenty of partial
+    // overlap at every size ratio, so the prefix bound is exercised on
+    // pairs just above AND just below the threshold
+    val rnd = new scala.util.Random(20260814L)
+    val universe = (0 until 60).map(i => f"tok$i%02d")
+    val sets = (0L until 120L).map { id =>
+      val k = 3 + rnd.nextInt(18)
+      (id, rnd.shuffle(universe).take(k))
+    }
+    val d = sets.toDF("doc_id", "sh")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.setSimilarityJoin(d, t)
+        .select("doc_a", "doc_b", "n_common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= t
+      } yield (ia, ib, inter.toLong)).toSet
+      assert(got === naive, s"threshold $t")
+    }
+  }
+
+  test("setSimilarityJoin edge shapes: exact dups, singletons, no pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c")), // exact dup of 1
+      (3L, Seq("x")),           // singleton
+      (4L, Seq("x")),           // identical singleton pair
+      (5L, Seq("q", "r"))       // no partner
+    ).toDF("doc_id", "sh")
+    val got = Dedup.setSimilarityJoin(d, 0.9)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+  }
+
   test("spanDedup: character mass conserved and bounded by the original") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.spanDedup(d, 3)

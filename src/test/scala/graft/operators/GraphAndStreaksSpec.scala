@@ -150,4 +150,58 @@ class GraphAndStreaksSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(sizes.toSeq === Seq(3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L))
   }
+
+  /** Independent driver-side replication of the integer-PageRank
+    * recurrence — Maps and loops, nothing shared with the DataFrame
+    * implementation under test.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.size.toLong) }
+    var r = nodes.map(v => (v, scale)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (u, v) => (v, r(u) / outdeg(u)) }
+        .groupBy(_._1).map { case (v, cs) => (v, cs.map(_._2).sum) }
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map { v =>
+        (v, scale / 100L * 15L +
+          (contrib.getOrElse(v, 0L) + dang / n) / 100L * 85L)
+      }.toMap
+    }
+    r
+  }
+
+  test("q96 pageRankInt == independent Map/loop replication") {
+    import spark.implicits._
+    // a directed graph with a cycle, a hub, a dangling sink, and an
+    // isolated pure-source so every code path (contrib, dangling
+    // redistribution, no-in-edge nodes) is exercised
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L),
+      (5L, 3L), (3L, 6L)) // 6 is dangling (no out-edges)
+    val got = GraphQueries
+      .pageRankInt(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === refPageRank(edges, 3, 1000000000000L))
+    // more iterations still agree (the recurrence, not one step)
+    val got5 = GraphQueries
+      .pageRankInt(edges.toDF("src", "dst"), iters = 5, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got5 === refPageRank(edges, 5, 1000000L))
+  }
+
+  test("q96 pageRankInt: mass bounded and hub outranks leaf") {
+    import spark.implicits._
+    // star into node 9: every spoke points at the hub
+    val edges = (1L to 8L).map(s => (s, 9L)) :+ ((9L, 1L))
+    val r = GraphQueries.pageRankInt(edges.toDF("src", "dst"), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val scale = 1000000000000L
+    // floor divisions only LOSE mass: total <= N * scale
+    assert(r.values.sum <= 9L * scale)
+    assert(r(9L) > r(1L) && r(1L) > r(2L)) // hub > cycle-back > leaf
+  }
 }

@@ -363,6 +363,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q95: prefix-filter candidates are a token equi-join, never all-pairs") {
+    val p = plan(graft.llmops.Dedup.qSetSimJoin(spark, dir))
+    spark.catalog.clearCache() // qSetSimJoin persists the sets relation
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // exact verify happens on candidate rows (array_intersect), not in
+    // a join condition
+    assert(p.contains("array_intersect"), p)
+  }
+
+  test("q96: pagerank iterations are equi-joins; dangling mass broadcasts") {
+    val p = plan(GraphQueries.q96PageRank(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the scalar crossJoin must be the broadcast single-row pattern
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // top-20 is the top-k specialization, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q97: kmeans assignment is a map stage — no join in the final pass") {
+    val p = plan(graft.llmops.Cluster.qKmeans(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-cluster rollup partial-aggregates before the exchange;
+    // the only join is the broadcast of the k-row norm relation
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -425,6 +425,20 @@ object DriveVerify {
         spark.read.parquet(s"$sf/part.parquet"), "p_name", maxDist = 2)
       fz.show(5, false)
       println(s"fuzzy name pairs (ed<=2): ${fz.count()}")
+      // exact set-similarity join (prefix-filter blocking; q95 gate
+      // plants truncations — here the raw corpus, expect few/no pairs,
+      // the point is driving the operator surface end to end)
+      val ss = graft.llmops.Dedup.qSetSimJoin(spark, sf)
+      ss.show(5, false)
+      println(s"set-similarity pairs (J>=0.5): ${ss.count()}")
+      // integer PageRank over the purchased-next part graph
+      val pr = graft.operators.GraphQueries.q96PageRank(spark, sf)
+      pr.show(5, false)
+      println(s"pagerank top-20 rows: ${pr.count()}")
+      // integer Lloyd k-means over the embeddings table
+      val km = graft.llmops.Cluster.qKmeans(spark, sf)
+      km.show(8, false)
+      println(s"kmeans clusters: ${km.count()}")
       // ingest form of span dedup: second half of the corpus lands
       // against the first half's span index
       val docs = spark.read.parquet(s"$sf/documents.parquet")
