@@ -2144,7 +2144,7 @@ object OracleSql {
   }
 
   /** q95 — exact set-similarity join, the NAIVE full co-count
-    * formulation over distinct bigram-hash sets of corpus + planted
+    * formulation over distinct trigram-hash sets of corpus + planted
     * truncations. The engine runs prefix-filter blocking
     * ([[graft.llmops.Dedup.setSimilarityJoin]]); the match certifies
     * the prefix bound drops no qualifying pair.
@@ -2166,9 +2166,9 @@ object OracleSql {
       |  FROM corpus),
       |bg AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(toks) - 1 > 0
-      |      THEN list_transform(range(0, len(toks) - 1),
-      |             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+      |    CASE WHEN len(toks) - 2 > 0
+      |      THEN list_transform(range(0, len(toks) - 2),
+      |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
       |      ELSE [array_to_string(toks, ' ')] END AS b
       |  FROM toks0),
       |sh AS (

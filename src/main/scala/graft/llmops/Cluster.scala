@@ -220,11 +220,12 @@ object Cluster {
     *
     * Scale shape: centroids are a k×dim driver-side array (the PQ
     * codebook precedent — bounded by k, never by data), so assignment
-    * is a PURE MAP stage: k inlined literal-centroid distance
-    * expressions, array_min over (dist, cid) structs — no crossJoin
-    * row blowup, no shuffle. The one shuffle per iteration is the
-    * (cid, n, Σ per-dim) partial-aggregated update. Empty clusters
-    * keep their previous centroid.
+    * is a PURE MAP stage — the [[graft.expressions.KmeansNearest]]
+    * kernel (centroid matrix as a codegen reference object, so the
+    * generated source is iteration-invariant and compiles once) — no
+    * crossJoin row blowup, no shuffle. The one shuffle per iteration
+    * is the (cid, n, Σ per-dim) partial-aggregated update. Empty
+    * clusters keep their previous centroid.
     *
     * Returns one row per cluster: (cluster, n_members,
     * centroid_norm2 = Σ(c_j − offset)², inertia = Σ member distances
@@ -239,18 +240,18 @@ object Cluster {
           floor(x.cast("double") * quantScale + 0.5).cast("long")
             + offset).as("qe"))
       .localCheckpoint()
-    val dim = q.select(size(col("qe"))).head().getInt(0)
     var cent: Array[(Long, Array[Long])] = q.orderBy("vec_id").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    def dist(c: Array[Long]): Column =
-      (0 until dim).map { j =>
-        val d = element_at(col("qe"), j + 1) - lit(c(j)); d * d
-      }.reduce(_ + _)
-    def best: Column = array_min(array(cent.map { case (cid, c) =>
-      struct(dist(c).as("d"), lit(cid).as("cid")) }: _*))
+    val dim = cent.head._2.length
+    // nearest-centroid kernel with the centroid matrix as a codegen
+    // REFERENCE OBJECT — identical generated source every iteration
+    // (the literal-inlined Column form rebuilt a ~4k-node tree and
+    // recompiled per iteration; measured 10+ s of fixed overhead)
+    def best: Column = graft.expressions.KmeansNearest.nearest(
+      col("qe"), cent.map(_._1), cent.map(_._2))
     for (_ <- 1 to iters) {
-      val sums = q.withColumn("cid", best.getField("cid"))
+      val sums = q.withColumn("cid", best.getItem(1))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"),
           (0 until dim).map(j =>
@@ -271,8 +272,8 @@ object Cluster {
     }
     import spark.implicits._
     val normDf = norms.toDF("cluster", "centroid_norm2")
-    q.select(best.getField("d").as("dd"),
-        best.getField("cid").as("cluster"))
+    q.select(best.getItem(0).as("dd"),
+        best.getItem(1).as("cluster"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), sum(col("dd")).as("inertia"))
       .join(broadcast(normDf), Seq("cluster"))

@@ -584,10 +584,27 @@ object Dedup {
     *
     * Scale shape: the df aggregation and candidate join shuffle slim
     * (token, doc_id) rows; full sets rejoin only for candidate docs.
-    * Input: (doc_id, sh) with `sh` the DISTINCT md5-16 token-hash set.
+    * Two lossless prunes keep the candidate join small: prefix rows
+    * with df = 1 are dropped (a token occurring in ONE set joins
+    * nothing), and candidate pairs violating the size-ratio bound
+    * (J ≥ t ⟹ t·max(na,nb) ≤ min(na,nb)) are cut before the
+    * distinct. Input: (doc_id, sh) with `sh` the DISTINCT md5-16
+    * token-hash set.
+    *
+    * Profile caveat (measured, sf0.1): prefix blocking needs a SPARSE
+    * token universe. On a dense one (bigrams of this corpus: 931
+    * distinct tokens, avg df 283) every prefix token is common and
+    * the candidate set degenerates to ~2/3 of ALL pairs — there the
+    * naive slim co-count (the q25 operator) is the better plan. Rule
+    * of thumb: prefix-filter when avg df ≪ corpus size (shingle
+    * order buys sparsity: trigrams here have 27k tokens, avg df 10).
     */
   def setSimilarityJoin(d: DataFrame, threshold: Double): DataFrame = {
-    val sets = d.select(col("doc_id"), col("sh"),
+    // sort each set ONCE at build: the exact-verify intersection is a
+    // merge-walk kernel over sorted arrays (SortedIntersectCount —
+    // array_intersect hashed/materialized per candidate pair, measured
+    // 15 s of a 22 s sf0.1 run)
+    val sets = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
       size(col("sh")).cast("long").as("n")).persist()
     val dfreq = sets.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -600,10 +617,17 @@ object Dedup {
         s => s.getField("tok")).as("otoks"))
     val prefixLen =
       (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val prefix = ordered.select(col("doc_id"),
-      explode(slice(col("otoks"), lit(1), prefixLen)).as("tok"))
+    val prefix = ordered.select(col("doc_id"), col("n"),
+        explode(slice(col("otoks"), lit(1), prefixLen)).as("tok"))
+      .join(dfreq.filter(col("df") >= 2).select("tok"), Seq("tok"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // +0.5 slack makes the float multiply provably lossless for
+          // integer sizes (t·max can round a half-ulp above an exact
+          // integer bound); verify discards the borderline keeps
+          greatest(col("a.n"), col("b.n")) * threshold <=
+            least(col("a.n"), col("b.n")) + lit(0.5))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val withSets = cand
@@ -612,7 +636,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
         col("n").as("nb")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        graft.expressions.SortedIntersectCount.of(col("sha"), col("shb")))
     val jacc = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
     // threshold the UNROUNDED ratio (the oracle's WHERE); round only
@@ -623,13 +647,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q95 — [[setSimilarityJoin]] at t = 0.5 over distinct BIGRAM
+  /** q95 — [[setSimilarityJoin]] at t = 0.5 over distinct TRIGRAM
     * shingle sets of the corpus plus planted 70%-prefix truncations of
     * the first 200 docs (J ≈ 0.7 vs their parents by construction —
-    * the corpus itself has no natural high-Jaccard pairs). Truncation
-    * uses integer arithmetic ((n·7) div 10 tokens) so both engines cut
-    * identically. The oracle runs the FULL co-count formulation; a
-    * hash match proves the prefix filter dropped no qualifying pair.
+    * the corpus itself has no natural high-Jaccard pairs). Trigrams,
+    * not bigrams, by measurement: this corpus's bigram universe is
+    * 931 tokens at avg df 283 (dense — blocking degenerates, see the
+    * operator caveat) while trigrams give 27k tokens at avg df 10.
+    * Truncation uses integer arithmetic ((n·7) div 10 tokens) so both
+    * engines cut identically. The oracle runs the FULL co-count
+    * formulation; a hash match proves the prefix filter dropped no
+    * qualifying pair.
     */
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     val d0 = docs(spark, dir)
@@ -644,7 +672,7 @@ object Dedup {
     val corpus = d0.select(col("doc_id"), col("text")).unionByName(trunc)
     val sets = corpus.select(col("doc_id"),
       array_distinct(TextOps.shingleHashes(
-        graft.expressions.WordShingles.shingles(col("text"), 2))).as("sh"))
+        graft.expressions.WordShingles.shingles(col("text"), 3))).as("sh"))
     setSimilarityJoin(sets, 0.5)
   }
 }

@@ -368,9 +368,9 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // qSetSimJoin persists the sets relation
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoop"), p)
-    // exact verify happens on candidate rows (array_intersect), not in
-    // a join condition
-    assert(p.contains("array_intersect"), p)
+    // exact verify happens on candidate rows via the sorted merge-walk
+    // kernel, not in a join condition
+    assert(p.contains("sorted_intersect_count"), p)
   }
 
   test("q96: pagerank iterations are equi-joins; dangling mass broadcasts") {
