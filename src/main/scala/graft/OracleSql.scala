@@ -2313,6 +2313,46 @@ object OracleSql {
       .stripMargin
   }
 
+  /** q98 — kNN-join mirror: the q27 IVF CTEs generalized to a query
+    * set (per-query probe rank ≤ nProbe, per-query neighbor rank ≤ k;
+    * identical 6-decimal cosine + id tie-break contract).
+    */
+  private val q98 = {
+    val cosQ = cosineSql("embedding", "qe", 64)
+    val cosSeed = cosineSql("embedding", "semb", 64)
+    val cosQSeed = cosineSql("qe", "semb", 64)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS semb FROM e
+       |  WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id FROM (
+       |    SELECT e.vec_id, e.embedding, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round($cosSeed, 6) DESC, seed_id) AS rk
+       |    FROM e, seeds) t WHERE rk = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, embedding AS qe FROM e
+       |  WHERE vec_id % 53 = 0),
+       |probes AS (
+       |  SELECT q_id, qe, seed_id FROM (
+       |    SELECT qs.q_id, qs.qe, seeds.seed_id,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY round($cosQSeed, 6) DESC, seed_id) AS rk
+       |    FROM qs, seeds) t WHERE rk <= 2),
+       |cand AS (
+       |  SELECT q_id, vec_id, round($cosQ, 6) AS cos_sim
+       |  FROM assign JOIN probes USING (seed_id)
+       |  WHERE vec_id <> q_id)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id AS nn_id, cos_sim
+       |FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM cand) t
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2409,5 +2449,6 @@ object OracleSql {
     "q94_priority_sample" -> q94,
     "q95_setsim_join" -> q95,
     "q96_pagerank" -> q96,
-    "q97_kmeans" -> q97)
+    "q97_kmeans" -> q97,
+    "q98_knn_join" -> q98)
 }

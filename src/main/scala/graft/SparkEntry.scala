@@ -191,7 +191,10 @@ object SparkEntry {
     "q96_pagerank" -> (operators.GraphQueries.q96PageRank _),
     // integer Lloyd k-means (quantized grid, exact BIGINT distances
     // and floor-div centroid updates; assignment is a pure map stage)
-    "q97_kmeans" -> (Cluster.qKmeans _))
+    "q97_kmeans" -> (Cluster.qKmeans _),
+    // batch kNN join: a query SET probes IVF cells, one seed_id
+    // equi-join, per-query exact-cosine rank <= k
+    "q98_knn_join" -> (Similarity.qKnnJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

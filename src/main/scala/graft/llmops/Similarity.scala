@@ -187,6 +187,59 @@ object Similarity {
       .limit(10)
   }
 
+  /** kNN JOIN — every query vector's top-k corpus neighbors, the
+    * BATCH retrieval surface (labeling sweeps, retrieval eval, dedup
+    * scoring) that q19/q27's single-query searches don't cover. Same
+    * IVF shape as [[qIvfKnn]] generalized to a query SET: corpus
+    * assigned to cells once, each query probes its `nProbe` nearest
+    * cells (per-query row_number over the broadcast seed relation),
+    * candidates are the probed cells' members via ONE seed_id
+    * equi-join, exact cosine + per-query rank ≤ k. Determinism is the
+    * q27 contract: 6-decimal cosine, seed_id/vec_id tie-breaks.
+    *
+    * Scale shape: with the assignment persisted bucketed by seed_id
+    * ([[graft.operators.Bucketing]]) the candidate join is
+    * Exchange-free on the corpus side and a query batch shuffles only
+    * (q_id, qe, seed_id) probe rows; per-query cost stays
+    * ∝ nProbe/nCells of the corpus. Self-matches (same vec_id) are
+    * excluded so a corpus can kNN-join itself.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = ivfSeeds(corpus)
+    val assign = ivfAssign(corpus, seeds)
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("cs").desc, col("seed_id"))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cs", cs("qe", "semb", "qn", "snrm"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select("q_id", "qe", "qn", "seed_id")
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assign.join(probes, Seq("seed_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cs("embedding", "qe", "nrm", "qn").as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("nn_id"), col("cos_sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** q98 — [[knnJoin]]: every 53rd vector as the query batch, top-3
+    * probed-cell neighbors each. Mirror generalizes the q27 CTEs to a
+    * query set (per-query probe rank, per-query result rank).
+    */
+  def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+    knnJoin(e, e.filter(pmod(col("vec_id"), lit(53)) === 0), k = 3)
+  }
+
   /** q47 — int8 embedding quantization quality report: per-vector
     * symmetric scale (absmax/127), round-to-nearest quantization, mean
     * absolute reconstruction error and saturation count. The vector-

@@ -78,4 +78,37 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("knnJoin: planted twins come back as each query's rank-1 neighbor") {
+    import spark.implicits._
+    // corpus on the real embeddings; every query vector gets a twin
+    // planted at vec_id + 100000 with a tiny last-dim nudge — the twin
+    // must be rank 1 for its query, and k/ordering invariants hold
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val twins = e.filter(pmod(col("vec_id"), lit(53)) === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0001f)).as("embedding"))
+    val corpus = e.unionByName(twins)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val queries = corpus.filter(
+      pmod(col("vec_id"), lit(53)) === 0 && col("vec_id") < 100000L)
+    val out = Similarity.knnJoin(corpus, queries, k = 3).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      // ranks are 1..n and cosine non-increasing in rank
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.sliding(2).forall(p => p.length < 2 ||
+        p(0).getDouble(3) >= p(1).getDouble(3)))
+      // the scaled twin is a pure rescale -> cosine 1.0 -> rank 1
+      assert(byRank.head.getLong(2) === q + 100000L,
+        s"query $q rank-1 was ${byRank.head.getLong(2)}")
+    }
+  }
 }

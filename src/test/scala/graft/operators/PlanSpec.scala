@@ -393,6 +393,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q98: knn-join candidates come from a seed_id equi-join with rank pushdown") {
+    val p = plan(graft.llmops.Similarity.qKnnJoin(spark, dir))
+    // per-query top-k truncates in partial mode before the full sort
+    assert(p.contains("WindowGroupLimit"), p)
+    // the corpus side joins probes on seed_id — an equi-join; the only
+    // nested-loop is the broadcast seeds crossJoin (k-row build side)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

@@ -439,6 +439,10 @@ object DriveVerify {
       val km = graft.llmops.Cluster.qKmeans(spark, sf)
       km.show(8, false)
       println(s"kmeans clusters: ${km.count()}")
+      // batch kNN join over the IVF index
+      val kj = graft.llmops.Similarity.qKnnJoin(spark, sf)
+      kj.show(6, false)
+      println(s"knn join rows: ${kj.count()}")
       // ingest form of span dedup: second half of the corpus lands
       // against the first half's span index
       val docs = spark.read.parquet(s"$sf/documents.parquet")
