@@ -206,9 +206,21 @@ object Similarity {
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seeds = ivfSeeds(corpus)
-    val assign = ivfAssign(corpus, seeds)
+    knnJoinIndexed(ivfAssign(corpus, seeds), seeds, queries, k, nProbe)
+  }
+
+  /** [[knnJoin]] against a PREBUILT index — `assign` is
+    * [[ivfAssign]]'s output (persist it bucketed by seed_id at scale)
+    * and `seeds` the quantizer it was built with. The build is the
+    * one-off 100 TB cost (|corpus| × |seeds| assignment cosines —
+    * 120 s for 200k × 2.1k at the 100× soak); this entry point is the
+    * RECURRING per-batch cost (probe + candidate join only: 2.4 s for
+    * 2k queries against the same index).
+    */
+  def knnJoinIndexed(assign: DataFrame, seeds: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("cs").desc, col("seed_id"))
     val probes = queries.select(col("vec_id").as("q_id"),

@@ -86,6 +86,22 @@ object Scale100W3 {
       graft.llmops.Cluster.kmeansInt(big, k = 8, iters = 3)
     }
 
+    // ---- q98 batch kNN join: 2k queries against the 200k corpus.
+    // Index build (the one-off |corpus| x |seeds| assignment) timed
+    // apart from the recurring probe+join cost, the Scale100 IVF-PQ
+    // convention ----
+    val withNrm = big
+      .withColumn("nrm", graft.llmops.Similarity.norm(col("embedding")))
+    val seeds = graft.llmops.Similarity.ivfSeeds(withNrm)
+    val assign = time("q98 index build (ivfAssign 200k)") {
+      val a = graft.llmops.Similarity.ivfAssign(withNrm, seeds).persist()
+      a.count(); a
+    }
+    onBig("q98 knn join probe 100x (2k queries, k=3, prebuilt index)") {
+      graft.llmops.Similarity.knnJoinIndexed(assign, seeds,
+        withNrm.filter(col("vec_id") % 100L === 7L), k = 3)
+    }
+
     spark.stop()
   }
 }
