@@ -129,6 +129,9 @@ object GraphQueries {
         .groupBy("cnode").agg(sum(col("c")).as("contrib"))
       val dang = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      // materialize each round's ranks (the connectedComponents
+      // convention): without it the plan deepens per iteration and
+      // high iteration counts re-analyze an ever-growing tree
       r = nodes
         .join(contrib, col("node") === col("cnode"), "left")
         .crossJoin(broadcast(dang))
@@ -136,6 +139,7 @@ object GraphQueries {
           (lit(base) +
             expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
               * 85L).as("pr"))
+        .localCheckpoint()
     }
     r
   }

@@ -373,12 +373,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_count"), p)
   }
 
-  test("q96: pagerank iterations are equi-joins; dangling mass broadcasts") {
+  test("q96: pagerank rounds materialize once; top-k specializes") {
     val p = plan(GraphQueries.q96PageRank(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
-    // the scalar crossJoin must be the broadcast single-row pattern
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p)
+    // each round is localCheckpoint-materialized (the
+    // connectedComponents convention), so the visible plan reads the
+    // final round's RDD — a deep per-iteration join tree here would
+    // mean the checkpoint was dropped
+    assert(p.contains("Scan ExistingRDD"), p)
     // top-20 is the top-k specialization, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
