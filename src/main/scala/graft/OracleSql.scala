@@ -2044,6 +2044,13 @@ object OracleSql {
     * md5 keep-first decisions and survivor reconstruction as
     * [[graft.llmops.TextOps.spanDedup]] (chr(1) = the engine's \\u0001
     * separator; \\1 = RE2's $1).
+    *
+    * Memory-lean form (round 10): the keep-first decision runs as a
+    * grouped struct-min over (h, doc_id, span_idx) — the heavy relation
+    * that DuckDB sorts/partitions carries 32-byte hashes, never raw
+    * span strings, and `spans` is MATERIALIZED so the regex chunking
+    * runs once (the round-9 window form OOM'd the driver's contended
+    * oracle; the engine side was already green).
     */
   private val q91 =
     """WITH sp AS (
@@ -2051,16 +2058,19 @@ object OracleSql {
       |    string_split(regexp_replace(text,
       |      '((\S+ ){2}\S+) ', '\1' || chr(1), 'g'), chr(1)) AS sps
       |  FROM documents),
-      |spans AS (
-      |  SELECT doc_id, u.span_idx, u.span FROM (
+      |spans AS MATERIALIZED (
+      |  SELECT doc_id, u.span_idx, u.span, md5(u.span) AS h FROM (
       |    SELECT doc_id, unnest(list_transform(sps,
       |      (x, i) -> struct_pack(span_idx := i - 1, span := x))) AS u
       |    FROM sp) t),
+      |firsts AS (
+      |  SELECT h, min(struct_pack(d := doc_id, i := span_idx)) AS f
+      |  FROM spans GROUP BY h),
       |keep AS (
-      |  SELECT doc_id, span_idx, span,
-      |    row_number() OVER (PARTITION BY md5(span)
-      |      ORDER BY doc_id, span_idx) = 1 AS keep
-      |  FROM spans)
+      |  SELECT s.doc_id, s.span_idx, s.span,
+      |    (s.doc_id = struct_extract(f.f, 'd')
+      |     AND s.span_idx = struct_extract(f.f, 'i')) AS keep
+      |  FROM spans s JOIN firsts f ON f.h = s.h)
       |SELECT doc_id, count(*) AS n_spans,
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  md5(string_agg(CASE WHEN keep THEN span END, ' '
@@ -2204,6 +2214,11 @@ object OracleSql {
     */
   private val q96 = {
     val iters = 3
+    // MATERIALIZED everywhere a relation is referenced more than once:
+    // DuckDB inlines plain CTEs, so the round-9 form recomputed the
+    // lineitem self-join behind `edges` O(2^iters) times — >200 MB
+    // working set at sf0.01 (measured) and the driver's oracle OOM.
+    // With materialization the whole statement runs in <50 MB.
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""c$i AS (
@@ -2214,7 +2229,7 @@ object OracleSql {
          |  SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) AS dang
          |  FROM $prev r LEFT JOIN outdeg d ON d.node = r.node
          |  WHERE d.node IS NULL),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT n0.node,
          |    CAST(150000000000 +
          |      ((coalesce(c.contrib, 0) + d$i.dang // nn.n) // 100) * 85
@@ -2225,18 +2240,18 @@ object OracleSql {
     s"""WITH seq AS (
        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey
        |  FROM lineitem),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM seq a JOIN seq b
        |    ON a.ok = b.ok AND b.ln = a.ln + 1
        |   AND a.l_partkey <> b.l_partkey),
-       |nodes AS (
+       |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |outdeg AS (
+       |outdeg AS MATERIALIZED (
        |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
        |  FROM edges GROUP BY 1),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
        |  SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
        |$steps
        |SELECT node AS part_key, pr AS rank_scaled
@@ -2255,6 +2270,12 @@ object OracleSql {
     val dim = 64
     val k = 8
     val off = 1048576L
+    // Memory-lean form (round 10): v and every cent_i MATERIALIZED so
+    // the centroid recurrence is computed once per iteration instead of
+    // exponentially re-inlined, and the per-vector argmin is a grouped
+    // struct-min — (dist, cid) lexicographic, identical tie-break to
+    // the round-9 row_number ORDER BY dist, cid — so no window ever
+    // sorts the 64-element quantized vectors.
     val qe = "list_transform(embedding, x -> " +
       s"CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) + $off)"
     val centSel = (0 until dim).map(j => s"qe[${j + 1}] AS c$j")
@@ -2265,45 +2286,39 @@ object OracleSql {
     val steps = (1 to iters).map { i =>
       val prev = s"cent${i - 1}"
       val sumCols = (0 until dim).map(j =>
-        s"CAST(sum(qe[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")
+        s"CAST(sum(v.qe[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")
       val newC = (0 until dim).map(j =>
         s"CAST(coalesce(g.s$j // g.n, p.c$j) AS BIGINT) AS c$j")
         .mkString(", ")
-      s"""d$i AS (
-         |  SELECT v.vec_id, v.qe, c.cid,
-         |    CAST(${distTerms(prev)} AS BIGINT) AS dist
-         |  FROM v, $prev c),
-         |a$i AS (
-         |  SELECT vec_id, qe, cid, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM d$i),
+      s"""a$i AS (
+         |  SELECT v.vec_id, min(struct_pack(dist :=
+         |    CAST(${distTerms(prev)} AS BIGINT), cid := c.cid)) AS m
+         |  FROM v, $prev c GROUP BY v.vec_id),
          |g$i AS (
-         |  SELECT cid, CAST(count(*) AS BIGINT) AS n, $sumCols
-         |  FROM a$i WHERE rn = 1 GROUP BY cid),
-         |cent$i AS (
+         |  SELECT struct_extract(a.m, 'cid') AS cid,
+         |    CAST(count(*) AS BIGINT) AS n, $sumCols
+         |  FROM a$i a JOIN v ON v.vec_id = a.vec_id GROUP BY 1),
+         |cent$i AS MATERIALIZED (
          |  SELECT p.cid, $newC
          |  FROM $prev p LEFT JOIN g$i g ON g.cid = p.cid)"""
         .stripMargin
     }.mkString(",\n")
     val normExpr = (0 until dim).map(j =>
       s"(c$j - $off) * (c$j - $off)").mkString(" + ")
-    s"""WITH v AS (SELECT vec_id, $qe AS qe FROM embeddings),
-       |cent0 AS (
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, $qe AS qe FROM embeddings),
+       |cent0 AS MATERIALIZED (
        |  SELECT vec_id AS cid, $centSel
        |  FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT $k)),
        |$steps,
-       |df AS (
-       |  SELECT v.vec_id, c.cid,
-       |    CAST(${distTerms(s"cent$iters")} AS BIGINT) AS dist
-       |  FROM v, cent$iters c),
        |af AS (
-       |  SELECT vec_id, cid, dist, row_number() OVER
-       |    (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM df),
+       |  SELECT v.vec_id, min(struct_pack(dist :=
+       |    CAST(${distTerms(s"cent$iters")} AS BIGINT), cid := c.cid)) AS m
+       |  FROM v, cent$iters c GROUP BY v.vec_id),
        |fin AS (
-       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-       |    CAST(sum(dist) AS BIGINT) AS inertia
-       |  FROM af WHERE rn = 1 GROUP BY cid),
+       |  SELECT struct_extract(m, 'cid') AS cid,
+       |    CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(struct_extract(m, 'dist')) AS BIGINT) AS inertia
+       |  FROM af GROUP BY 1),
        |nrm AS (
        |  SELECT cid, CAST($normExpr AS BIGINT) AS centroid_norm2
        |  FROM cent$iters)
@@ -2321,20 +2336,28 @@ object OracleSql {
     val cosQ = cosineSql("embedding", "qe", 64)
     val cosSeed = cosineSql("embedding", "semb", 64)
     val cosQSeed = cosineSql("qe", "semb", 64)
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |seeds AS (
+    // Memory-lean form (round 10): the corpus→seed assignment runs as a
+    // grouped struct-min over (-cos, seed_id) — identical tie-break to
+    // the round-9 "ORDER BY cos DESC, seed_id" window, but the heavy
+    // |corpus|×|seeds| relation never carries the 64-dim embedding
+    // through a window sort (embeddings rejoin by vec_id afterwards).
+    // e/seeds/assign/probes MATERIALIZED so nothing re-inlines.
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS MATERIALIZED (
        |  SELECT vec_id AS seed_id, embedding AS semb FROM e
        |  WHERE vec_id % 97 = 0),
-       |assign AS (
-       |  SELECT vec_id, embedding, seed_id FROM (
-       |    SELECT e.vec_id, e.embedding, seeds.seed_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round($cosSeed, 6) DESC, seed_id) AS rk
-       |    FROM e, seeds) t WHERE rk = 1),
+       |am AS (
+       |  SELECT e.vec_id, min(struct_pack(nc := -round($cosSeed, 6),
+       |    sid := seeds.seed_id)) AS m
+       |  FROM e, seeds GROUP BY e.vec_id),
+       |assign AS MATERIALIZED (
+       |  SELECT a.vec_id, e.embedding,
+       |    struct_extract(a.m, 'sid') AS seed_id
+       |  FROM am a JOIN e ON e.vec_id = a.vec_id),
        |qs AS (
        |  SELECT vec_id AS q_id, embedding AS qe FROM e
        |  WHERE vec_id % 53 = 0),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT q_id, qe, seed_id FROM (
        |    SELECT qs.q_id, qs.qe, seeds.seed_id,
        |      row_number() OVER (PARTITION BY qs.q_id

@@ -159,11 +159,16 @@ object Multimodal {
     val b = chunked.select(col("band"), col("bk"),
       col("img_id").as("img_b"), col("dh").as("dh_b"))
     val hamming = bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int")
+    // the Hamming cut runs BELOW the distinct: hamming is functionally
+    // determined by (img_a, img_b), so filtering first is semantics-
+    // preserving and keeps every band-collision pair the cut would drop
+    // out of the dedup exchange — on replica-heavy corpora (every band
+    // bucket full of identical hashes) that is the dominant pair volume
     a.join(b, Seq("band", "bk"))
       .filter(col("img_a") < col("img_b"))
       .select(col("img_a"), col("img_b"), hamming.as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("img_a", "img_b")
   }
 

@@ -306,6 +306,21 @@ class PlanSpec extends SparkSpec {
     // element_at(transform(...)) inside a lambda.
     assert(!p.contains("element_at(transform("),
       "per-pixel re-derivation of the token-hash array is back:\n" + p)
+    // round-10 pin: the Hamming cut sits BELOW the distinct exchange
+    // (hamming is functionally determined by the pair, so filtering
+    // first is semantics-preserving) — band-collision candidates the
+    // cut drops must never ride the dedup exchange. In the printed
+    // tree the consuming aggregates appear ABOVE the filter.
+    // (Catalyst goes further and folds the cut into the candidate
+    // join's condition — dropped pairs never materialize at all)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val lines = finalPlan.linesIterator.toVector
+    val fIdx = lines.indexWhere(l =>
+      l.contains("bit_count") && l.contains("<="))
+    val aggIdx = lines.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(fIdx >= 0 && aggIdx.nonEmpty && fIdx > aggIdx.max,
+      s"hamming cut must sit below the distinct aggregates:\n$p")
   }
 
   test("q87: history counter ranks per night and bounds via broadcast") {
