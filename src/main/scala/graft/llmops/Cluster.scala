@@ -232,14 +232,23 @@ object Cluster {
     * to the FINAL centroids) — counts, a centroid digest, and the
     * objective, all exact BIGINTs.
     */
-  def kmeansInt(vecs: DataFrame, k: Int, iters: Int,
-      quantScale: Double = 1000.0, offset: Long = 1048576L): DataFrame = {
-    val spark = vecs.sparkSession
-    val q = vecs.select(col("vec_id"),
+  /** Quantize `embedding` onto the shared integer grid (see
+    * [[kmeansInt]]) and pin the scan once. */
+  private def quantize(vecs: DataFrame, quantScale: Double,
+      offset: Long): DataFrame =
+    vecs.select(col("vec_id"),
         transform(col("embedding"), x =>
           floor(x.cast("double") * quantScale + 0.5).cast("long")
             + offset).as("qe"))
       .localCheckpoint()
+
+  /** The Lloyd training loop behind [[kmeansInt]] over a pre-quantized
+    * (vec_id, qe) frame: returns the trained (cid, centroid-on-grid)
+    * array — k-sized driver state (the PQ-codebook precedent), which
+    * is what makes the per-iteration assignment a pure map stage.
+    */
+  private def lloyd(q: DataFrame, k: Int,
+      iters: Int): Array[(Long, Array[Long])] = {
     var cent: Array[(Long, Array[Long])] = q.orderBy("vec_id").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -267,6 +276,28 @@ object Cluster {
         }
       }
     }
+    cent
+  }
+
+  /** Trained Lloyd centroids for `vecs` (vec_id, embedding) on the
+    * integer grid — the reusable product of the k-means recurrence,
+    * exposed so other operators can consume the model rather than the
+    * cluster report: [[graft.llmops.Similarity.ivfSeedsKmeans]] turns
+    * these into an IVF coarse quantizer. Dequantize a coordinate with
+    * (c − offset) / quantScale.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
+      quantScale: Double = 1000.0,
+      offset: Long = 1048576L): Array[(Long, Array[Long])] =
+    lloyd(quantize(vecs, quantScale, offset), k, iters)
+
+  def kmeansInt(vecs: DataFrame, k: Int, iters: Int,
+      quantScale: Double = 1000.0, offset: Long = 1048576L): DataFrame = {
+    val spark = vecs.sparkSession
+    val q = quantize(vecs, quantScale, offset)
+    val cent = lloyd(q, k, iters)
+    def best: Column = graft.expressions.KmeansNearest.nearest(
+      col("qe"), cent.map(_._1), cent.map(_._2))
     val norms = cent.toSeq.map { case (cid, c) =>
       (cid, c.map(v => { val d = v - offset; d * d }).sum)
     }

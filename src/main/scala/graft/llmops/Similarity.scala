@@ -160,6 +160,41 @@ object Similarity {
       .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
         col("nrm").as("snrm"))
 
+  /** Lloyd-TRAINED coarse quantizer — the cell-skew fix for REAL
+    * (clustered) embeddings: [[ivfSeeds]]' modulo sampling draws seeds
+    * with the data's density, so a dense mode grabs several near-
+    * identical seeds while sparse regions get none, and cell occupancy
+    * skews — occupancy² being exactly the documented cost knob of the
+    * in-cell pair stages (q85/q90) and the probed-cell candidate
+    * volume (q98). Training k centroids with
+    * [[graft.llmops.Cluster.kmeansCentroids]] places one seed per
+    * density mode instead; SimilaritySpec pins the occupancy-CV drop
+    * on a clustered synthetic corpus.
+    *
+    * Returns the same (seed_id, semb, snrm) relation as [[ivfSeeds]]
+    * (seed_id = the training vec_id the centroid descended from, semb
+    * the de-quantized centroid), so it drops into [[ivfAssign]] /
+    * [[knnJoinIndexed]] / semanticDedup unchanged. Like any trained
+    * quantizer it must be PERSISTED and reused for incremental ingest
+    * (the streaming sinks' stable-quantizer rule) — retraining on a
+    * grown corpus moves cell boundaries and invalidates an index.
+    * Training cost: `iters` passes over the corpus with k-sized driver
+    * state; the default gates keep the modulo seeder.
+    */
+  def ivfSeedsKmeans(e: DataFrame, nCells: Int, iters: Int = 3,
+      quantScale: Double = 1000.0, offset: Long = 1048576L): DataFrame = {
+    val spark = e.sparkSession
+    val cents = Cluster.kmeansCentroids(
+      e.select("vec_id", "embedding"), nCells, iters, quantScale, offset)
+    import spark.implicits._
+    cents.toSeq
+      .map { case (cid, c) =>
+        (cid, c.map(v => (v - offset).toDouble / quantScale).toSeq)
+      }
+      .toDF("seed_id", "semb")
+      .withColumn("snrm", norm(col("semb")))
+  }
+
   /** q27 — IVF (inverted-file) ANN: deterministic seed vectors act as
     * the coarse quantizer ([[ivfSeeds]]); every vector is assigned to
     * its nearest seed ([[ivfAssign]]); a query probes its nProbe
@@ -242,6 +277,24 @@ object Similarity {
         col("vec_id").as("nn_id"), col("cos_sim"))
       .orderBy("q_id", "rk")
   }
+
+  /** APPEND a landing batch to a persisted IVF index — the q46 ingest
+    * shape for the index itself: only the batch computes seed cosines
+    * (|batch| × |seeds| — the broadcast-seed [[ivfAssign]] map stage);
+    * landed assignment rows are read back verbatim and never
+    * re-shuffled or re-scored. Under a STABLE quantizer (`seeds`
+    * persisted from the original build — the same rule as the
+    * streaming sinks) the result is row-identical to rebuilding with
+    * ivfAssign(index-vectors ∪ batch) (SimilaritySpec pins the
+    * equivalence), so probes via [[knnJoinIndexed]] see an
+    * incrementally-grown index indistinguishable from a fresh build.
+    * At scale: write the returned rows partitioned/bucketed by seed_id
+    * next to the landed files; the landed side of this union is
+    * scan-only.
+    */
+  def ivfAppend(index: DataFrame, seeds: DataFrame,
+      batch: DataFrame): DataFrame =
+    index.unionByName(ivfAssign(batch, seeds))
 
   /** q98 — [[knnJoin]]: every 53rd vector as the query batch, top-3
     * probed-cell neighbors each. Mirror generalizes the q27 CTEs to a

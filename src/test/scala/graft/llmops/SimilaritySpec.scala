@@ -79,6 +79,60 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("ivfSeedsKmeans: trained seeds flatten cell occupancy on a clustered corpus") {
+    import spark.implicits._
+    // synthetic clustered corpus: 4 orthogonal-ish modes, 60 vectors
+    // each, mode = vec_id % 4 (so the Lloyd init — lowest 4 ids — sees
+    // one vector per mode). Mode 3's center leans toward mode 2's, so
+    // the modulo-97 seeder (ids 0/97/194 → modes 0/1/2) has no seed
+    // for mode 3 and its 60 vectors pile into mode 2's cell —
+    // occupancy (60, 60, 120). Deterministic sub-1% noise everywhere.
+    val dim = 8
+    def center(m: Int): Array[Double] = {
+      val c = Array.fill(dim)(0.0)
+      if (m < 3) c(m) = 1.0
+      else { c(2) = 0.9; c(3) = 0.44 } // ~26° off mode 2
+      c
+    }
+    def vec(i: Int): Seq[Double] = {
+      val c = center(i % 4)
+      (0 until dim).map(j => c(j) + 0.01 * ((i * 31 + j * 17) % 7 - 3) / 3.0)
+    }
+    val corpus = (0 until 240).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    def occupancyCv(seeds: org.apache.spark.sql.DataFrame): Double = {
+      val counts = Similarity.ivfAssign(corpus, seeds)
+        .groupBy("seed_id").count().collect().map(_.getLong(1).toDouble)
+      val mean = counts.sum / counts.length
+      math.sqrt(counts.map(c => (c - mean) * (c - mean)).sum /
+        counts.length) / mean
+    }
+    val cvModulo = occupancyCv(Similarity.ivfSeeds(corpus))
+    val cvTrained = occupancyCv(
+      Similarity.ivfSeedsKmeans(corpus, nCells = 4))
+    assert(cvTrained < cvModulo,
+      s"trained CV $cvTrained should beat modulo CV $cvModulo")
+    // and the trained quantizer separates the modes near-perfectly
+    assert(cvTrained < 0.05, s"trained CV $cvTrained")
+  }
+
+  test("ivfAppend(index, batch) == full rebuild under the stable quantizer") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val seeds = Similarity.ivfSeeds(e) // quantizer fixed at build time
+    val landed = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val appended = Similarity.ivfAppend(
+      Similarity.ivfAssign(landed, seeds), seeds, batch)
+      .select("vec_id", "seed_id")
+    val full = Similarity.ivfAssign(e, seeds).select("vec_id", "seed_id")
+    assert(appended.count() === full.count())
+    assert(appended.exceptAll(full).isEmpty &&
+      full.exceptAll(appended).isEmpty)
+  }
+
   test("knnJoin: planted twins come back as each query's rank-1 neighbor") {
     import spark.implicits._
     // corpus on the real embeddings; every query vector gets a twin

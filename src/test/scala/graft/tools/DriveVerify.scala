@@ -487,6 +487,33 @@ object DriveVerify {
         s"${graft.streaming.StreamOps.readSpanIndex(spark, s"$sdDir/state")
           .count()} index digests")
       org.apache.commons.io.FileUtils.deleteQuietly(sdDir.toFile)
+      // IVF index file-replay: build on 80% of the corpus, persist the
+      // index + quantizer to parquet, APPEND the held-out 20% against
+      // the files, probe the grown index — the incremental-ingest path
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_drive")
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("nrm", graft.llmops.Similarity.norm(col("embedding")))
+      val quant = graft.llmops.Similarity.ivfSeeds(emb)
+      quant.write.mode("overwrite").parquet(s"$ivfDir/seeds")
+      graft.llmops.Similarity.ivfAssign(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), quant)
+        .write.mode("overwrite").parquet(s"$ivfDir/index")
+      val seedsBack = spark.read.parquet(s"$ivfDir/seeds")
+      val grown = graft.llmops.Similarity.ivfAppend(
+        spark.read.parquet(s"$ivfDir/index"), seedsBack,
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+      grown.write.mode("overwrite").parquet(s"$ivfDir/index2")
+      val idx2 = spark.read.parquet(s"$ivfDir/index2")
+      val probed = graft.llmops.Similarity.knnJoinIndexed(
+        idx2, seedsBack, emb.filter(col("vec_id") % 53 === 0), k = 3)
+      println(s"ivf append replay: index ${idx2.count()} rows " +
+        s"(= corpus ${emb.count()}), probe rows: ${probed.count()}")
+      // trained-quantizer option: occupancy spread vs the modulo seeder
+      val tseeds = graft.llmops.Similarity.ivfSeedsKmeans(
+        emb, nCells = 6, iters = 2)
+      println(s"kmeans quantizer: ${tseeds.count()} cells, assignment " +
+        s"rows: ${graft.llmops.Similarity.ivfAssign(emb, tseeds).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(ivfDir.toFile)
     }
     spark.stop()
   }
