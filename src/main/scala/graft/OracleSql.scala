@@ -2376,6 +2376,87 @@ object OracleSql {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q99 — the A6 rate-cut flag vector
+    * ([[graft.operators.GoldenQueries.q99RubinRateCuts]]): latest
+    * previous same-band point via list_filter/list_sort on the history
+    * array (struct (t, flux) lexicographic — identical to Spark's
+    * array_sort-of-structs), AB-magnitude rate, the rising/fading
+    * cuts, and the extragalactic_new_candidate conjunction rebuilt
+    * from the q88 fragments. Floats cast to DOUBLE exactly where Spark
+    * widens (log10 input, the flag divisions); round-6 on the two
+    * continuous columns absorbs the libm-vs-Math ulp.
+    */
+  private lazy val q99 = {
+    val d2r = 0.017453292519943295
+    val sinNgp = math.sin(27.12825 * d2r)
+    val cosNgp = math.cos(27.12825 * d2r)
+    val bad = sqlList(graft.filters.rubin.RubinBlocks.BadValues)
+    val hosts = sqlList(graft.filters.rubin.RubinBlocks.EgHosts)
+    val vsx = sqlList(graft.filters.rubin.RubinBlocks.VsxStellar)
+    val bGal = s"""(asin(sin(diaSource."dec" * $d2r) * $sinNgp
+       |      + cos(diaSource."dec" * $d2r) * $cosNgp
+       |      * cos((diaSource.ra - 192.85948) * $d2r)) / $d2r)""".stripMargin
+    def magOf(flux: String) =
+      s"CASE WHEN $flux > 0 THEN -2.5 * log10(CAST($flux AS DOUBLE)) + 31.4 END"
+    s"""WITH p AS (
+       |  SELECT *,
+       |    list_sort(list_transform(
+       |      list_filter(prvDiaSources, s -> s.band = diaSource.band),
+       |      s -> struct_pack(t := s.midpointMjdTai, flux := s.psfFlux)
+       |    ))[-1] AS prev,
+       |    (diaSource.midpointMjdTai - misc.firstDiaSourceMjdTaiFink)
+       |      AS dt_rising,
+       |    ${magOf("diaSource.psfFlux")} AS mag
+       |  FROM '$RubinFixture'),
+       |f AS (
+       |  SELECT *,
+       |    (mag - (${magOf("prev.flux")}))
+       |      / (diaSource.midpointMjdTai - prev.t) AS rate,
+       |    coalesce(abs($bGal) > 20, false) AS f_outside_plane,
+       |    $rubinGoodQualitySql AS f_gq,
+       |    coalesce(xm.simbad_otype IN ($hosts), false) AS f_sim_gal,
+       |    (xm.simbad_otype IS NULL OR xm.simbad_otype IN ($bad))
+       |      AS f_sim_unk,
+       |    coalesce(xm.mangrove_lum_dist > 0, false) AS f_mangrove,
+       |    coalesce(xm.gaiadr3_DR3Name IS NOT NULL
+       |      AND xm.gaiadr3_DR3Name NOT IN ($bad)
+       |      AND CAST(xm.gaiadr3_Plx AS DOUBLE)
+       |        / CAST(xm.gaiadr3_e_Plx AS DOUBLE) > 5, false) AS f_gaia,
+       |    coalesce(xm.vsx_Type IN ($vsx), false) AS f_vsx,
+       |    coalesce(pred.is_sso, false) AS f_sso,
+       |    coalesce(xm.legacydr8_zphot > 0, false) AS f_legacy,
+       |    coalesce(${rubinBandColSql("psfFluxNdata")} >= 2, false)
+       |      AS f_two_same_band
+       |  FROM p),
+       |g AS (
+       |  SELECT *,
+       |    coalesce(rate < -0.2 AND dt_rising < 3, false) AS f_rising_rate,
+       |    coalesce(diaSource.band IN ('r', 'i') AND rate > 0.2, false)
+       |      AS f_fading_ri,
+       |    coalesce(diaSource.band IN ('g', 'u') AND rate > 0.5, false)
+       |      AS f_fading_gu,
+       |    (f_gq AND (f_sim_gal OR f_mangrove
+       |        OR (f_legacy AND (f_sim_unk OR f_sim_gal)))
+       |      AND f_outside_plane AND NOT f_sso
+       |      AND NOT f_gaia AND NOT f_vsx) AS f_eg_near_galaxy
+       |  FROM f)
+       |SELECT diaSourceId AS source_id,
+       |  round(CAST(prev.t AS DOUBLE), 6) AS prev_t,
+       |  round(rate, 6) AS rate,
+       |  CAST(coalesce(dt_rising < 5.0, false) AS INTEGER) AS f_new,
+       |  CAST(coalesce(mag < 24, false) AS INTEGER) AS f_bright,
+       |  CAST(f_rising_rate AS INTEGER) AS f_rising_rate,
+       |  CAST(f_fading_ri AS INTEGER) AS f_fading_ri,
+       |  CAST(f_fading_gu AS INTEGER) AS f_fading_gu,
+       |  CAST(f_rising_rate OR f_fading_ri OR f_fading_gu AS INTEGER)
+       |    AS f_rate,
+       |  CAST(f_eg_near_galaxy AND coalesce(dt_rising < 5.0, false)
+       |    AND f_two_same_band AND coalesce(mag < 24, false)
+       |    AND (f_rising_rate OR f_fading_ri OR f_fading_gu) AS INTEGER)
+       |    AS f_extragalactic_new
+       |FROM g ORDER BY source_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -2473,5 +2554,6 @@ object OracleSql {
     "q95_setsim_join" -> q95,
     "q96_pagerank" -> q96,
     "q97_kmeans" -> q97,
-    "q98_knn_join" -> q98)
+    "q98_knn_join" -> q98,
+    "q99_rubin_rate_cuts" -> q99)
 }

@@ -194,7 +194,16 @@ object SparkEntry {
     "q97_kmeans" -> (Cluster.qKmeans _),
     // batch kNN join: a query SET probes IVF cells, one seed_id
     // equi-join, per-query exact-cosine rank <= k
-    "q98_knn_join" -> (Similarity.qKnnJoin _))
+    "q98_knn_join" -> (Similarity.qKnnJoin _),
+    // A6 per-band latest-prior rate cuts + the extragalactic_new
+    // conjunction as a flag vector (the last Rubin block under a gate)
+    "q99_rubin_rate_cuts" ->
+      (operators.GoldenQueries.q99RubinRateCuts _),
+    // censored Rainbow fit (5-sigma upper limits via the one-sided
+    // hinge) — rows-only like q82: no SQL oracle for an iterative
+    // optimizer; hinge algebra pinned by RainbowFitSpec
+    "q100_rainbow_censored" ->
+      (operators.GoldenQueries.q100RainbowCensored _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

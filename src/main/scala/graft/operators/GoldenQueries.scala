@@ -78,6 +78,70 @@ object GoldenQueries {
         round(col("chi2"), 6).as("chi2"), col("n"))
       .orderBy("object_id", "jd")
 
+  /** q99 — the A6 per-band latest-prior RATE rules of
+    * `filter_extragalactic_new_candidate/filter.py:141-191`, lifted as
+    * a flag vector over the Rubin fixture (the last golden-pinned-only
+    * Rubin block): latest previous same-band detection via the
+    * struct-sorted history array ([[RubinBlocks.latestPrevSameBand]]),
+    * the magnitude rate against it, the rising (rate < −0.2 within
+    * 3 d) and band-dependent fading cuts (r/i > 0.2, g/u > 0.5), and
+    * the registered filter's full conjunction — so the oracle
+    * certifies the rate arithmetic AND the composite row-by-row.
+    */
+  def q99RubinRateCuts(spark: SparkSession, dir: String): DataFrame = {
+    def dsc(f: String) = col(s"diaSource.$f")
+    val df = rubinFixture(spark)
+    val prev = RubinBlocks.latestPrevSameBand
+    val mag = RubinBlocks.apparentMag
+    val prevMag = graft.astro.Astro.fluxNJyToMag(prev.getField("flux"))
+    val rate = (mag - prevMag) / (dsc("midpointMjdTai") - prev.getField("t"))
+    val dtRising =
+      dsc("midpointMjdTai") - col("misc.firstDiaSourceMjdTaiFink")
+    val fRising = rate < -0.2 && dtRising < 3
+    val fFadingRi = dsc("band").isin("r", "i") && rate > 0.2
+    val fFadingGu = dsc("band").isin("g", "u") && rate > 0.5
+    df.select(
+      col("diaSourceId").as("source_id"),
+      round(prev.getField("t").cast("double"), 6).as("prev_t"),
+      round(rate, 6).as("rate"),
+      coalesce(dtRising < 5.0, lit(false)).cast("int").as("f_new"),
+      coalesce(mag < 24, lit(false)).cast("int").as("f_bright"),
+      coalesce(fRising, lit(false)).cast("int").as("f_rising_rate"),
+      coalesce(fFadingRi, lit(false)).cast("int").as("f_fading_ri"),
+      coalesce(fFadingGu, lit(false)).cast("int").as("f_fading_gu"),
+      coalesce(fRising || fFadingRi || fFadingGu, lit(false)).cast("int")
+        .as("f_rate"),
+      coalesce(graft.filters.rubin.RubinFilters
+        .extragalacticNewCandidate.mask(df), lit(false)).cast("int")
+        .as("f_extragalactic_new"))
+      .orderBy("source_id")
+  }
+
+  /** q100 — the CENSORED Rainbow fit: identical to [[q82RainbowFit]]
+    * but the history enters through `fluxHistoryWithLimitsCol`, so 5σ
+    * non-detections participate as censored points under the one-sided
+    * hinge (`EarlyTdeScorer.withRainbowFit(useUpperLimits = true)` —
+    * the path the round-9 gate never exercised). Rides the same
+    * rows-only contract as q82 (iterative LM optimizer); the hinge
+    * algebra itself is pinned by RainbowFitSpec, and q82 stays
+    * detections-only bit-identical.
+    */
+  def q100RainbowCensored(spark: SparkSession, dir: String): DataFrame =
+    graft.filters.ztf.EarlyTdeScorer
+      .withRainbowFit(fixture(spark), useUpperLimits = true)
+      .select(col("objectId").as("object_id"),
+        col("candidate.jd").cast("double").as("jd"),
+        col("rainbow_fit.*"))
+      .filter(col("converged") && col("rise_time").between(0.5, 100) &&
+        col("temperature").between(2000, 50000))
+      .select(col("object_id"), col("jd"),
+        round(col("t0"), 6).as("t0"),
+        round(col("amplitude"), 9).as("amplitude"),
+        round(col("rise_time"), 6).as("rise_time"),
+        round(col("temperature"), 3).as("temperature"),
+        round(col("chi2"), 6).as("chi2"), col("n"))
+      .orderBy("object_id", "jd")
+
   /** Rubin/LSST fixture (27 alerts) — same single-source-of-truth rule
     * as [[FixtureDir]]: the DuckDB mirrors read this exact path.
     */

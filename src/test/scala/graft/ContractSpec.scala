@@ -15,7 +15,8 @@ class ContractSpec extends AnyFunSuite {
     * here must be a conscious decision, never an omission.
     */
   private val rowsOnly = Set(
-    "q82_rainbow_fit") // iterative LM optimizer; values pinned by RainbowFitSpec
+    "q82_rainbow_fit",       // iterative LM optimizer; values pinned by RainbowFitSpec
+    "q100_rainbow_censored") // same optimizer, censored (upper-limit) history path
 
   test("every query has an oracle and vice versa") {
     // these two together also force oracleSql ∩ rowsOnly = ∅
