@@ -54,10 +54,33 @@ object Bench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // fixed-work ambient-load canary: a constant-input integer-mix loop
+    // (single-threaded, allocation-free, input-independent) timed once
+    // per rep, so every BENCH artifact carries its own host factor —
+    // the round-9 driver bench ran ~1.9x hot and only an out-of-band
+    // study could prove it. Cross-round comparisons normalize by the
+    // calibration ratio instead of guessing at ambient load.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 400000000L) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        h ^= h >>> 29
+        i += 1
+      }
+      if (h == 42L) print("") // the result is live; the loop can't fold
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calib = Vector.empty[Double]
     // interleaved: outer loop over reps, inner over queries (see scaladoc)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; name <- names) {
+    for (_ <- 1 to reps; name <- ("" +: names)) if (name.isEmpty) {
+      // one canary sample at the head of each rep — contention DURING
+      // the run shows up as calibration spread, not just a hot start
+      calib = calib :+ calibrate()
+    } else {
       val t0 = System.nanoTime()
       // a failure must not read as a speedup: record the query in
       // `failed` and report a -1 sentinel time instead of its (short)
@@ -83,7 +106,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
+    val calibS = round3(calib.min)
+    val calibSpread = round3(calib.max / calib.min)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -583,13 +583,15 @@ object Dedup {
     * losslessness certificate for the prefix bound.
     *
     * Scale shape: the df aggregation and candidate join shuffle slim
-    * (token, doc_id) rows; full sets rejoin only for candidate docs.
-    * Two lossless prunes keep the candidate join small: prefix rows
-    * with df = 1 are dropped (a token occurring in ONE set joins
-    * nothing), and candidate pairs violating the size-ratio bound
-    * (J ≥ t ⟹ t·max(na,nb) ≤ min(na,nb)) are cut before the
-    * distinct. Input: (doc_id, sh) with `sh` the DISTINCT md5-16
-    * token-hash set.
+    * (token, doc_id, pos) rows; full sets rejoin only for candidate
+    * docs. Three lossless prunes keep the candidate join small: prefix
+    * rows with df = 1 are dropped (a token occurring in ONE set joins
+    * nothing), candidate pairs violating the size-ratio bound
+    * (J ≥ t ⟹ t·max(na,nb) ≤ min(na,nb)) are cut in the join
+    * condition, and the PPJoin POSITIONAL bound (overlap ≤ 1 +
+    * min(na − ia, nb − ib) at the first common prefix token) cuts
+    * near-threshold pairs before the verify rejoin. Input: (doc_id,
+    * sh) with `sh` the DISTINCT md5-16 token-hash set.
     *
     * Profile caveat (measured, sf0.1): prefix blocking needs a SPARSE
     * token universe. On a dense one (bigrams of this corpus: 931
@@ -599,13 +601,14 @@ object Dedup {
     * of thumb: prefix-filter when avg df ≪ corpus size (shingle
     * order buys sparsity: trigrams here have 27k tokens, avg df 10).
     */
-  def setSimilarityJoin(d: DataFrame, threshold: Double): DataFrame = {
-    // sort each set ONCE at build: the exact-verify intersection is a
-    // merge-walk kernel over sorted arrays (SortedIntersectCount —
-    // array_intersect hashed/materialized per candidate pair, measured
-    // 15 s of a 22 s sf0.1 run)
-    val sets = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
-      size(col("sh")).cast("long").as("n")).persist()
+  /** Candidate (doc_a, doc_b) pairs of the prefix-filter blocking over
+    * a prepared `sets` frame (doc_id, sorted sh, n). `positional`
+    * toggles the PPJoin bound so its candidate-volume effect is
+    * directly measurable (DedupSpec containment + the 100x soak);
+    * production path always passes true.
+    */
+  private[graft] def setSimCandidates(sets: DataFrame, threshold: Double,
+      positional: Boolean = true): DataFrame = {
     val dfreq = sets.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val ordered = sets
@@ -617,10 +620,24 @@ object Dedup {
         s => s.getField("tok")).as("otoks"))
     val prefixLen =
       (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    // prefix rows carry their 1-based ORDERED position: both prefixes
+    // follow the same global token order, so for any candidate pair
+    // the minimum matching position on each side is attained at the
+    // SAME (order-first) common token — which makes the PPJoin
+    // positional upper bound (Xiao et al. 2008) applicable in the
+    // join-based formulation: overlap ≤ 1 + min(na − ia, nb − ib) at
+    // the first common token, and J ≥ t needs overlap ≥
+    // t·(na+nb)/(1+t). Pairs failing the bound are cut BEFORE the
+    // full-set rejoin + merge-walk verify — pure per-row arithmetic on
+    // rows the dedup aggregation already shuffles. The 1e-6 slack only
+    // ADMITS float-borderline pairs (verify discards them): lossless.
     val prefix = ordered.select(col("doc_id"), col("n"),
-        explode(slice(col("otoks"), lit(1), prefixLen)).as("tok"))
+        posexplode(slice(col("otoks"), lit(1), prefixLen))
+          .as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"),
+        col("tok"))
       .join(dfreq.filter(col("df") >= 2).select("tok"), Seq("tok"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val grouped = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
           // +0.5 slack makes the float multiply provably lossless for
@@ -628,8 +645,29 @@ object Dedup {
           // integer bound); verify discards the borderline keeps
           greatest(col("a.n"), col("b.n")) * threshold <=
             least(col("a.n"), col("b.n")) + lit(0.5))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na0"), col("b.n").as("nb0"))
+      .agg(min(col("a.pos")).as("ia"), min(col("b.pos")).as("ib"))
+    val bounded =
+      if (!positional) grouped
+      else grouped.filter(lit(1.0 + threshold) *
+        (lit(1L) + least(col("na0") - col("ia"), col("nb0") - col("ib")))
+        >= lit(threshold) * (col("na0") + col("nb0")) - lit(1e-6))
+    bounded.select("doc_a", "doc_b")
+  }
+
+  def setSimilarityJoin(d: DataFrame, threshold: Double): DataFrame = {
+    // sort each set ONCE at build: the exact-verify intersection is a
+    // merge-walk kernel over sorted arrays (SortedIntersectCount —
+    // array_intersect hashed/materialized per candidate pair, measured
+    // 15 s of a 22 s sf0.1 run). Four consumers (dfreq, ordered, both
+    // verify sides) reference the sorted sets, so they materialize
+    // ONCE via the eager localCheckpoint — the triangles convention
+    // (a persist would also run once but leak a cache-manager relation
+    // into the caller's session for its lifetime).
+    val sets = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).cast("long").as("n")).localCheckpoint()
+    val cand = setSimCandidates(sets, threshold)
     val withSets = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
         col("n").as("na")), Seq("doc_a"))

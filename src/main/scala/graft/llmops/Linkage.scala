@@ -63,10 +63,23 @@ object Linkage {
     * exact distance. Blocking per the scaladoc above; candidates are
     * deduplicated before the verify so `levenshtein` runs once per
     * candidate pair.
+    *
+    * `maxLen` bounds the deletion-neighborhood blowup: at maxDist = 2
+    * the pair index materializes len² elements per value, so an
+    * unguarded multi-KB string would allocate millions of array slots
+    * in one row. A value longer than `maxLen` fails LOUDLY
+    * (raise_error) rather than silently dropping pairs or OOMing —
+    * linkage keys are short by nature; raise the limit deliberately if
+    * a vocabulary genuinely needs it.
     */
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, maxLen: Int = 256): DataFrame = {
     val names = df.select(col(nameCol).as("name")).distinct()
+      .select(when(length(col("name")) > maxLen,
+          raise_error(concat(
+            lit(s"fuzzyNamePairs: value exceeds maxLen=$maxLen chars: "),
+            col("name").substr(1, 64))))
+        .otherwise(col("name")).as("name"))
     val v = names.select(col("name"),
       explode(deletionVariants(col("name"), maxDist)).as("vstr"))
       .select(col("name"), xxhash64(col("vstr")).as("vkey"))

@@ -45,11 +45,28 @@ object Layout {
     * per-row function (no data-dependent pass), which an incremental
     * writer needs — the same key must land in the same z-cell in every
     * batch.
+    *
+    * The scaling runs in DECIMAL(38,0): the long product c·2^bits
+    * overflows for domains near 2^(63−bits), and Spark's `/` on longs
+    * routes through DOUBLE (exact only below 2^53) — either would
+    * silently scramble z-cell assignment on extreme key domains, and a
+    * batch writer that scrambles cells differently per batch breaks
+    * the incremental contract above. Decimal keeps the product exact,
+    * and the floor division is made exact by subtracting the modulus
+    * first — floor(a/b) = (a − a mod b)/b divides an exact multiple,
+    * so Spark's scale-6 decimal-quotient rounding (which CAN cross an
+    * integer boundary on a bare a/b) has nothing to round. LayoutSpec
+    * pins a 2^60 domain against a BigInt reference.
     */
-  def scaleTo(c: Column, maxValue: Long, bits: Int): Column =
-    least(
-      (c.cast("long") * lit(1L << bits) / lit(maxValue + 1)).cast("long"),
+  def scaleTo(c: Column, maxValue: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(maxValue >= 0 && maxValue < Long.MaxValue,
+      s"maxValue must be in [0, Long.MaxValue), got $maxValue")
+    val m = lit(maxValue + 1)
+    val prod = c.cast("decimal(38,0)") * lit(1L << bits)
+    least(((prod - pmod(prod, m)) / m).cast("long"),
       lit((1L << bits) - 1))
+  }
 
   /** Write `df` clustered by the z-order of `zcols`: range-partition on
     * the z-value (each output file covers one contiguous z range — a

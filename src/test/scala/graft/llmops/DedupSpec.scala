@@ -390,6 +390,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PPJoin positional bound: strict subset of prefix candidates, nothing true lost") {
+    import spark.implicits._
+    // same randomized corpus family as the equality test: the
+    // positional filter must only ever REMOVE candidates (containment)
+    // and must actually bite on near-threshold pairs (strict at 0.5),
+    // while the surviving set still covers every true pair (the
+    // equality test above pins end-to-end losslessness independently)
+    val rnd = new scala.util.Random(42L)
+    val universe = (0 until 60).map(i => f"tok$i%02d")
+    val d = (0L until 150L).map { id =>
+      (id, rnd.shuffle(universe).take(3 + rnd.nextInt(18)))
+    }.toDF("doc_id", "sh")
+    val sets = d.select(col("doc_id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).cast("long").as("n")).localCheckpoint()
+    for (t <- Seq(0.5, 0.8)) {
+      val pos = Dedup.setSimCandidates(sets, t, positional = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nopos = Dedup.setSimCandidates(sets, t, positional = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pos.subsetOf(nopos), s"threshold $t")
+      assert(pos.size < nopos.size,
+        s"positional bound never bit at t=$t: ${pos.size} vs ${nopos.size}")
+    }
+  }
+
   test("setSimilarityJoin edge shapes: exact dups, singletons, no pairs") {
     import spark.implicits._
     val d = Seq(

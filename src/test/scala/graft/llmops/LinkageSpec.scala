@@ -71,6 +71,23 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyNamePairs fails loudly past maxLen instead of building a len^2 index") {
+    import spark.implicits._
+    // a multi-KB key would materialize millions of deletion-variant
+    // slots per row at k=2 — the guard must raise, not drop or OOM
+    val long = "x" * 5000
+    val df = Seq("short", long).toDF("name")
+    val ex = intercept[Exception] {
+      Linkage.fuzzyNamePairs(df, "name", maxDist = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxLen") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxLen")),
+      ex.getMessage)
+    // under the limit nothing changes
+    assert(Linkage.fuzzyNamePairs(
+      Seq("abc", "abd").toDF("name"), "name", 1).count() === 1L)
+  }
+
   test("q92 gate: 24 near-miss name pairs, counts join back exactly") {
     val out = Linkage.qFuzzyJoin(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 24)

@@ -43,6 +43,25 @@ class LayoutSpec extends SparkSpec {
     assert(got.forall(s => s >= 0 && s < 256))
   }
 
+  test("scaleTo is exact on extreme key domains (2^60) — no long overflow, no double rounding") {
+    import spark.implicits._
+    // the pre-decimal formula long-multiplied c*2^bits (overflows for
+    // domains past 2^(63-bits)) then divided through DOUBLE (exact
+    // only below 2^53); either silently scrambles cell assignment.
+    // Pin against an exact BigInt reference across the domain.
+    val bits = 16
+    val max = (1L << 60) - 1
+    val vals = Seq(0L, 1L, (1L << 47) + 3, max / 3, max / 2,
+      max - (1L << 44) + 1, max - 1, max)
+    val want = vals.map(v =>
+      (BigInt(v) * (1L << bits) / (BigInt(max) + 1)).toLong)
+    val got = vals.toDF("v")
+      .select(Layout.scaleTo(col("v"), max, bits).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.forall(s => s >= 0 && s < (1L << bits)))
+  }
+
   test("locality: z-buckets bound far smaller key boxes than natural order") {
     val dir = "/root/testdata/sf0.001"
     // both dimensions span the full 0..255 cell range at this SF

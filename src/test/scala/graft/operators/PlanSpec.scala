@@ -380,7 +380,6 @@ class PlanSpec extends SparkSpec {
 
   test("q95: prefix-filter candidates are a token equi-join, never all-pairs") {
     val p = plan(graft.llmops.Dedup.qSetSimJoin(spark, dir))
-    spark.catalog.clearCache() // qSetSimJoin persists the sets relation
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoop"), p)
     // exact verify happens on candidate rows via the sorted merge-walk

@@ -17,6 +17,34 @@ object Q95Diag {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // candidate volume with and without the PPJoin positional bound
+    // (the q95 corpus shape: trigram sets + planted 70% truncations)
+    {
+      import org.apache.spark.sql.functions._
+      val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val trunc = d0.filter(col("doc_id") < 200)
+        .select((col("doc_id") + lit(20000L)).as("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), lit(1),
+            greatest(lit(1),
+              ((size(col("toks")) * 7).cast("double") / 10).cast("int"))),
+            " ").as("text"))
+      val corpus = d0.select(col("doc_id"), col("text")).unionByName(trunc)
+      val sets = corpus.select(col("doc_id"),
+          array_sort(array_distinct(graft.llmops.TextOps.shingleHashes(
+            graft.expressions.WordShingles.shingles(col("text"), 3))))
+            .as("sh"))
+        .select(col("doc_id"), col("sh"),
+          size(col("sh")).cast("long").as("n"))
+        .localCheckpoint()
+      val noPos = graft.llmops.Dedup
+        .setSimCandidates(sets, 0.5, positional = false).count()
+      val withPos = graft.llmops.Dedup
+        .setSimCandidates(sets, 0.5, positional = true).count()
+      println(s"q95 candidates sf0.1: prefix-only $noPos, " +
+        f"+positional $withPos (${100.0 * (noPos - withPos) / noPos}%.1f%% cut)")
+    }
     for (rep <- 1 to 3) {
       time(s"rep $rep qSetSimJoin full") {
         graft.llmops.Dedup.qSetSimJoin(spark, "/root/testdata/sf0.1")
