@@ -2265,34 +2265,41 @@ object OracleSql {
     * sum and coalesce columns, row_number argmin with the (dist, cid)
     * tie-break, every quantity CAST BIGINT.
     */
-  private val q97 = {
-    val iters = 3
-    val dim = 64
-    val k = 8
-    val off = 1048576L
-    // Memory-lean form (round 10): v and every cent_i MATERIALIZED so
-    // the centroid recurrence is computed once per iteration instead of
-    // exponentially re-inlined, and the per-vector argmin is a grouped
-    // struct-min — (dist, cid) lexicographic, identical tie-break to
-    // the round-9 row_number ORDER BY dist, cid — so no window ever
-    // sorts the 64-element quantized vectors.
+  private val KmIters = 3
+  private val KmDim = 64
+  private val KmK = 8
+  private val KmOff = 1048576L
+  private val KmScale = "1000.0"
+
+  private def kmDistTerms(cent: String) = (0 until KmDim).map(j =>
+    s"(v.qe[${j + 1}] - c.c$j) * (v.qe[${j + 1}] - c.c$j)")
+    .mkString(" + ")
+
+  /** The shared Lloyd-recurrence CTE prelude (v, cent0, a/g/cent per
+    * iteration) — q97 reports clusters from it, q102 dequantizes its
+    * final centroids into the trained IVF quantizer. Memory-lean form
+    * (round 10): v and every cent_i MATERIALIZED so the centroid
+    * recurrence is computed once per iteration instead of
+    * exponentially re-inlined, and the per-vector argmin is a grouped
+    * struct-min — (dist, cid) lexicographic, identical tie-break to
+    * the round-9 row_number ORDER BY dist, cid — so no window ever
+    * sorts the 64-element quantized vectors.
+    */
+  private def kmCentroidCtes: String = {
     val qe = "list_transform(embedding, x -> " +
-      s"CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) + $off)"
-    val centSel = (0 until dim).map(j => s"qe[${j + 1}] AS c$j")
+      s"CAST(floor(CAST(x AS DOUBLE) * $KmScale + 0.5) AS BIGINT) + $KmOff)"
+    val centSel = (0 until KmDim).map(j => s"qe[${j + 1}] AS c$j")
       .mkString(", ")
-    def distTerms(cent: String) = (0 until dim).map(j =>
-      s"(v.qe[${j + 1}] - c.c$j) * (v.qe[${j + 1}] - c.c$j)")
-      .mkString(" + ")
-    val steps = (1 to iters).map { i =>
+    val steps = (1 to KmIters).map { i =>
       val prev = s"cent${i - 1}"
-      val sumCols = (0 until dim).map(j =>
+      val sumCols = (0 until KmDim).map(j =>
         s"CAST(sum(v.qe[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")
-      val newC = (0 until dim).map(j =>
+      val newC = (0 until KmDim).map(j =>
         s"CAST(coalesce(g.s$j // g.n, p.c$j) AS BIGINT) AS c$j")
         .mkString(", ")
       s"""a$i AS (
          |  SELECT v.vec_id, min(struct_pack(dist :=
-         |    CAST(${distTerms(prev)} AS BIGINT), cid := c.cid)) AS m
+         |    CAST(${kmDistTerms(prev)} AS BIGINT), cid := c.cid)) AS m
          |  FROM v, $prev c GROUP BY v.vec_id),
          |g$i AS (
          |  SELECT struct_extract(a.m, 'cid') AS cid,
@@ -2303,13 +2310,21 @@ object OracleSql {
          |  FROM $prev p LEFT JOIN g$i g ON g.cid = p.cid)"""
         .stripMargin
     }.mkString(",\n")
-    val normExpr = (0 until dim).map(j =>
-      s"(c$j - $off) * (c$j - $off)").mkString(" + ")
-    s"""WITH v AS MATERIALIZED (SELECT vec_id, $qe AS qe FROM embeddings),
+    s"""v AS MATERIALIZED (SELECT vec_id, $qe AS qe FROM embeddings),
        |cent0 AS MATERIALIZED (
        |  SELECT vec_id AS cid, $centSel
-       |  FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT $k)),
-       |$steps,
+       |  FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT $KmK)),
+       |$steps""".stripMargin
+  }
+
+  private val q97 = {
+    val iters = KmIters
+    val dim = KmDim
+    val off = KmOff
+    def distTerms(cent: String) = kmDistTerms(cent)
+    val normExpr = (0 until dim).map(j =>
+      s"(c$j - $off) * (c$j - $off)").mkString(" + ")
+    s"""WITH $kmCentroidCtes,
        |af AS (
        |  SELECT v.vec_id, min(struct_pack(dist :=
        |    CAST(${distTerms(s"cent$iters")} AS BIGINT), cid := c.cid)) AS m
@@ -2374,6 +2389,52 @@ object OracleSql {
        |      ORDER BY cos_sim DESC, vec_id) AS rk
        |  FROM cand) t
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q101 — ivfAppend ≡ full-rebuild certificate
+    * ([[graft.llmops.Similarity.qIvfAppend]]): the engine builds the
+    * index on the 80% landed split and APPENDS the held-out batch;
+    * this mirror computes the q98 assignment over the WHOLE corpus —
+    * equality in the driver artifact proves the append path
+    * reconstructs exactly the full build under the stable quantizer.
+    */
+  private val q101 = {
+    val cosSeed = cosineSql("embedding", "semb", 64)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS semb FROM e
+       |  WHERE vec_id % 97 = 0),
+       |am AS (
+       |  SELECT e.vec_id, min(struct_pack(nc := -round($cosSeed, 6),
+       |    sid := seeds.seed_id)) AS m
+       |  FROM e, seeds GROUP BY e.vec_id)
+       |SELECT vec_id, struct_extract(m, 'sid') AS seed_id
+       |FROM am ORDER BY vec_id""".stripMargin
+  }
+
+  /** q102 — the Lloyd-TRAINED IVF quantizer end-to-end
+    * ([[graft.llmops.Similarity.qIvfKmeansCells]]): reuse the q97
+    * centroid recurrence, dequantize the final centroids with the one
+    * IEEE division (c − offset)/scale, replay the round-6 cosine
+    * argmax assignment, profile cell occupancy.
+    */
+  private val q102 = {
+    val cos = cosineSql("e.embedding", "d.semb", 64)
+    val sembList = (0 until KmDim)
+      .map(j => s"CAST(c$j - $KmOff AS DOUBLE) / $KmScale")
+      .mkString("list_value(", ", ", ")")
+    s"""WITH $kmCentroidCtes,
+       |dseeds AS MATERIALIZED (
+       |  SELECT cid AS seed_id, $sembList AS semb
+       |  FROM cent$KmIters),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |am AS (
+       |  SELECT e.vec_id, min(struct_pack(nc := -round($cos, 6),
+       |    sid := d.seed_id)) AS m
+       |  FROM e, dseeds d GROUP BY e.vec_id)
+       |SELECT struct_extract(m, 'sid') AS seed_id,
+       |  CAST(count(*) AS BIGINT) AS n_members
+       |FROM am GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q99 — the A6 rate-cut flag vector
@@ -2555,5 +2616,7 @@ object OracleSql {
     "q96_pagerank" -> q96,
     "q97_kmeans" -> q97,
     "q98_knn_join" -> q98,
-    "q99_rubin_rate_cuts" -> q99)
+    "q99_rubin_rate_cuts" -> q99,
+    "q101_ivf_append" -> q101,
+    "q102_ivf_kmeans_cells" -> q102)
 }

@@ -203,7 +203,13 @@ object SparkEntry {
     // hinge) — rows-only like q82: no SQL oracle for an iterative
     // optimizer; hinge algebra pinned by RainbowFitSpec
     "q100_rainbow_censored" ->
-      (operators.GoldenQueries.q100RainbowCensored _))
+      (operators.GoldenQueries.q100RainbowCensored _),
+    // incremental IVF index append == full rebuild (stable quantizer);
+    // the oracle computes the whole-corpus assignment directly
+    "q101_ivf_append" -> (Similarity.qIvfAppend _),
+    // Lloyd-trained IVF quantizer end-to-end: q97 centroids dequantized
+    // into the coarse quantizer, corpus assigned, cell occupancy
+    "q102_ivf_kmeans_cells" -> (Similarity.qIvfKmeansCells _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

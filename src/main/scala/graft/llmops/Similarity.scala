@@ -305,6 +305,41 @@ object Similarity {
     knnJoin(e, e.filter(pmod(col("vec_id"), lit(53)) === 0), k = 3)
   }
 
+  /** q101 — [[ivfAppend]] under the driver gate: build the index on
+    * the landed 80% split (vec_id % 5 ≠ 0), append the held-out batch
+    * under the SAME quantizer, emit the grown assignment. The mirror
+    * computes the q98 assignment over the WHOLE corpus, so the hash
+    * match is the append ≡ full-rebuild equivalence certificate in the
+    * driver's artifact (SimilaritySpec pins it locally).
+    */
+  def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val seeds = ivfSeeds(e)
+    ivfAppend(
+      ivfAssign(e.filter(pmod(col("vec_id"), lit(5)) =!= 0), seeds),
+      seeds,
+      e.filter(pmod(col("vec_id"), lit(5)) === 0))
+      .select(col("vec_id"), col("seed_id"))
+      .orderBy("vec_id")
+  }
+
+  /** q102 — the Lloyd-TRAINED quantizer under the driver gate: train
+    * [[ivfSeedsKmeans]] (k = 8, 3 iterations — the exact q97
+    * recurrence, whose centroids the q97 mirror already replays),
+    * assign the corpus, emit the per-cell occupancy profile. The
+    * mirror dequantizes the q97 centroid CTE ((c − offset)/scale, one
+    * IEEE division) and replays the round-6 cosine argmax, certifying
+    * the trained-quantizer path end-to-end against DuckDB.
+    */
+  def qIvfKmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val seeds = ivfSeedsKmeans(e, nCells = 8, iters = 3)
+    ivfAssign(e, seeds)
+      .groupBy("seed_id")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("seed_id")
+  }
+
   /** q47 — int8 embedding quantization quality report: per-vector
     * symmetric scale (absmax/127), round-to-nearest quantization, mean
     * absolute reconstruction error and saturation count. The vector-
