@@ -63,6 +63,39 @@ object Scale100W3 {
           array_distinct(concat(shared, own)).as("sh"))
       graft.llmops.Dedup.setSimilarityJoin(sets, 0.5)
     }
+    // candidate volume with/without the PPJoin positional bound (r10).
+    // On THIS corpus the cut is expected ~0%: every prefix collision is
+    // a planted true twin, so there is nothing for the bound to remove
+    // — the measurement pins that the bound adds no overhead in the
+    // all-true regime; its 60% cut shows on the real sf0.1 corpus
+    // (near-threshold noise pairs), measured in tools/Q95Diag.
+    locally {
+      val shared = transform(sequence(lit(0), lit(13)),
+        i => substring(md5(concat(
+          ((col("doc_id") / 2).cast("long") * 1000 + i).cast("string"),
+          lit("s"))), 1, 12))
+      val own = transform(sequence(lit(14), lit(19)),
+        i => substring(md5(concat(
+          (col("doc_id") * 1000 + i).cast("string"), lit("o"))), 1, 12))
+      val sets = spark.range(200000L)
+        .select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(concat(shared, own))).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          size(col("sh")).cast("long").as("n"))
+        .localCheckpoint()
+      val noPos = time("q95 candidates 100x prefix-only") {
+        graft.llmops.Dedup.setSimCandidates(sets, 0.5,
+          positional = false).count()
+      }
+      val withPos = time("q95 candidates 100x +positional") {
+        graft.llmops.Dedup.setSimCandidates(sets, 0.5,
+          positional = true).count()
+      }
+      println(f"q95 candidates 100x: prefix-only $noPos, +positional " +
+        f"$withPos (${100.0 * (noPos - withPos) / noPos}%.1f%% cut)")
+      spark.catalog.clearCache()
+    }
 
     // ---- q96 integer PageRank ----
     onBig("q96 pagerank 100x (500k nodes, ~5M edges, 3 iters)") {
@@ -100,6 +133,27 @@ object Scale100W3 {
     onBig("q98 knn join probe 100x (2k queries, k=3, prebuilt index)") {
       graft.llmops.Similarity.knnJoinIndexed(assign, seeds,
         withNrm.filter(col("vec_id") % 100L === 7L), k = 3)
+    }
+    assign.unpersist()
+
+    // ---- trained-quantizer occupancy at 100x (r10): the replica
+    // corpus is maximally clustered (100 exact copies per vector), so
+    // modulo seeds land 100-deep in the same spots while Lloyd spreads
+    // over the real density modes ----
+    locally {
+      def cv(seeds: org.apache.spark.sql.DataFrame): Double = {
+        val counts = graft.llmops.Similarity.ivfAssign(withNrm, seeds)
+          .groupBy("seed_id").count().collect()
+          .map(_.getLong(1).toDouble)
+        val mean = counts.sum / counts.length
+        math.sqrt(counts.map(c => (c - mean) * (c - mean)).sum /
+          counts.length) / mean
+      }
+      val tseeds = time("ivfSeedsKmeans train 100x (k=32, 2 iters)") {
+        graft.llmops.Similarity.ivfSeedsKmeans(withNrm, nCells = 32,
+          iters = 2)
+      }
+      println(f"ivf occupancy CV 100x: trained ${cv(tseeds)}%.3f")
     }
 
     spark.stop()
