@@ -97,21 +97,9 @@ object StreamOps {
           val b = batch.select(col("vec_id"), col("embedding"))
             .withColumn("nrm", Similarity.norm(col("embedding")))
           val hc = spark.sparkContext.hadoopConfiguration
-          val seedsPath = new org.apache.hadoop.fs.Path(s"$statePath/seeds")
-          val fs = seedsPath.getFileSystem(hc)
-          val seeds =
-            if (fs.exists(seedsPath))
-              spark.read.parquet(seedsPath.toString)
-            else {
-              val every = b.filter(pmod(col("vec_id"), lit(97)) === 0)
-              val chosen =
-                if (every.isEmpty) b.orderBy("vec_id").limit(1) else every
-              val s = chosen.select(col("vec_id").as("seed_id"),
-                col("embedding").as("semb"), col("nrm").as("snrm"))
-              s.coalesce(1).write.mode("overwrite")
-                .parquet(seedsPath.toString)
-              spark.read.parquet(seedsPath.toString)
-            }
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(hc)
+          val seeds = stableSeeds(b, statePath)
           // ivfAssign returns (vec_id, embedding, nrm, seed_id)
           val ba = Similarity.ivfAssign(b, seeds)
           def shape(df: DataFrame) = df.select(col("seed_id"),
@@ -157,6 +145,72 @@ object StreamOps {
       .select(col("vec_id"), col("embedding"),
         // partition-dir inference narrows the type; restore long
         col("seed_id").cast("long").as("seed_id"))
+
+  /** The stable-quantizer bootstrap shared by the vector-state sinks:
+    * read `statePath/seeds` if present, else train from the first
+    * non-empty batch (every-97th vector, min-id fallback) and persist.
+    * Cells MUST be stable across batches — landed state is never
+    * re-assigned.
+    */
+  private def stableSeeds(b: DataFrame, statePath: String): DataFrame = {
+    val spark = b.sparkSession
+    val hc = spark.sparkContext.hadoopConfiguration
+    val seedsPath = new org.apache.hadoop.fs.Path(s"$statePath/seeds")
+    val fs = seedsPath.getFileSystem(hc)
+    if (fs.exists(seedsPath)) spark.read.parquet(seedsPath.toString)
+    else {
+      val every = b.filter(pmod(col("vec_id"), lit(97)) === 0)
+      val chosen =
+        if (every.isEmpty) b.orderBy("vec_id").limit(1) else every
+      chosen.select(col("vec_id").as("seed_id"),
+          col("embedding").as("semb"), col("nrm").as("snrm"))
+        .coalesce(1).write.mode("overwrite").parquet(seedsPath.toString)
+      spark.read.parquet(seedsPath.toString)
+    }
+  }
+
+  /** STREAMING IVF index maintenance — [[graft.llmops.Similarity
+    * .ivfAppend]] as a sink: each micro-batch assigns ONLY its own
+    * vectors under the persisted stable quantizer (one broadcast-seeds
+    * map stage) and lands a per-batch-atomic parquet dir partitioned
+    * by seed_id; landed assignment rows are never read, re-scored, or
+    * re-shuffled — the index grows append-only, the retrieval-side
+    * sibling of [[semanticDedupSink]]'s state shape (every vector
+    * lands; no dedup). Replay idempotence is the shared file-state
+    * contract: a retried batch overwrites its own dir whole.
+    *
+    * [[readIvfIndex]] hands the grown assignment + persisted seeds
+    * straight to [[graft.llmops.Similarity.knnJoinIndexed]], so a
+    * probe sees an incrementally-grown index indistinguishable from a
+    * fresh [[graft.llmops.Similarity.ivfAssign]] build (StreamOpsSpec
+    * pins the equivalence across a multi-batch replay).
+    */
+  def ivfIndexSink(vectors: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.llmops.Similarity
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col("vec_id"), col("embedding"))
+            .withColumn("nrm", Similarity.norm(col("embedding")))
+          Similarity.ivfAssign(b, stableSeeds(b, statePath))
+            .write.mode("overwrite")
+            .partitionBy("seed_id")
+            .parquet(s"$statePath/index/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The grown IVF assignment and its quantizer, shaped for
+    * [[graft.llmops.Similarity.knnJoinIndexed]]. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$statePath/index")
+       .select(col("vec_id"), col("embedding"), col("nrm"),
+         col("seed_id").cast("long").as("seed_id")),
+     spark.read.parquet(s"$statePath/seeds"))
 
   /** Streaming SPAN dedup — the streaming face of
     * [[graft.llmops.TextOps.spanDedupIncrement]] (the C4 shape as an

@@ -354,6 +354,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("ivfIndexSink: multi-batch grown index == fresh full build; probes agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsink")
+    try {
+      import graft.llmops.Similarity
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.ivfIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), s"$dir/state")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData(base.take(200).toSeq)   // trains + persists the quantizer
+      q.processAllAvailable()
+      in.addData(base.slice(200, 350).toSeq)
+      q.processAllAvailable()
+      in.addData(base.drop(350).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val (idx, seeds) = StreamOps.readIvfIndex(spark, s"$dir/state")
+      // grown assignment row-identical to a fresh build under the
+      // SAME persisted quantizer (the ivfAppend equivalence, streamed)
+      val full = Similarity.ivfAssign(
+        spark.createDataFrame(spark.sparkContext.parallelize(
+            base.toSeq.map { case (id, e) =>
+              org.apache.spark.sql.Row(id, e.toSeq) }),
+          idx.select("vec_id", "embedding").schema)
+          .withColumn("nrm", Similarity.norm(col("embedding"))), seeds)
+      val got = idx.select("vec_id", "seed_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = full.select("vec_id", "seed_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === want)
+      assert(got.size === base.length)
+      // and a probe against the grown index == against the fresh build
+      val queries = idx.filter(col("vec_id") % 53 === 0)
+      val pGrown = Similarity.knnJoinIndexed(idx, seeds, queries, k = 3)
+        .collect().map(_.toSeq).toSeq
+      val pFull = Similarity.knnJoinIndexed(full, seeds, queries, k = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(pGrown === pFull && pGrown.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")

@@ -513,6 +513,26 @@ object DriveVerify {
         emb, nCells = 6, iters = 2)
       println(s"kmeans quantizer: ${tseeds.count()} cells, assignment " +
         s"rows: ${graft.llmops.Similarity.ivfAssign(emb, tseeds).count()}")
+      // streaming index maintenance: 2-file replay through ivfIndexSink
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding").repartition(2)
+        .write.mode("overwrite").parquet(s"$ivfDir/vecs")
+      val vSrc = spark.readStream
+        .schema(spark.read.parquet(s"$ivfDir/vecs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$ivfDir/vecs")
+      val ivfQ = graft.streaming.StreamOps
+        .ivfIndexSink(vSrc, s"$ivfDir/istate")
+        .option("checkpointLocation", s"$ivfDir/ickpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      ivfQ.awaitTermination()
+      val (sIdx, sSeeds) = graft.streaming.StreamOps
+        .readIvfIndex(spark, s"$ivfDir/istate")
+      println(s"stream ivf index: ${sIdx.count()} rows, " +
+        s"${sSeeds.count()} seeds, probe rows: " +
+        s"${graft.llmops.Similarity.knnJoinIndexed(sIdx, sSeeds,
+          sIdx.filter(col("vec_id") % 53 === 0), k = 3).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(ivfDir.toFile)
     }
     spark.stop()
