@@ -2437,6 +2437,43 @@ object OracleSql {
        |FROM am GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q103 — sliding-window chunking mirror
+    * ([[graft.llmops.TextOps.chunkDocuments]] at chunk=64, overlap=16):
+    * same whitespace normalization, same nChunks rule, same 1-based
+    * inclusive token slices (DuckDB `l[a:b]` ≡ Spark `slice(l, a, b−a+1)`),
+    * md5 over the rejoined chunk text.
+    */
+  private val q103 = {
+    val chunk = 64
+    val step = 48
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $chunk THEN 1
+       |      ELSE CAST(ceil(CAST(len(toks) - $chunk AS DOUBLE) / $step)
+       |        AS BIGINT) + 1 END AS nch
+       |  FROM t),
+       |u AS (
+       |  SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_idx FROM c),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(
+       |      toks[chunk_idx * $step + 1 : chunk_idx * $step + $chunk],
+       |      ' ') AS ctext,
+       |    len(toks[chunk_idx * $step + 1 : chunk_idx * $step + $chunk])
+       |      AS n_tokens
+       |  FROM u)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(length(ctext) AS BIGINT) AS n_chars,
+       |  md5(ctext) AS chunk_sig
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** q99 — the A6 rate-cut flag vector
     * ([[graft.operators.GoldenQueries.q99RubinRateCuts]]): latest
     * previous same-band point via list_filter/list_sort on the history
@@ -2618,5 +2655,6 @@ object OracleSql {
     "q98_knn_join" -> q98,
     "q99_rubin_rate_cuts" -> q99,
     "q101_ivf_append" -> q101,
-    "q102_ivf_kmeans_cells" -> q102)
+    "q102_ivf_kmeans_cells" -> q102,
+    "q103_chunking" -> q103)
 }

@@ -209,7 +209,10 @@ object SparkEntry {
     "q101_ivf_append" -> (Similarity.qIvfAppend _),
     // Lloyd-trained IVF quantizer end-to-end: q97 centroids dequantized
     // into the coarse quantizer, corpus assigned, cell occupancy
-    "q102_ivf_kmeans_cells" -> (Similarity.qIvfKmeansCells _))
+    "q102_ivf_kmeans_cells" -> (Similarity.qIvfKmeansCells _),
+    // sliding-window document chunking (RAG/embedding prep): pure map
+    // stage, stable (doc_id, chunk_idx) identity + content digests
+    "q103_chunking" -> (TextOps.qChunkDocuments _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

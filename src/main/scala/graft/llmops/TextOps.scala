@@ -819,4 +819,56 @@ object TextOps {
     */
   def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedup(docs(spark, dir), 3)
+
+  /** Sliding-window document CHUNKING — the RAG/embedding-prep shape:
+    * whitespace-normalized tokens cut into `chunkTokens`-token windows
+    * advancing by `chunkTokens − overlapTokens`, the standard
+    * chunk-count rule nChunks = max(1, ⌈(n − chunk)/step⌉ + 1) (every
+    * doc yields ≥ 1 chunk; every chunk except possibly the last is
+    * full-length; consecutive chunks share exactly `overlapTokens`
+    * tokens). Output carries a stable (doc_id, chunk_idx) identity,
+    * the chunk text, token/char counts and an md5 content signature —
+    * the identity+digest columns an embedding/index stage downstream
+    * keys on.
+    *
+    * Scale shape: one regex normalization + slice HOFs per row, a
+    * posexplode over the in-row chunk-index sequence — a pure map
+    * stage, zero shuffles; chunk volume ≈ corpus tokens /
+    * (chunk − overlap), each row independent. No window, no join.
+    */
+  def chunkDocuments(d: DataFrame, chunkTokens: Int,
+      overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = split(regexp_replace(col("text"), "\\s+", " "), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      ceil((n - chunkTokens).cast("double") / step).cast("long") + 1L)
+    d.select(col("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0L), col("__nc") - 1L))
+          .as(Seq("__pos", "chunk_idx")))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * step + 1L).cast("int"), lit(chunkTokens)),
+          " ").as("chunk_text"),
+        size(slice(col("__toks"),
+          (col("chunk_idx") * step + 1L).cast("int"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+      .withColumn("chunk_sig", md5(col("chunk_text")))
+  }
+
+  /** q103 — [[chunkDocuments]] at 64-token windows / 16-token overlap
+    * over the corpus; the gate emits identity + digests (the mirror
+    * rebuilds the same slices, so the signature match certifies chunk
+    * CONTENT, not just counts).
+    */
+  def qChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(docs(spark, dir), 64, 16)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_tokens"), col("n_chars"), col("chunk_sig"))
+      .orderBy("doc_id", "chunk_idx")
 }

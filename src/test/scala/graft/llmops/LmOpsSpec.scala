@@ -124,6 +124,45 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments == driver sliding-window replication; invariants hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (chunk, overlap) = (7, 2)
+    val step = chunk - overlap
+    // lengths straddling every edge: empty-ish, < chunk, == chunk,
+    // == chunk+1, multiple of step, ragged tail
+    val docs = Seq(1, 3, 7, 8, 17, 23, 50).zipWithIndex.map {
+      case (n, i) => (i.toLong, (0 until n).map(t => s"w${i}_$t").mkString(" "))
+    }
+    val got = TextOps.chunkDocuments(docs.toDF("doc_id", "text"),
+        chunk, overlap)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
+      .toMap
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val n = toks.length
+      val nCh = if (n <= chunk) 1
+        else math.ceil((n - chunk).toDouble / step).toInt + 1
+      (0 until nCh).map { ci =>
+        val sl = toks.slice(ci * step, ci * step + chunk)
+        ((id, ci.toLong), (sl.mkString(" "), sl.length.toLong))
+      }
+    }.toMap
+    assert(got === want)
+    // invariants: full coverage (every token appears in some chunk),
+    // consecutive chunks share exactly `overlap` tokens, every chunk
+    // except possibly the last is full-length
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val chunks = got.keys.filter(_._1 == id).map(_._2).toSeq.sorted
+      val last = chunks.max
+      assert((last * step + got((id, last))._2) === n, s"doc $id coverage")
+      chunks.init.foreach(ci => assert(got((id, ci))._2 === chunk.toLong))
+    }
+  }
+
   test("retention cohorts: week0 retention is 1, offsets bounded by span") {
     val out = graft.operators.EventQueries
       .q52RetentionCohorts(spark, dir).collect()

@@ -419,6 +419,15 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), p)
   }
 
+  test("q103: chunking is a pure map stage — generate + HOFs, zero hash exchanges") {
+    val p = plan(graft.llmops.TextOps.qChunkDocuments(spark, dir))
+    // normalization, chunk-index explode and slices are all in-row;
+    // only the presentation ORDER BY may range-exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate posexplode"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
