@@ -252,6 +252,7 @@ object Cluster {
     var cent: Array[(Long, Array[Long])] = q.orderBy("vec_id").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cent.nonEmpty, "k-means training needs a non-empty corpus")
     val dim = cent.head._2.length
     // nearest-centroid kernel with the centroid matrix as a codegen
     // REFERENCE OBJECT — identical generated source every iteration

@@ -214,26 +214,38 @@ object TextOps {
     * corpus — but stays because dropping a rule that happens not to
     * fire on one corpus would change the operator).
     */
-  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .withColumn("n_tokens", tokenCount(col("text")))
-      .withColumn("mwl",
-        (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
-          col("n_tokens"))
-      .withColumn("digit_ratio",
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
-          length(col("text")))
-      .withColumn("sw_hits",
-        stopwordHits(doubledText(col("text")),
-          LangStopwords.toMap.apply("en")))
-    val reason = when(col("n_tokens") < 20, "too_short")
-      .when(col("n_tokens") > 90, "too_long")
-      .when(col("mwl") < 4.0 || col("mwl") > 5.0, "word_shape")
-      .when(col("digit_ratio") > 0.2, "digit_heavy")
-      .when(col("sw_hits") === 0, "no_stopword")
+  /** Materialize the four per-doc quality statistics as columns
+    * (n_tokens, mwl, digit_ratio, sw_hits) — each O(text) derivation
+    * runs once even where the rule cascade references it twice.
+    */
+  def withQualityStats(d: DataFrame): DataFrame = d
+    .withColumn("n_tokens", tokenCount(col("text")))
+    .withColumn("mwl",
+      (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+        col("n_tokens"))
+    .withColumn("digit_ratio",
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        length(col("text")))
+    .withColumn("sw_hits",
+      stopwordHits(doubledText(col("text")),
+        LangStopwords.toMap.apply("en")))
+
+  /** The ordered Gopher/C4 rule cascade over [[withQualityStats]]
+    * columns: the FIRST failing rule's label, or "ok". */
+  def qualityReason(nTokens: Column, mwl: Column, digitRatio: Column,
+      swHits: Column): Column =
+    when(nTokens < 20, "too_short")
+      .when(nTokens > 90, "too_long")
+      .when(mwl < 4.0 || mwl > 5.0, "word_shape")
+      .when(digitRatio > 0.2, "digit_heavy")
+      .when(swHits === 0, "no_stopword")
       .otherwise("ok")
-    d.withColumn("reason", reason)
+
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = withQualityStats(docs(spark, dir))
+    d.withColumn("reason", qualityReason(col("n_tokens"), col("mwl"),
+        col("digit_ratio"), col("sw_hits")))
       .select(col("doc_id"), col("n_tokens"),
         (col("reason") === "ok").cast("int").as("keep"), col("reason"))
       .orderBy("doc_id")
