@@ -2437,6 +2437,30 @@ object OracleSql {
        |FROM am GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q104 — water-filling mixture weights
+    * ([[graft.llmops.Curation.qMixtureWeights]]): token counts per
+    * source, T = min(c/p), r = p·T/c — same doubles, same operation
+    * order (p cast to DOUBLE; DuckDB decimal literals round to the
+    * same nearest-double as the Scala literals).
+    */
+  private val q104 =
+    s"""WITH tgt(source, p) AS (
+       |  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+       |c AS (
+       |  SELECT source, CAST(sum($tokSql) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT t.source, CAST(t.p AS DOUBLE) AS p,
+       |    coalesce(c.n_tokens, 0) AS n_tokens
+       |  FROM tgt t LEFT JOIN c ON c.source = t.source),
+       |b AS (
+       |  SELECT min(CAST(n_tokens AS DOUBLE) / p) AS t_total FROM j)
+       |SELECT source, n_tokens, round(p, 6) AS target_share,
+       |  round(CASE WHEN n_tokens > 0 THEN p * t_total / n_tokens
+       |    ELSE 0.0 END, 6) AS rate,
+       |  round(p * t_total, 6) AS retained_tokens
+       |FROM j, b ORDER BY source""".stripMargin
+
   /** q103 — sliding-window chunking mirror
     * ([[graft.llmops.TextOps.chunkDocuments]] at chunk=64, overlap=16):
     * same whitespace normalization, same nChunks rule, same 1-based
@@ -2656,5 +2680,6 @@ object OracleSql {
     "q99_rubin_rate_cuts" -> q99,
     "q101_ivf_append" -> q101,
     "q102_ivf_kmeans_cells" -> q102,
-    "q103_chunking" -> q103)
+    "q103_chunking" -> q103,
+    "q104_mixture_weights" -> q104)
 }

@@ -212,7 +212,10 @@ object SparkEntry {
     "q102_ivf_kmeans_cells" -> (Similarity.qIvfKmeansCells _),
     // sliding-window document chunking (RAG/embedding prep): pure map
     // stage, stable (doc_id, chunk_idx) identity + content digests
-    "q103_chunking" -> (TextOps.qChunkDocuments _))
+    "q103_chunking" -> (TextOps.qChunkDocuments _),
+    // water-filling mixture weights: rates meeting a target domain
+    // distribution while keeping the most tokens (data mixing)
+    "q104_mixture_weights" -> (Curation.qMixtureWeights _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

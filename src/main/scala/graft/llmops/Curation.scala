@@ -169,6 +169,57 @@ object Curation {
       .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
       .drop("__n")
 
+  /** Target-distribution mixture WEIGHTS (water-filling): given target
+    * shares p_s over sources, compute the DOWN-sampling rates r_s ≤ 1
+    * that make the retained token distribution exactly p while keeping
+    * the most tokens — T = min_s(c_s / p_s) retained total,
+    * r_s = p_s·T / c_s; the min-attaining source is the binding
+    * constraint (rate 1, kept whole). The data-mixing COMPLEMENT of
+    * [[sampleMixture]]: that applies configured rates, this computes
+    * them from the corpus and a target. Targeted sources absent from
+    * the corpus drive T to 0 (an unmeetable target reports itself
+    * instead of silently re-normalizing).
+    *
+    * Scale shape: one token-count aggregation (map-side combined) +
+    * a broadcast of the |target|-row relation and the single-row min —
+    * the corpus is scanned once and never re-shuffled.
+    */
+  def mixtureWeights(d: DataFrame,
+      target: Seq[(String, Double)]): DataFrame = {
+    require(target.nonEmpty, "target must be non-empty")
+    require(target.forall(_._2 > 0), "target shares must be positive")
+    require(math.abs(target.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${target.map(_._2).sum}")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val tgt = target.toDF("source", "target_share")
+    val counts = d.groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    val joined = broadcast(tgt).join(counts, Seq("source"), "left")
+      .select(col("source"), col("target_share"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val bound = joined.agg(min(
+      col("n_tokens").cast("double") / col("target_share")).as("t_total"))
+    joined.crossJoin(broadcast(bound))
+      .select(col("source"), col("n_tokens"),
+        round(col("target_share"), 6).as("target_share"),
+        round(when(col("n_tokens") > 0,
+            col("target_share") * col("t_total") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("rate"),
+        round(col("target_share") * col("t_total"), 6)
+          .as("retained_tokens"))
+      .orderBy("source")
+  }
+
+  /** q104 — [[mixtureWeights]] under the gate: a skewed 3-source
+    * target over the corpus; the mirror replays the same
+    * count → min(c/p) → p·T/c arithmetic (doubles, same operation
+    * order).
+    */
+  def qMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(docs(spark, dir),
+      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+
   /** q57 — mixture-sampling summary: per source, the original and
     * sampled doc/token totals and the realized rate (which converges
     * to the configured rate as the source grows — the assembly audit

@@ -256,6 +256,35 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("max_cos") >= 0.99))
   }
 
+  test("mixtureWeights: water-filling — binding source rate 1, target shares met, most tokens kept") {
+    import spark.implicits._
+    // per-source token counts by construction: a=100, b=60, c=40
+    def doc(src: String, id: Long, n: Int) =
+      (id, src, (1 to n).map(i => s"t$i").mkString(" "))
+    val d = (Seq.tabulate(5)(i => doc("a", i, 20)) ++
+        Seq.tabulate(3)(i => doc("b", 10 + i, 20)) ++
+        Seq.tabulate(2)(i => doc("c", 20 + i, 20)))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixtureWeights(d,
+        Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
+        r.getDouble(4))).toMap
+    // T = min(100/.5, 60/.25, 40/.25) = 160, bound by c
+    assert(out("c")._2 === 1.0)                    // binding source kept whole
+    assert(out.values.forall(_._2 <= 1.0))         // never upsample
+    assert(out("a")._3 === 80.0)                   // 0.5 * 160
+    assert(out("b")._3 === 40.0)
+    assert(out("c")._3 === 40.0)
+    assert(out("a")._2 === 0.8 && out("b")._2 === 0.666667)
+    // a targeted source with no corpus tokens makes the target
+    // unmeetable: everything reports rate 0, not a silent renormalize
+    val empty = Curation.mixtureWeights(d,
+        Seq("a" -> 0.5, "zzz" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(empty.values.forall(_ === 0.0))
+  }
+
   test("semantic decontamination: nProbe=2 hits are a superset of nProbe=1") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val tr = e.filter(col("vec_id") % 10 =!= 7)
