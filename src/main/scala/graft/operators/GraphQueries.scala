@@ -111,8 +111,9 @@ object GraphQueries {
     * per-iteration join is Exchange-free on the edge side.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 2): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -121,7 +122,7 @@ object GraphQueries {
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     val base = scale / 100L * 15L
     var r = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val withDeg = r.join(outdeg, Seq("node"), "left")
       val contrib = withDeg.filter(col("deg").isNotNull)
         .join(e, col("node") === col("src"))
@@ -129,9 +130,6 @@ object GraphQueries {
         .groupBy("cnode").agg(sum(col("c")).as("contrib"))
       val dang = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-      // materialize each round's ranks (the connectedComponents
-      // convention): without it the plan deepens per iteration and
-      // high iteration counts re-analyze an ever-growing tree
       r = nodes
         .join(contrib, col("node") === col("cnode"), "left")
         .crossJoin(broadcast(dang))
@@ -139,7 +137,14 @@ object GraphQueries {
           (lit(base) +
             expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
               * 85L).as("pr"))
-        .localCheckpoint()
+      // materialize the ranks every `checkpointEvery` rounds and on
+      // the final one (the connectedComponents convention, with
+      // cadence): an unchecked plan deepens per iteration — but each
+      // checkpoint is a full rank-vector materialization job, so a
+      // small cadence amortizes the per-job cost without letting the
+      // tree grow past a couple of rounds. Pure schedule: the BIGINT
+      // arithmetic (and thus the q96 hash) is checkpoint-invariant.
+      if (i % checkpointEvery == 0 || i == iters) r = r.localCheckpoint()
     }
     r
   }
