@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   * stable; large spread = ambient noise, distrust the single number).
   * Results are fully materialized through the `noop` sink so every
   * column is computed (a bare count() lets Spark skip projects).
+  * `calibration_s`/`calibration_spread` carry a fixed-work
+  * single-thread canary timed at the head of each rep: the ratio of
+  * two rounds' calibration_s IS the host-speed factor between them —
+  * divide suite times by it before reading a cross-round delta.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -111,7 +111,7 @@ object GraphQueries {
     * per-iteration join is Exchange-free on the edge side.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, checkpointEvery: Int = 2): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 1): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -138,12 +138,15 @@ object GraphQueries {
             expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
               * 85L).as("pr"))
       // materialize the ranks every `checkpointEvery` rounds and on
-      // the final one (the connectedComponents convention, with
-      // cadence): an unchecked plan deepens per iteration — but each
-      // checkpoint is a full rank-vector materialization job, so a
-      // small cadence amortizes the per-job cost without letting the
-      // tree grow past a couple of rounds. Pure schedule: the BIGINT
-      // arithmetic (and thus the q96 hash) is checkpoint-invariant.
+      // the final one (the connectedComponents convention). Default 1
+      // — per round — is the SCALE-correct choice: r is referenced
+      // twice per iteration (contrib + dangling both derive from
+      // withDeg), so an unmaterialized round re-executes its whole
+      // plan twice inside the next one (measured at the 100x soak:
+      // cadence 2 cost +31% on 5M edges, while saving ~0.6 s of
+      // per-job overhead at sf0.1 — raise the cadence only at toy
+      // scale). Pure schedule: the BIGINT arithmetic (and thus the
+      // q96 hash) is checkpoint-invariant.
       if (i % checkpointEvery == 0 || i == iters) r = r.localCheckpoint()
     }
     r
