@@ -2437,6 +2437,57 @@ object OracleSql {
        |FROM am GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q105 — arbitrary-offset duplicated spans
+    * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
+    * shapes at l = 8 over corpus + offset-shifted copies, corpus-global
+    * occurrence counts ≥ 2, gaps-and-islands merge per doc.
+    */
+  private val q105 = {
+    val l = 8
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+       |shifted AS (
+       |  SELECT doc_id + 30000 AS doc_id,
+       |    array_to_string(rt[6:], ' ') AS text
+       |  FROM sh0 WHERE doc_id < 100),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM shifted),
+       |toks0 AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CASE WHEN len(toks) - ${l - 1} > 0
+       |      THEN list_transform(range(0, len(toks) - ${l - 1}),
+       |             i -> substr(md5(array_to_string(
+       |               list_slice(toks, i + 1, i + $l), ' ')), 1, 16))
+       |      ELSE [substr(md5(array_to_string(toks, ' ')), 1, 16)] END
+       |      AS hs
+       |  FROM toks0),
+       |ex AS (
+       |  SELECT doc_id, n_toks, u.pos, u.h FROM (
+       |    SELECT doc_id, n_toks, unnest(list_transform(hs,
+       |      (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+       |      AS u
+       |    FROM g) t),
+       |dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, n_toks, pos FROM ex JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, n_toks, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS isl
+       |  FROM dp)
+       |SELECT doc_id, min(pos) AS gram_start, max(pos) AS gram_end,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  least(CAST(count(*) AS BIGINT) + ${l - 1}, any_value(n_toks))
+       |    AS n_dup_tokens
+       |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, gram_start"""
+      .stripMargin
+  }
+
   /** q104 — water-filling mixture weights
     * ([[graft.llmops.Curation.qMixtureWeights]]): token counts per
     * source, T = min(c/p), r = p·T/c — same doubles, same operation
@@ -2681,5 +2732,6 @@ object OracleSql {
     "q101_ivf_append" -> q101,
     "q102_ivf_kmeans_cells" -> q102,
     "q103_chunking" -> q103,
-    "q104_mixture_weights" -> q104)
+    "q104_mixture_weights" -> q104,
+    "q105_duplicated_spans" -> q105)
 }

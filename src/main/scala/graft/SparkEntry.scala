@@ -215,7 +215,10 @@ object SparkEntry {
     "q103_chunking" -> (TextOps.qChunkDocuments _),
     // water-filling mixture weights: rates meeting a target domain
     // distribution while keeping the most tokens (data mixing)
-    "q104_mixture_weights" -> (Curation.qMixtureWeights _))
+    "q104_mixture_weights" -> (Curation.qMixtureWeights _),
+    // arbitrary-offset exact duplicated spans (ExactSubstr shape):
+    // stride-1 l-gram hashes + corpus-global counts + island merge
+    "q105_duplicated_spans" -> (TextOps.qDuplicatedSpans _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

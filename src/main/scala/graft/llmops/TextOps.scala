@@ -832,6 +832,74 @@ object TextOps {
   def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedup(docs(spark, dir), 3)
 
+  /** Corpus-global ARBITRARY-OFFSET duplicated-span report — the
+    * exact-substring-dedup shape of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022, ExactSubstr): every
+    * stride-1 `l`-token gram is hashed, grams whose hash occurs ≥ 2
+    * times ANYWHERE in the corpus (other docs or the same doc) are
+    * duplicated, and per doc the duplicated gram positions merge into
+    * MAXIMAL regions (the gaps-and-islands key: pos − row_number).
+    * This is what [[spanDedup]]'s fixed non-overlapping chunking
+    * cannot see: a repeated passage at a shifted offset straddles
+    * chunk boundaries there, while every interior l-gram of the
+    * repeat collides here regardless of alignment.
+    *
+    * Output per maximal region: (doc_id, gram_start, gram_end,
+    * n_grams, n_dup_tokens) with gram positions 0-based in l-gram
+    * space and n_dup_tokens = min(n_grams + l − 1, doc tokens) — the
+    * token mass the region covers (a < l-token doc contributes its
+    * single whole-text shingle, capped by its real length).
+    *
+    * Scale shape: the reference implementation builds a corpus suffix
+    * array (sequential, memory-bound); this formulation is the
+    * distributed equivalent for fixed minimum length l — one shingle
+    * map stage (zero-copy kernel), one (hash) aggregation, one
+    * membership join, one per-doc window. Shuffles carry 16-byte
+    * hashes + positions, never text.
+    */
+  def duplicatedSpans(d: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    import org.apache.spark.sql.expressions.Window
+    val nToks = size(split(
+      regexp_replace(lower(col("text")), "\\s+", " "), " ")).cast("long")
+    val ex = d.select(col("doc_id"), nToks.as("n_toks"),
+        posexplode(shingleHashes(
+          graft.expressions.WordShingles.shingles(col("text"), l)))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_toks"),
+        col("pos").cast("long").as("pos"), col("h"))
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    ex.join(dup, Seq("h"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("gram_start"), max("pos").as("gram_end"),
+        count(lit(1)).as("n_grams"), first("n_toks").as("n_toks"))
+      .select(col("doc_id"), col("gram_start"), col("gram_end"),
+        col("n_grams"),
+        least(col("n_grams") + lit(l - 1), col("n_toks"))
+          .as("n_dup_tokens"))
+  }
+
+  /** q105 — [[duplicatedSpans]] at l = 8 over the corpus plus planted
+    * OFFSET-SHIFTED copies (first 100 docs re-landed with their 5
+    * leading tokens dropped): the repeats sit at different offsets on
+    * the two sides, which is precisely the case q91's aligned chunking
+    * misses and the stride-1 gram hash catches.
+    */
+  def qDuplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(spark, dir)
+    val toks = split(col("text"), " ")
+    val shifted = d0.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 30000L).as("doc_id"),
+        array_join(slice(toks, lit(6), greatest(size(toks) - 5, lit(1))),
+          " ").as("text"))
+    duplicatedSpans(
+      d0.select("doc_id", "text").unionByName(shifted), 8)
+      .orderBy("doc_id", "gram_start")
+  }
+
   /** Sliding-window document CHUNKING — the RAG/embedding-prep shape:
     * whitespace-normalized tokens cut into `chunkTokens`-token windows
     * advancing by `chunkTokens − overlapTokens`, the standard

@@ -415,6 +415,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans: offset-shifted and intra-doc repeats merge into exact maximal regions") {
+    import spark.implicits._
+    // doc 2 carries a 12-token run of doc 1 at a DIFFERENT offset
+    // (pos 5 there, pos 3 here) — the case fixed-alignment chunking
+    // (spanDedup) cannot see; doc 3 repeats a 4-gram within itself
+    val a = (0 until 20).map(i => s"a$i")
+    val d = Seq(
+      1L -> a.mkString(" "),
+      2L -> (Seq("z1", "z2", "z3") ++ a.slice(5, 17)).mkString(" "),
+      3L -> "b1 b2 b3 b4 c b1 b2 b3 b4"
+    ).toDF("doc_id", "text")
+    val got = TextOps.duplicatedSpans(d, 4)
+      .orderBy("doc_id", "gram_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 5L, 13L, 9L, 12L),   // grams whose 4 tokens lie in a5..a16
+      (2L, 3L, 11L, 9L, 12L),   // the same run at its shifted offset
+      (3L, 0L, 0L, 1L, 4L),     // intra-doc repeat, both occurrences
+      (3L, 5L, 5L, 1L, 4L)))
+  }
+
   test("setSimilarityJoin edge shapes: exact dups, singletons, no pairs") {
     import spark.implicits._
     val d = Seq(
