@@ -428,6 +428,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q105: duplicated-span detection is gram-hash equi-joins + one doc window") {
+    val p = plan(graft.llmops.TextOps.qDuplicatedSpans(spark, dir))
+    // dup membership is an equi-join on the 16-byte gram hash; the
+    // occurrence count partial-aggregates map-side; no all-pairs ever
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("word_shingles"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan

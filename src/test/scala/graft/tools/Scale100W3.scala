@@ -97,6 +97,20 @@ object Scale100W3 {
       spark.catalog.clearCache()
     }
 
+    // ---- q105 duplicated spans over the 100x replica corpus:
+    // 50k docs x 10 replicas — every gram duplicated, worst-case
+    // island volume (regions ≈ docs, grams all dup) ----
+    onBig("q105 duplicated spans 100x (500k docs, l=8)") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+      val big = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      graft.llmops.TextOps.duplicatedSpans(big, 8)
+    }
+
     // ---- q96 integer PageRank ----
     onBig("q96 pagerank 100x (500k nodes, ~5M edges, 3 iters)") {
       val edges = spark.range(5000000L).select(
