@@ -534,6 +534,22 @@ object DriveVerify {
         s"${graft.llmops.Similarity.knnJoinIndexed(sIdx, sSeeds,
           sIdx.filter(col("vec_id") % 53 === 0), k = 3).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(ivfDir.toFile)
+      // round-10 curation surface: chunking, mixture weights,
+      // arbitrary-offset duplicated spans, the end-to-end pipeline
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      println(s"chunks 64/16: ${graft.llmops.TextOps
+        .chunkDocuments(corpus.select("doc_id", "text"), 64, 16).count()}")
+      graft.llmops.Curation.mixtureWeights(corpus,
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)).show(3, false)
+      println(s"duplicated spans l=8: ${graft.llmops.TextOps
+        .duplicatedSpans(corpus.select("doc_id", "text"), 8).count()} regions")
+      val prepped = graft.llmops.CorpusPipeline.prepare(
+        corpus.select("doc_id", "text"),
+        Some(corpus.filter(col("doc_id") % 10 === 7)
+          .select("doc_id", "text")))
+      println(s"pipeline: kept ${prepped.kept.count()}, chunks " +
+        s"${prepped.chunks.count()}, dropped ${prepped.dropped.count()}")
+      spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
   }
