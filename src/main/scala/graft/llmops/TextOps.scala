@@ -857,22 +857,26 @@ object TextOps {
     * membership join, one per-doc window. Shuffles carry 16-byte
     * hashes + positions, never text.
     */
-  def duplicatedSpans(d: DataFrame, l: Int): DataFrame = {
-    require(l >= 2, s"span length must be >= 2 tokens, got $l")
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, n_toks, pos, h) — every stride-1 l-gram's md5-16 digest
+    * with its 0-based position. The shared front of [[duplicatedSpans]]
+    * and [[duplicatedSpansIncrement]]. */
+  private def gramPositions(d: DataFrame, l: Int): DataFrame = {
     val nToks = size(split(
       regexp_replace(lower(col("text")), "\\s+", " "), " ")).cast("long")
-    val ex = d.select(col("doc_id"), nToks.as("n_toks"),
+    d.select(col("doc_id"), nToks.as("n_toks"),
         posexplode(shingleHashes(
           graft.expressions.WordShingles.shingles(col("text"), l)))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("n_toks"),
         col("pos").cast("long").as("pos"), col("h"))
-    val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
+  }
+
+  /** Merge duplicated gram positions into maximal per-doc regions
+    * (gaps-and-islands); `dp` carries (doc_id, n_toks, pos). */
+  private def regionsOf(dp: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    ex.join(dup, Seq("h"))
-      .withColumn("isl", col("pos") - row_number().over(w))
+    dp.withColumn("isl", col("pos") - row_number().over(w))
       .groupBy("doc_id", "isl")
       .agg(min("pos").as("gram_start"), max("pos").as("gram_end"),
         count(lit(1)).as("n_grams"), first("n_toks").as("n_toks"))
@@ -880,6 +884,43 @@ object TextOps {
         col("n_grams"),
         least(col("n_grams") + lit(l - 1), col("n_toks"))
           .as("n_dup_tokens"))
+  }
+
+  def duplicatedSpans(d: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    val ex = gramPositions(d, l)
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    regionsOf(ex.join(dup, Seq("h"))
+      .select("doc_id", "n_toks", "pos"), l)
+  }
+
+  /** The INGEST form of [[duplicatedSpans]]: a landing batch's grams
+    * are duplicated if their digest is already in the LANDED gram
+    * index (one prior occurrence + this one = two) or occurs ≥ 2
+    * times within the batch itself. Returns (per-doc regions for the
+    * BATCH docs, the batch's distinct NEW digests — the index delta).
+    * Ingest-time contract: regions are reported for the incoming doc
+    * against everything landed before it plus its own batch; a landed
+    * doc's own region is not retro-reported (the spanDedupIncrement
+    * temporal-precedence rule, applied to detection). Per-batch cost:
+    * the batch's gram map stage + one digest membership join — landed
+    * text is never re-chunked.
+    */
+  def duplicatedSpansIncrement(batch: DataFrame, landedGrams: DataFrame,
+      l: Int): (DataFrame, DataFrame) = {
+    require(l >= 2, s"span length must be >= 2 tokens, got $l")
+    val ex = gramPositions(batch, l)
+    val inBatchDup = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val landed = landedGrams.select(col("gram_md5").as("h"))
+    val dup = inBatchDup.unionByName(landed).distinct()
+    val report = regionsOf(ex.join(dup, Seq("h"))
+      .select("doc_id", "n_toks", "pos"), l)
+    val delta = ex.select("h").distinct()
+      .join(landed, Seq("h"), "left_anti")
+      .select(col("h").as("gram_md5"))
+    (report, delta)
   }
 
   /** q105 — [[duplicatedSpans]] at l = 8 over the corpus plus planted

@@ -266,6 +266,58 @@ object StreamOps {
       statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/index").select("span_md5")
 
+  /** Streaming ARBITRARY-OFFSET duplicated-span detection — the
+    * ingest face of [[graft.llmops.TextOps.duplicatedSpans]] (q105):
+    * each micro-batch's stride-1 l-gram digests are checked against
+    * the landed gram index plus the batch itself, maximal per-doc
+    * regions land as the batch's report, and the batch's new digests
+    * append to the index. Same per-batch-atomic parquet contract as
+    * the sibling sinks (a retried batch reads only `batch_id <
+    * current` and overwrites its own dirs). The detection analog of
+    * [[spanDedupSink]]'s removal: landed text is never re-chunked,
+    * and an incoming near-copy is flagged at ANY offset.
+    */
+  def duplicatedSpansSink(docs: DataFrame, statePath: String, l: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val hc = spark.sparkContext.hadoopConfiguration
+          val idxPath = new org.apache.hadoop.fs.Path(s"$statePath/grams")
+          val fs = idxPath.getFileSystem(hc)
+          val landed =
+            if (fs.exists(idxPath))
+              spark.read.parquet(idxPath.toString)
+                .filter(col("batch_id") < batchId)
+                .select("gram_md5")
+            else
+              spark.range(0).select(lit("").as("gram_md5"))
+          val (report, delta) = graft.llmops.TextOps
+            .duplicatedSpansIncrement(batch, landed, l)
+          report.write.mode("overwrite")
+            .parquet(s"$statePath/reports/batch_id=$batchId")
+          delta.write.mode("overwrite")
+            .parquet(s"$statePath/grams/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** Per-doc duplicated-region reports accumulated by
+    * [[duplicatedSpansSink]]. */
+  def readDupSpanReports(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/reports")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** The landed gram-digest index accumulated by
+    * [[duplicatedSpansSink]]. */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/grams").select("gram_md5")
+
   /** Hourly per-type counts/sums with late-data tolerance. */
   def hourlyEventStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

@@ -433,6 +433,54 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("duplicatedSpansSink: landed grams flag shifted repeats; intra-batch pairs both report") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupspans")
+    try {
+      val a = (0 until 20).map(i => s"a$i")
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.duplicatedSpansSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state", l = 4)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      // batch 1: doc 2 carries doc 1's run at a shifted offset —
+      // intra-batch duplication, BOTH sides report (batch q105 rule)
+      in.addData(
+        1L -> a.mkString(" "),
+        2L -> (Seq("z1", "z2", "z3") ++ a.slice(5, 17)).mkString(" "))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats one landed 4-gram (a8..a11) inside
+      // fresh context; doc 4 is entirely fresh
+      in.addData(
+        3L -> (Seq("c1", "c2") ++ a.slice(8, 12)).mkString(" "),
+        4L -> "f1 f2 f3 f4 f5 f6")
+      q.processAllAvailable()
+      q.stop()
+      val rep = StreamOps.readDupSpanReports(spark, s"$dir/state")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("gram_start"),
+          r.getAs[Long]("gram_end"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_dup_tokens"))).toSeq.sorted
+      assert(rep === Seq(
+        (1L, 5L, 13L, 9L, 12L),
+        (2L, 3L, 11L, 9L, 12L),
+        (3L, 2L, 2L, 1L, 4L)))
+      // index = distinct grams of everything landed
+      val idx = StreamOps.readGramIndex(spark, s"$dir/state").count()
+      val allGrams = Seq(
+          1L -> a.mkString(" "),
+          2L -> (Seq("z1", "z2", "z3") ++ a.slice(5, 17)).mkString(" "),
+          3L -> (Seq("c1", "c2") ++ a.slice(8, 12)).mkString(" "),
+          4L -> "f1 f2 f3 f4 f5 f6")
+        .toDF("doc_id", "text")
+      import graft.expressions.WordShingles
+      val nDistinct = allGrams.select(explode(
+          graft.llmops.TextOps.shingleHashes(
+            WordShingles.shingles(col("text"), 4))).as("h"))
+        .distinct().count()
+      assert(idx === nDistinct)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("rollupMaintenanceSink: stored partials reproduce the direct report") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup")
