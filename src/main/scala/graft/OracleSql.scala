@@ -2437,6 +2437,30 @@ object OracleSql {
        |FROM am GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q106 — column profile mirror
+    * ([[graft.operators.Profile.q106TableProfile]]): the same five
+    * statistics per profiled column, one UNION ALL branch each (the
+    * column list is GENERATED from the Scala constant, so the two
+    * sides can never profile different columns).
+    */
+  private lazy val q106 = {
+    val branches = graft.operators.Profile.Q106Cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM li""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT *, CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+       |    AS l_shipday
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
     * shapes at l = 8 over corpus + offset-shifted copies, corpus-global
@@ -2733,5 +2757,6 @@ object OracleSql {
     "q102_ivf_kmeans_cells" -> q102,
     "q103_chunking" -> q103,
     "q104_mixture_weights" -> q104,
-    "q105_duplicated_spans" -> q105)
+    "q105_duplicated_spans" -> q105,
+    "q106_table_profile" -> q106)
 }

@@ -218,7 +218,10 @@ object SparkEntry {
     "q104_mixture_weights" -> (Curation.qMixtureWeights _),
     // arbitrary-offset exact duplicated spans (ExactSubstr shape):
     // stride-1 l-gram hashes + corpus-global counts + island merge
-    "q105_duplicated_spans" -> (TextOps.qDuplicatedSpans _))
+    "q105_duplicated_spans" -> (TextOps.qDuplicatedSpans _),
+    // ANALYZE-style column profile: null counts, exact cardinalities,
+    // min/max per column (union of single-column pruned aggregations)
+    "q106_table_profile" -> (operators.Profile.q106TableProfile _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.
