@@ -888,7 +888,9 @@ object TextOps {
 
   def duplicatedSpans(d: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"span length must be >= 2 tokens, got $l")
-    val ex = gramPositions(d, l)
+    // two consumers (occurrence counts + the membership join) — the
+    // triangles materialize-once rule (localCheckpoint, not persist)
+    val ex = gramPositions(d, l).localCheckpoint()
     val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     regionsOf(ex.join(dup, Seq("h"))
@@ -910,7 +912,8 @@ object TextOps {
   def duplicatedSpansIncrement(batch: DataFrame, landedGrams: DataFrame,
       l: Int): (DataFrame, DataFrame) = {
     require(l >= 2, s"span length must be >= 2 tokens, got $l")
-    val ex = gramPositions(batch, l)
+    // three consumers (in-batch counts, membership join, index delta)
+    val ex = gramPositions(batch, l).localCheckpoint()
     val inBatchDup = ex.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val landed = landedGrams.select(col("gram_md5").as("h"))
