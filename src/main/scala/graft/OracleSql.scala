@@ -2461,6 +2461,62 @@ object OracleSql {
        |ORDER BY "column"""".stripMargin
   }
 
+  /** q107 — hybrid RRF retrieval mirror
+    * ([[graft.llmops.Retrieval.qHybridRrf]]): term channel = distinct-
+    * token overlap counts ranked per query; vector channel = the q19
+    * round-6 fixed-order cosine ranked per query; fusion = integer RRF
+    * points (`1e9 // (60 + rank)` — DuckDB integer division equals the
+    * engine's exact-multiple floor division) summed per (qid, did).
+    */
+  private val q107 = {
+    val toks = "list_distinct(string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' '))"
+    s"""WITH queries AS (
+       |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+       |corpus AS (
+       |  SELECT doc_id AS did, text FROM documents WHERE doc_id % 100 <> 0),
+       |qt AS (SELECT qid, unnest($toks) AS tok FROM queries),
+       |ct AS (SELECT did, unnest($toks) AS tok FROM corpus),
+       |ovl AS (
+       |  SELECT qid, did, count(*) AS overlap
+       |  FROM qt JOIN ct USING (tok) GROUP BY qid, did),
+       |trank AS (
+       |  SELECT qid, did, row_number() OVER
+       |    (PARTITION BY qid ORDER BY overlap DESC, did) AS rk
+       |  FROM ovl),
+       |qv AS (SELECT qid, embedding AS qe
+       |  FROM queries JOIN embeddings ON qid = vec_id),
+       |cv AS (SELECT did, embedding AS ce
+       |  FROM corpus JOIN embeddings ON did = vec_id),
+       |cos AS (SELECT qid, did,
+       |    round(${cosineSql("ce", "qe", 64)}, 6) AS cos6
+       |  FROM cv, qv),
+       |vrank AS (
+       |  SELECT qid, did, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos6 DESC, did) AS rk
+       |  FROM cos),
+       |chans AS (
+       |  SELECT qid, did, CAST(1000000000 // (60 + rk) AS BIGINT) AS pts,
+       |    1 AS in_term, 0 AS in_vec
+       |  FROM trank WHERE rk <= 20
+       |  UNION ALL
+       |  SELECT qid, did, CAST(1000000000 // (60 + rk) AS BIGINT) AS pts,
+       |    0 AS in_term, 1 AS in_vec
+       |  FROM vrank WHERE rk <= 20),
+       |fused AS (
+       |  SELECT qid, did, sum(pts) AS rrf_pts,
+       |    max(in_term) AS in_term, max(in_vec) AS in_vec
+       |  FROM chans GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, rrf_pts, in_term, in_vec, row_number() OVER
+       |    (PARTITION BY qid ORDER BY rrf_pts DESC, did) AS fused_rank
+       |  FROM fused)
+       |SELECT qid, did, CAST(rrf_pts AS BIGINT) AS rrf_pts,
+       |  in_term, in_vec, fused_rank
+       |FROM ranked WHERE fused_rank <= 10
+       |ORDER BY qid, fused_rank""".stripMargin
+  }
+
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
     * shapes at l = 8 over corpus + offset-shifted copies, corpus-global
@@ -2758,5 +2814,6 @@ object OracleSql {
     "q103_chunking" -> q103,
     "q104_mixture_weights" -> q104,
     "q105_duplicated_spans" -> q105,
-    "q106_table_profile" -> q106)
+    "q106_table_profile" -> q106,
+    "q107_hybrid_rrf" -> q107)
 }

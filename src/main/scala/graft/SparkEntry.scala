@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, EventQueries, ExtraQueries}
-import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Similarity, TextOps}
+import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -221,7 +221,10 @@ object SparkEntry {
     "q105_duplicated_spans" -> (TextOps.qDuplicatedSpans _),
     // ANALYZE-style column profile: null counts, exact cardinalities,
     // min/max per column (union of single-column pruned aggregations)
-    "q106_table_profile" -> (operators.Profile.q106TableProfile _))
+    "q106_table_profile" -> (operators.Profile.q106TableProfile _),
+    // hybrid retrieval: term-overlap top-20 + cosine top-20 fused by
+    // integer reciprocal-rank fusion (exact RRF points, hash-gateable)
+    "q107_hybrid_rrf" -> (Retrieval.qHybridRrf _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -1,0 +1,167 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: a term channel and a vector channel fused with
+  * reciprocal-rank fusion (RRF, Cormack+ 2009) — the standard shape of
+  * a modern retrieval stack (BM25-ish lexical + dense embedding, fused
+  * by rank so neither channel's score scale has to be calibrated
+  * against the other). In a training-data pipeline this is the
+  * hard-negative / nearest-context mining surface: for each query
+  * document, the fused top-k over the corpus.
+  *
+  * Determinism contract (what lets the driver hash-gate a retrieval
+  * op): every scoring step is either an exact integer (term-overlap
+  * counts, RRF points) or the round-6 fixed-order cosine the q19/q21
+  * gates already certify cross-engine; every rank breaks ties by
+  * doc_id. RRF points are computed in integer micro-units with INTEGER
+  * division — `1e9 div (k + rank)` — so the fused score is a sum of
+  * exact integers (commutative, engine-independent), never a float sum
+  * of `1/(k+r)` terms whose accumulation order could differ.
+  *
+  * Scale shape (100 TB):
+  *  - the term channel is an equi-join on token between the query set's
+  *    postings (small — queries × tokens-per-query rows, broadcastable)
+  *    and the corpus postings, followed by one (qid, did) count
+  *    aggregate — map-side combined, no all-pairs stage. Zipf-skewed
+  *    stopword tokens are the known hazard: at scale, prune high-df
+  *    tokens from BOTH sides (an idf floor drops the tokens that carry
+  *    the least ranking information and the most join fan-out — the
+  *    same lesson as q41's banding); `maxDf` exposes exactly that knob.
+  *  - the vector channel is the q19 broadcast-queries map stage here
+  *    (exact, the gateable baseline); at corpus scale swap in the q98
+  *    IVF probe (`knnJoinIndexed`) — the fusion stage is unchanged, it
+  *    only consumes (qid, did, rank).
+  *  - fusion shuffles at most `2 × topNChannel` slim (qid, did, pts)
+  *    rows per query — negligible at any scale; per-query top-k is a
+  *    rank-filtered window (WindowGroupLimit pushes the limit into the
+  *    sort, the q94 precedent).
+  *
+  * A query or corpus document without an embedding row simply
+  * contributes nothing to the vector channel (inner joins) — the fused
+  * list degrades to term-only, which is the behavior a mixed-coverage
+  * corpus (sf0.1: 5000 docs, 2000 vectors) needs.
+  */
+object Retrieval {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Integer RRF points for a 1-based rank: floor(1e9 / (k + rank)),
+    * computed as an EXACT-MULTIPLE division — (n − n mod d) / d divides
+    * a number d divides exactly, so the double quotient is an integer
+    * below 2^53 with nothing to round (the same trick Layout.scaleTo
+    * documents). DuckDB's `//` integer division lands on the identical
+    * value, which is what makes the fused score hash-exact.
+    */
+  def rrfPoints(rank: Column, k: Int = 60): Column = {
+    val d = lit(k.toLong) + rank.cast("long")
+    val n = lit(1000000000L)
+    ((n - pmod(n, d)) / d).cast("long")
+  }
+
+  /** Term channel: per (query, corpus doc) DISTINCT-token overlap
+    * count, ranked per query (overlap desc, doc_id asc), top
+    * `topN`. `maxDf` (document frequency, corpus side) prunes
+    * stopword-grade tokens from the join when set — the 100 TB skew
+    * knob; 0 disables pruning (the exact-gate configuration).
+    */
+  def termChannel(queries: DataFrame, corpus: DataFrame,
+      topN: Int, maxDf: Long = 0L): DataFrame = {
+    val qTok = queries.select(col("qid"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+    val cTok0 = corpus.select(col("did"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+    val cTok =
+      if (maxDf <= 0L) cTok0
+      else {
+        val keep = cTok0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("tok")
+        cTok0.join(broadcast(keep), "tok")
+      }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("overlap").desc, col("did"))
+    qTok.join(cTok, "tok")
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "rk")
+  }
+
+  /** Vector channel: round-6 broadcast cosine (the q19 contract),
+    * ranked per query (cos desc, doc_id asc), top `topN`. Swap for
+    * [[Similarity.knnJoinIndexed]] output at corpus scale — same
+    * (qid, did, rk) shape.
+    */
+  def vectorChannel(queries: DataFrame, corpus: DataFrame,
+      topN: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos6").desc, col("did"))
+    corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("did"),
+        round(Similarity.cosine(col("ce"), col("qe")), 6).as("cos6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "rk")
+  }
+
+  /** Fuse any number of (qid, did, rk) channel rankings into the RRF
+    * top-k: per (qid, did), points = Σ channels 1e9 div (rrfK + rk),
+    * plus per-channel membership flags; final rank by (points desc,
+    * did asc). Each (name, channel) pair contributes an `in_<name>`
+    * flag column marking which channels surfaced the document.
+    */
+  def rrfFuse(channels: Seq[(String, DataFrame)], topK: Int,
+      rrfK: Int = 60): DataFrame = {
+    val marked = channels.zipWithIndex.map { case ((_, ch), i) =>
+      val cols = Seq(col("qid"), col("did"),
+        rrfPoints(col("rk"), rrfK).as("pts")) ++
+        channels.indices.map(j =>
+          lit(if (j == i) 1 else 0).as(s"in_${channels(j)._1}"))
+      ch.select(cols: _*)
+    }
+    val unioned = marked.reduce(_.unionByName(_))
+    val flagAggs = channels.map { case (n, _) =>
+      max(col(s"in_$n")).as(s"in_$n")
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_pts").desc, col("did"))
+    unioned.groupBy("qid", "did")
+      .agg(sum(col("pts")).as("rrf_pts"), flagAggs: _*)
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
+
+  /** q107 — hybrid retrieval report: every 100th document is a query;
+    * term top-20 (distinct-token overlap) and vector top-20 (round-6
+    * cosine over the embedding join) fused by integer RRF (k = 60)
+    * into a per-query top-10 with channel-membership flags. The oracle
+    * replays every stage — the integer points make the fused scores
+    * hash-exact across engines.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = emb(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val term = termChannel(queries, corpus, topN = 20)
+    val qv = queries.join(e, col("qid") === col("vec_id"))
+      .select(col("qid"), col("embedding").as("qe"))
+    val cv = corpus.join(e, col("did") === col("vec_id"))
+      .select(col("did"), col("embedding").as("ce"))
+    val vec = vectorChannel(qv, cv, topN = 20)
+    rrfFuse(Seq("term" -> term, "vec" -> vec), topK = 10)
+      .select(col("qid"), col("did"), col("rrf_pts"),
+        col("in_term"), col("in_vec"), col("fused_rank"))
+      .orderBy("qid", "fused_rank")
+  }
+}

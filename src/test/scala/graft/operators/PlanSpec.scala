@@ -435,7 +435,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), p)
-    assert(p.contains("word_shingles"), p)
+    // the gram relation is derived ONCE (localCheckpoint — the
+    // triangles materialize-once rule): both consumers scan the
+    // checkpointed RDD instead of re-running the shingle kernel
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("word_shingles"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {

@@ -549,6 +549,11 @@ object DriveVerify {
           .select("doc_id", "text")))
       println(s"pipeline: kept ${prepped.kept.count()}, chunks " +
         s"${prepped.chunks.count()}, dropped ${prepped.dropped.count()}")
+      // hybrid RRF retrieval: fused top-10 per query, both channels
+      val rrf = graft.llmops.Retrieval.qHybridRrf(spark, sf)
+      println(s"hybrid rrf: ${rrf.count()} fused rows, " +
+        s"both-channel rows: ${rrf.filter(
+          col("in_term") === 1 && col("in_vec") === 1).count()}")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
