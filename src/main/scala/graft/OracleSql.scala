@@ -2517,6 +2517,55 @@ object OracleSql {
        |ORDER BY qid, fused_rank""".stripMargin
   }
 
+  /** q108 — BM25 retrieval mirror ([[graft.llmops.Retrieval.qBm25]]):
+    * postings/df/corpus-stats CTEs, then the micro-point arithmetic
+    * replayed with the ENGINE'S parenthesization — double literals are
+    * interpolated from the same Scala expressions the engine
+    * evaluates (shortest-roundtrip repr, the q21 hyperplane trick), so
+    * e.g. k1+1 is bit-identical on both sides. Rational ln-free idf:
+    * division-only IEEE arithmetic, no libm.
+    */
+  private val q108 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val k1p1 = s"${1.2 + 1.0}"
+    val contrib =
+      "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+        s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
+        " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
+    s"""WITH queries AS (
+       |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+       |corpus AS (
+       |  SELECT doc_id AS did, text FROM documents WHERE doc_id % 100 <> 0),
+       |ct0 AS (SELECT did, $toks AS toks FROM corpus),
+       |tokd AS (SELECT did, len(toks) AS dl0, unnest(toks) AS tok FROM ct0),
+       |postings AS (
+       |  SELECT did, CAST(dl0 AS DOUBLE) AS dl, tok, count(*) AS tf
+       |  FROM tokd GROUP BY did, dl0, tok),
+       |dfre AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS avgdl
+       |  FROM ct0),
+       |qt AS (SELECT qid, unnest(list_distinct($toks)) AS tok
+       |  FROM queries),
+       |scored AS (
+       |  SELECT qid, did,
+       |    CAST(floor($contrib * 1000000.0 + 0.5) AS BIGINT) AS pts
+       |  FROM qt JOIN postings USING (tok) JOIN dfre USING (tok), stats),
+       |agg AS (
+       |  SELECT qid, did, sum(pts) AS bm25_micro, count(*) AS n_match
+       |  FROM scored GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, bm25_micro, n_match, row_number() OVER
+       |    (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
+       |  FROM agg)
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
     * shapes at l = 8 over corpus + offset-shifted copies, corpus-global
@@ -2815,5 +2864,6 @@ object OracleSql {
     "q104_mixture_weights" -> q104,
     "q105_duplicated_spans" -> q105,
     "q106_table_profile" -> q106,
-    "q107_hybrid_rrf" -> q107)
+    "q107_hybrid_rrf" -> q107,
+    "q108_bm25" -> q108)
 }

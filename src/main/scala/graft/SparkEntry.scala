@@ -224,7 +224,10 @@ object SparkEntry {
     "q106_table_profile" -> (operators.Profile.q106TableProfile _),
     // hybrid retrieval: term-overlap top-20 + cosine top-20 fused by
     // integer reciprocal-rank fusion (exact RRF points, hash-gateable)
-    "q107_hybrid_rrf" -> (Retrieval.qHybridRrf _))
+    "q107_hybrid_rrf" -> (Retrieval.qHybridRrf _),
+    // BM25 term retrieval: integer micro-point scores (ln-free
+    // rational idf — division-only IEEE, no libm drift)
+    "q108_bm25" -> (Retrieval.qBm25 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -138,6 +138,85 @@ object Retrieval {
       .filter(col("fused_rank") <= topK)
   }
 
+  /** BM25-scored term retrieval (Robertson–Spärck Jones k1/b family),
+    * made engine-reproducible: per-(query, doc, term) contributions are
+    * rounded to integer MICRO-points (floor(x·1e6 + 0.5)), so the
+    * per-pair score is an order-independent integer sum — the same
+    * determinism contract as [[rrfPoints]]. The idf is the LN-FREE
+    * rational form (N − df + 0.5)/(df + 0.5): every arithmetic step is
+    * IEEE +,−,×,÷ (correctly rounded, bit-identical across engines),
+    * where the classic ln idf would drift by libm ulps between JVM
+    * `Math.log` and DuckDB's libm — the same reproducibility lesson as
+    * q94's division-only priority keys. The rational idf is a steeper
+    * but still df-monotone-decreasing weight; swap in `log(...)` when
+    * cross-engine bit-equality isn't required.
+    *
+    * Scale shape: postings (did, tok, tf) from the ElementCounts map
+    * kernel — ONE row per (doc, term), pre-combined, never a raw token
+    * stream; df and the (N, avgdl) scalars are one aggregation each
+    * (the scalars broadcast); the scoring join is qTok ⋈ postings ⋈ df
+    * on the term key. The Zipf hazard and its `maxDf` answer are
+    * exactly [[termChannel]]'s — and here a df FLOOR is principled:
+    * BM25's own idf says high-df terms contribute least.
+    *
+    * Output per surviving (qid, did): bm25_micro (the integer score),
+    * n_match (matched query terms), rk.
+    */
+  def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val postings = corpus
+      .select(col("did"), size(toks).cast("double").as("dl"),
+        explode(graft.expressions.ElementCounts.elementCounts(toks))
+          .as(Seq("tok", "tf")))
+    val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks)).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val qTok = queries.select(col("qid"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    // association order is the mirror contract: every parenthesis
+    // below is replayed literally by the q108 oracle SQL
+    val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val num = tfD * lit(k1 + 1.0)
+    val den = tfD + lit(k1) * (lit(1.0 - b) +
+      (lit(b) * col("dl")) / col("avgdl"))
+    val pts = floor(idf * (num / den) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25_micro").desc, col("did"))
+    qTok.join(postings, "tok")
+      .join(df, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("did"), pts.as("pts"))
+      .groupBy("qid", "did")
+      .agg(sum(col("pts")).as("bm25_micro"),
+        count(lit(1)).as("n_match"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+  }
+
+  /** q108 — BM25 retrieval report: the q107 query/corpus split scored
+    * by [[bm25Channel]], per-query top-10. The oracle replays the
+    * micro-point arithmetic term by term, so the integer scores gate
+    * hash-exact; `.select` fixes the gate column order.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    bm25Channel(queries, corpus, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** q107 — hybrid retrieval report: every 100th document is a query;
     * term top-20 (distinct-token overlap) and vector top-20 (round-6
     * cosine over the embedding join) fused by integer RRF (k = 60)

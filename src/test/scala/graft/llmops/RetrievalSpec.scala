@@ -94,6 +94,64 @@ class RetrievalSpec extends SparkSpec {
     assert(pruned.count() === 0L)
   }
 
+  test("q108 == driver BM25 replication (micro-points, rational idf)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qids = docs.keys.filter(_ % 100 == 0).toSeq.sorted
+    val dids = docs.keys.filter(_ % 100 != 0).toSeq.sorted
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val postings = dids.map(d => d -> toks(docs(d))).toMap
+    val df = postings.values.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, o) => t -> o.size }
+    val nDocs = dids.size.toDouble
+    val avgdl = postings.values.map(_.size).sum.toDouble / nDocs
+    val expected = qids.flatMap { qid =>
+      val scored = dids.map { d =>
+        val dl = postings(d).size.toDouble
+        val tf = postings(d).groupBy(identity).map {
+          case (t, o) => t -> o.size
+        }
+        val hits = toks(docs(qid)).distinct.filter(tf.contains)
+        val pts = hits.map { t =>
+          val idf = (nDocs - df(t) + 0.5) / (df(t) + 0.5)
+          val num = tf(t).toDouble * (1.2 + 1.0)
+          val den = tf(t).toDouble + 1.2 * (0.25 + (0.75 * dl) / avgdl)
+          math.floor(idf * (num / den) * 1000000.0 + 0.5).toLong
+        }.sum
+        (d, pts, hits.size.toLong)
+      }.filter(_._3 > 0)
+      scored.sortBy { case (d, p, _) => (-p, d) }.take(10)
+        .zipWithIndex.map { case ((d, p, m), i) => (qid, d, p, m, i + 1) }
+    }
+    val got = Retrieval.qBm25(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))
+    }.toSeq
+    assert(got === expected)
+  }
+
+  test("bm25Channel composes with rrfFuse as a drop-in channel") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val bm25 = Retrieval.bm25Channel(queries, corpus, topN = 20)
+      .select("qid", "did", "rk")
+    val overlap = Retrieval.termChannel(queries, corpus, topN = 20)
+    val fused = Retrieval.rrfFuse(
+      Seq("bm25" -> bm25, "ovl" -> overlap), topK = 5)
+    val rows = fused.collect()
+    assert(rows.nonEmpty)
+    assert(fused.columns.contains("in_bm25") &&
+      fused.columns.contains("in_ovl"))
+    // every query contributes exactly topK fused rows on this corpus
+    val perQ = rows.groupBy(_.getAs[Long]("qid")).values.map(_.length)
+    assert(perQ.forall(_ == 5))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -554,6 +554,8 @@ object DriveVerify {
       println(s"hybrid rrf: ${rrf.count()} fused rows, " +
         s"both-channel rows: ${rrf.filter(
           col("in_term") === 1 && col("in_vec") === 1).count()}")
+      println(s"bm25 top-10: ${graft.llmops.Retrieval.qBm25(spark, sf)
+        .count()} rows")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
