@@ -2525,7 +2525,12 @@ object OracleSql {
     * e.g. k1+1 is bit-identical on both sides. Rational ln-free idf:
     * division-only IEEE arithmetic, no libm.
     */
-  private val q108 = {
+  /** The q108 BM25 CTE chain (queries/corpus split through the
+    * ranked run, WITHOUT the WITH keyword or final select) — shared
+    * verbatim by the q109 metrics mirror so the two gates can never
+    * rank differently.
+    */
+  private val bm25Ctes = {
     val toks = "string_split(regexp_replace(lower(text)," +
       " '\\s+', ' ', 'g'), ' ')"
     val k1p1 = s"${1.2 + 1.0}"
@@ -2533,7 +2538,7 @@ object OracleSql {
       "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
         s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
         " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
-    s"""WITH queries AS (
+    s"""queries AS (
        |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
        |corpus AS (
        |  SELECT doc_id AS did, text FROM documents WHERE doc_id % 100 <> 0),
@@ -2559,12 +2564,43 @@ object OracleSql {
        |ranked AS (
        |  SELECT qid, did, bm25_micro, n_match, row_number() OVER
        |    (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
-       |  FROM agg)
+       |  FROM agg)""".stripMargin
+  }
+
+  private val q108 =
+    s"""WITH $bm25Ctes
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
        |  CAST(n_match AS BIGINT) AS n_match, rk
        |FROM ranked WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
-  }
+
+  /** q109 — retrieval metrics mirror
+    * ([[graft.llmops.Retrieval.qRetrievalMetrics]]): the q108 run CTEs
+    * verbatim, relevance = shared `source`, and the exact integer
+    * micro metrics (DuckDB `//` == the engine's exact-multiple floor
+    * division).
+    */
+  private val q109 =
+    s"""WITH $bm25Ctes,
+       |run AS (SELECT qid, did, rk FROM ranked WHERE rk <= 10),
+       |rel AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS did
+       |  FROM documents q JOIN documents c ON q.source = c.source
+       |  WHERE q.doc_id % 100 = 0 AND c.doc_id % 100 <> 0),
+       |nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+       |hits AS (
+       |  SELECT qid, count(*) AS n_hits,
+       |    CAST(min(rk) AS BIGINT) AS first_rel_rank
+       |  FROM run JOIN rel USING (qid, did) GROUP BY qid)
+       |SELECT nrel.qid, CAST(n_rel AS BIGINT) AS n_rel,
+       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT)
+       |    AS mrr_micro,
+       |  CAST((1000000 * coalesce(n_hits, 0)) // n_rel AS BIGINT)
+       |    AS recall_micro
+       |FROM nrel LEFT JOIN hits ON nrel.qid = hits.qid
+       |ORDER BY nrel.qid""".stripMargin
 
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
@@ -2865,5 +2901,6 @@ object OracleSql {
     "q105_duplicated_spans" -> q105,
     "q106_table_profile" -> q106,
     "q107_hybrid_rrf" -> q107,
-    "q108_bm25" -> q108)
+    "q108_bm25" -> q108,
+    "q109_retrieval_metrics" -> q109)
 }

@@ -227,7 +227,10 @@ object SparkEntry {
     "q107_hybrid_rrf" -> (Retrieval.qHybridRrf _),
     // BM25 term retrieval: integer micro-point scores (ln-free
     // rational idf — division-only IEEE, no libm drift)
-    "q108_bm25" -> (Retrieval.qBm25 _))
+    "q108_bm25" -> (Retrieval.qBm25 _),
+    // retrieval quality metrics over the q108 run: MRR/hits/recall in
+    // exact integer micro-units (no nDCG — log2 is libm drift)
+    "q109_retrieval_metrics" -> (Retrieval.qRetrievalMetrics _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

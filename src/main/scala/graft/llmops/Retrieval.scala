@@ -242,6 +242,63 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** Retrieval-quality metrics for a ranked run against a relevance
+    * relation — the evaluation step every retrieval stack ships with.
+    * Inputs: `run` = (qid, did, rk) ranked lists; `rel` = (qid, did)
+    * relevant pairs. Output per query: the relevant-corpus size,
+    * hits within the list, and the rank metrics in exact integer
+    * micro-units (the [[rrfPoints]] determinism contract):
+    * mrr_micro = 1e6 div first-relevant-rank (0 when the list misses
+    * everything), recall_micro = (1e6·hits) div n_rel. MRR and
+    * recall@k are chosen over nDCG deliberately: they are
+    * division-of-integers exact, where DCG's log2 would re-import the
+    * libm drift q108's idf just engineered out.
+    *
+    * Scale shape: one equi-join of the run (queries × k rows) against
+    * the relevance relation on (qid, did) — both sides slim — and two
+    * grouped aggregations; nothing corpus-sized.
+    */
+  def retrievalMetrics(run: DataFrame, rel: DataFrame): DataFrame = {
+    def microDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = run.join(rel, Seq("qid", "did"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rk")).cast("long").as("first_rel_rank"))
+    nRel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        coalesce(microDiv(lit(1000000L), col("first_rel_rank")), lit(0L))
+          .as("mrr_micro"),
+        microDiv(lit(1000000L) * coalesce(col("n_hits"), lit(0L)),
+          col("n_rel")).as("recall_micro"))
+  }
+
+  /** q109 — the metrics report over the q108 BM25 run: relevance =
+    * corpus documents sharing the query document's `source` (the
+    * label every synthetic-corpus doc carries), so the gate certifies
+    * the metric arithmetic end-to-end on a real ranked run.
+    */
+  def qRetrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val run = bm25Channel(queries, corpus, topN = 10)
+      .select("qid", "did", "rk")
+    val rel = d.filter(isQuery).select(col("doc_id").as("qid"),
+        col("source").as("q_source"))
+      .join(d.filter(!isQuery).select(col("doc_id").as("did"),
+        col("source").as("d_source")),
+        col("q_source") === col("d_source"))
+      .select("qid", "did")
+    retrievalMetrics(run, rel).orderBy("qid")
+  }
+
   /** q107 — hybrid retrieval report: every 100th document is a query;
     * term top-20 (distinct-token overlap) and vector top-20 (round-6
     * cosine over the embedding join) fused by integer RRF (k = 60)

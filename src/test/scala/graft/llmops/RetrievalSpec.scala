@@ -152,6 +152,29 @@ class RetrievalSpec extends SparkSpec {
     assert(perQ.forall(_ == 5))
   }
 
+  test("retrievalMetrics: exact micro values incl. miss and rounding") {
+    import spark.implicits._
+    // q1: rel {10,11,12}, run hits 11@rk2, 12@rk5 → mrr=1e6/2,
+    //     recall = floor(2e6/3)
+    // q2: rel {20}, run misses → zeros
+    // q3: rel {30,31}, hit 30@rk1 → mrr=1e6, recall=500000
+    val run = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 12L, 5),
+      (2L, 98L, 1), (2L, 97L, 2),
+      (3L, 30L, 1), (3L, 96L, 2)).toDF("qid", "did", "rk")
+    val rel = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (3L, 30L), (3L, 31L)).toDF("qid", "did")
+    val got = Retrieval.retrievalMetrics(run, rel)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 2L, 500000L, 666666L),
+      (2L, 1L, 0L, 0L, 0L, 0L),
+      (3L, 2L, 1L, 1L, 1000000L, 500000L)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

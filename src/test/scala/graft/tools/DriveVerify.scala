@@ -556,6 +556,7 @@ object DriveVerify {
           col("in_term") === 1 && col("in_vec") === 1).count()}")
       println(s"bm25 top-10: ${graft.llmops.Retrieval.qBm25(spark, sf)
         .count()} rows")
+      graft.llmops.Retrieval.qRetrievalMetrics(spark, sf).show(3, false)
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
