@@ -2902,5 +2902,8 @@ object OracleSql {
     "q106_table_profile" -> q106,
     "q107_hybrid_rrf" -> q107,
     "q108_bm25" -> q108,
-    "q109_retrieval_metrics" -> q109)
+    "q109_retrieval_metrics" -> q109,
+    // q110 probes an APPENDED index; the oracle is the q108 statement
+    // verbatim — hash match == append-equals-rebuild certificate
+    "q110_bm25_indexed" -> q108)
 }

@@ -230,7 +230,10 @@ object SparkEntry {
     "q108_bm25" -> (Retrieval.qBm25 _),
     // retrieval quality metrics over the q108 run: MRR/hits/recall in
     // exact integer micro-units (no nDCG — log2 is libm drift)
-    "q109_retrieval_metrics" -> (Retrieval.qRetrievalMetrics _))
+    "q109_retrieval_metrics" -> (Retrieval.qRetrievalMetrics _),
+    // postings-index append == full rebuild (oracle IS the q108
+    // statement — the q101 append-certificate pattern)
+    "q110_bm25_indexed" -> (Retrieval.qBm25Indexed _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -166,17 +166,38 @@ object Retrieval {
     * Output per surviving (qid, did): bm25_micro (the integer score),
     * n_match (matched query terms), rk.
     */
-  def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+  /** The postings index of a corpus: one pre-combined (did, dl, tok,
+    * tf) row per (document, term) — the relation every term-retrieval
+    * probe consumes, and the ONE-OFF tokenization cost of the corpus.
+    * Per-doc independent by construction, which is what makes the
+    * ingest form trivial-and-exactly-right: appending a batch is
+    * [[postingsAppend]] (landed documents are never re-tokenized), and
+    * q110 certifies append ≡ full rebuild through the probe hash.
+    * Persist it partitioned/bucketed by `tok` at corpus scale and the
+    * probe join is Exchange-free.
+    */
+  def postingsIndex(corpus: DataFrame): DataFrame = {
     val toks = Dedup.tokens(col("text"))
-    // tokenization is the expensive pass over a real corpus, and
-    // postings feed THREE consumers (df, corpus stats, the scoring
-    // join) — materialize once (the triangles/duplicatedSpans rule)
-    val postings = corpus
-      .select(col("did"), size(toks).cast("double").as("dl"),
-        explode(graft.expressions.ElementCounts.elementCounts(toks))
-          .as(Seq("tok", "tf")))
-      .localCheckpoint()
+    corpus.select(col("did"), size(toks).cast("double").as("dl"),
+      explode(graft.expressions.ElementCounts.elementCounts(toks))
+        .as(Seq("tok", "tf")))
+  }
+
+  /** Ingest form: the index of (landed ∪ batch) without touching
+    * landed rows — postings are per-doc, so the delta IS the batch's
+    * own index. The df/stats relations are derived from the index at
+    * probe time, so they need no separate maintenance.
+    */
+  def postingsAppend(batch: DataFrame, landed: DataFrame): DataFrame =
+    landed.unionByName(postingsIndex(batch))
+
+  /** BM25 probe over a prebuilt [[postingsIndex]] — the recurring cost
+    * of the build/probe split (the q98 kNN pattern): df and the corpus
+    * scalars are one aggregation each over the index, and the scoring
+    * join streams the index against the broadcast query terms.
+    */
+  def bm25Probe(queries: DataFrame, postings: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
     val df0 = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     // df is an inner-join input to the scoring stage, so a df ceiling
     // prunes the stopword-grade postings fan-out for free (BM25's own
@@ -222,6 +243,40 @@ object Retrieval {
         count(lit(1)).as("n_match"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topN)
+  }
+
+  /** One-shot BM25: build the index, materialize it once (it feeds
+    * df, stats, and the scoring join — the triangles/duplicatedSpans
+    * rule), probe. Production holds the index and calls [[bm25Probe]]
+    * directly (the build is the dominant cost at 100× — measured in
+    * Scale100W4).
+    */
+  def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame =
+    bm25Probe(queries, postingsIndex(corpus).localCheckpoint(),
+      topN, k1, b, maxDf)
+
+  /** q110 — the ingest certificate: the corpus index is built as
+    * landed (90%) + [[postingsAppend]] of a late batch (doc_id ≡ 7
+    * mod 10), then probed. The oracle is the q108 statement VERBATIM
+    * (full single-pass rebuild), so the hash match certifies
+    * append ≡ rebuild — the q101 IVF-append pattern for the term
+    * index.
+    */
+  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = postingsIndex(corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val index = postingsAppend(corpus.filter(pmod(col("did"), lit(10L)) === 7L),
+      landed).localCheckpoint()
+    bm25Probe(queries, index, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
   }
 
   /** q108 — BM25 retrieval report: the q107 query/corpus split scored

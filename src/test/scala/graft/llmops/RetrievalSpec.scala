@@ -152,6 +152,22 @@ class RetrievalSpec extends SparkSpec {
     assert(perQ.forall(_ == 5))
   }
 
+  test("postingsAppend == full postingsIndex (landed never re-tokenized)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = Retrieval.postingsIndex(
+      d.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val appended = Retrieval.postingsAppend(
+      d.filter(pmod(col("did"), lit(10L)) === 7L), landed)
+    val full = Retrieval.postingsIndex(d)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("did", "dl", "tok", "tf").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3))).toSet
+    assert(key(appended) === key(full))
+    assert(appended.count() === full.count()) // no dup rows either
+  }
+
   test("retrievalMetrics: exact micro values incl. miss and rounding") {
     import spark.implicits._
     // q1: rel {10,11,12}, run hits 11@rk2, 12@rk5 → mrr=1e6/2,

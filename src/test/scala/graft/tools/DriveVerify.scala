@@ -557,6 +557,8 @@ object DriveVerify {
       println(s"bm25 top-10: ${graft.llmops.Retrieval.qBm25(spark, sf)
         .count()} rows")
       graft.llmops.Retrieval.qRetrievalMetrics(spark, sf).show(3, false)
+      println(s"bm25 over appended index: ${graft.llmops.Retrieval
+        .qBm25Indexed(spark, sf).count()} rows")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
