@@ -203,6 +203,40 @@ object StreamOps {
     }
   }
 
+  /** Streaming postings-index maintenance — the streaming face of
+    * [[graft.llmops.Retrieval.postingsAppend]]: each micro-batch of
+    * (doc_id, text) tokenizes ONLY itself (postings are per-doc
+    * independent, so no landed state is even read — the cheapest
+    * ingest contract any sink here has) and lands as an
+    * overwrite-whole per-batch parquet dir, the shared
+    * replay-idempotent file-state pattern. [[readPostingsIndex]]
+    * hands the grown index straight to
+    * [[graft.llmops.Retrieval.bm25Probe]]; StreamOpsSpec pins
+    * probe-equality with a fresh full [[graft.llmops.Retrieval
+    * .postingsIndex]] build across a multi-batch replay.
+    */
+  def postingsIndexSink(docs: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.llmops.Retrieval.postingsIndex(
+              batch.select(col("doc_id").as("did"), col("text")))
+            .write.mode("overwrite")
+            .parquet(s"$statePath/postings/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The grown postings index, shaped for
+    * [[graft.llmops.Retrieval.bm25Probe]]. */
+  def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/postings")
+      .select("did", "dl", "tok", "tf")
+
   /** The grown IVF assignment and its quantizer, shaped for
     * [[graft.llmops.Similarity.knnJoinIndexed]]. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,

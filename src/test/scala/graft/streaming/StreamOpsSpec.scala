@@ -399,6 +399,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("postingsIndexSink: grown index == fresh full build; bm25 probes agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_postsink")
+    try {
+      import graft.llmops.Retrieval
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.postingsIndexSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData(base.take(200).toSeq)
+      q.processAllAvailable()
+      in.addData(base.drop(200).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val grown = StreamOps.readPostingsIndex(spark, s"$dir/state")
+      val full = Retrieval.postingsIndex(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id").as("did"), col("text")))
+      assert(grown.count() === full.count())
+      val queries = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      def run(idx: org.apache.spark.sql.DataFrame) =
+        Retrieval.bm25Probe(queries, idx, topN = 5)
+          .select("qid", "did", "bm25_micro", "rk")
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(run(grown) === run(full))
+      assert(run(grown).nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")

@@ -559,6 +559,28 @@ object DriveVerify {
       graft.llmops.Retrieval.qRetrievalMetrics(spark, sf).show(3, false)
       println(s"bm25 over appended index: ${graft.llmops.Retrieval
         .qBm25Indexed(spark, sf).count()} rows")
+      // streaming postings maintenance: 2-file replay through the sink
+      val pDir = java.nio.file.Files.createTempDirectory("graft_dv_post")
+      corpus.select("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(s"$pDir/docs")
+      val dSrc = spark.readStream
+        .schema(spark.read.parquet(s"$pDir/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$pDir/docs")
+      val pQ = graft.streaming.StreamOps
+        .postingsIndexSink(dSrc, s"$pDir/state")
+        .option("checkpointLocation", s"$pDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      pQ.awaitTermination()
+      val pIdx = graft.streaming.StreamOps
+        .readPostingsIndex(spark, s"$pDir/state")
+      println(s"stream postings index: ${pIdx.count()} rows, probe " +
+        s"rows: ${graft.llmops.Retrieval.bm25Probe(
+          corpus.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"), col("text")),
+          pIdx, topN = 5).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(pDir.toFile)
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
