@@ -2525,19 +2525,13 @@ object OracleSql {
     * e.g. k1+1 is bit-identical on both sides. Rational ln-free idf:
     * division-only IEEE arithmetic, no libm.
     */
-  /** The q108 BM25 CTE chain (queries/corpus split through the
-    * ranked run, WITHOUT the WITH keyword or final select) — shared
-    * verbatim by the q109 metrics mirror so the two gates can never
-    * rank differently.
+  /** The BM25 mirror base CTEs (queries/corpus split, postings, df,
+    * corpus stats, the original query-term relation `qt`) — shared by
+    * q108/q109/q110/q111 so the gates can never rank differently.
     */
-  private val bm25Ctes = {
+  private val bm25BaseCtes = {
     val toks = "string_split(regexp_replace(lower(text)," +
       " '\\s+', ' ', 'g'), ' ')"
-    val k1p1 = s"${1.2 + 1.0}"
-    val contrib =
-      "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
-        s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
-        " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
     s"""queries AS (
        |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
        |corpus AS (
@@ -2553,19 +2547,36 @@ object OracleSql {
        |      AS avgdl
        |  FROM ct0),
        |qt AS (SELECT qid, unnest(list_distinct($toks)) AS tok
-       |  FROM queries),
-       |scored AS (
+       |  FROM queries)""".stripMargin
+  }
+
+  /** The BM25 scoring CTE triple (scored/agg/ranked + `suffix`) over a
+    * given query-term relation — the micro-point arithmetic with the
+    * ENGINE'S parenthesization; double literals interpolated from the
+    * same Scala expressions the engine evaluates (shortest-roundtrip
+    * repr, the q21 hyperplane trick), so e.g. k1+1 is bit-identical on
+    * both sides. Rational ln-free idf: division-only IEEE, no libm.
+    */
+  private def bm25ScoreCtes(qtName: String, suffix: String): String = {
+    val k1p1 = s"${1.2 + 1.0}"
+    val contrib =
+      "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+        s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
+        " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
+    s"""scored$suffix AS (
        |  SELECT qid, did,
        |    CAST(floor($contrib * 1000000.0 + 0.5) AS BIGINT) AS pts
-       |  FROM qt JOIN postings USING (tok) JOIN dfre USING (tok), stats),
-       |agg AS (
+       |  FROM $qtName JOIN postings USING (tok) JOIN dfre USING (tok), stats),
+       |agg$suffix AS (
        |  SELECT qid, did, sum(pts) AS bm25_micro, count(*) AS n_match
-       |  FROM scored GROUP BY qid, did),
-       |ranked AS (
+       |  FROM scored$suffix GROUP BY qid, did),
+       |ranked$suffix AS (
        |  SELECT qid, did, bm25_micro, n_match, row_number() OVER
        |    (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
-       |  FROM agg)""".stripMargin
+       |  FROM agg$suffix)""".stripMargin
   }
+
+  private val bm25Ctes = s"$bm25BaseCtes,\n${bm25ScoreCtes("qt", "")}"
 
   private val q108 =
     s"""WITH $bm25Ctes
@@ -2601,6 +2612,36 @@ object OracleSql {
        |    AS recall_micro
        |FROM nrel LEFT JOIN hits ON nrel.qid = hits.qid
        |ORDER BY nrel.qid""".stripMargin
+
+  /** q111 — PRF query expansion mirror
+    * ([[graft.llmops.Retrieval.qPrfExpansion]]): round-1 ranked run
+    * (top-5 feedback docs), expansion term mining (summed tf over the
+    * feedback docs, minus the query's own terms, top-3 per query by
+    * (mass, term)), then the SAME scoring triple over qt ∪ expansion.
+    */
+  private val q111 =
+    s"""WITH $bm25Ctes,
+       |run1 AS (SELECT qid, did FROM ranked WHERE rk <= 5),
+       |mined AS (
+       |  SELECT r.qid, p.tok, sum(p.tf) AS mass
+       |  FROM run1 r JOIN postings p USING (did)
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.qid = r.qid AND qt.tok = p.tok)
+       |  GROUP BY r.qid, p.tok),
+       |expansion AS (
+       |  SELECT qid, tok FROM (
+       |    SELECT qid, tok, row_number() OVER
+       |      (PARTITION BY qid ORDER BY mass DESC, tok) AS erk
+       |    FROM mined) WHERE erk <= 3),
+       |qt2 AS (
+       |  SELECT DISTINCT qid, tok FROM (
+       |    SELECT qid, tok FROM qt UNION ALL
+       |    SELECT qid, tok FROM expansion)),
+       |${bm25ScoreCtes("qt2", "2")}
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked2 WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
@@ -2905,5 +2946,6 @@ object OracleSql {
     "q109_retrieval_metrics" -> q109,
     // q110 probes an APPENDED index; the oracle is the q108 statement
     // verbatim — hash match == append-equals-rebuild certificate
-    "q110_bm25_indexed" -> q108)
+    "q110_bm25_indexed" -> q108,
+    "q111_prf_expansion" -> q111)
 }

@@ -233,7 +233,10 @@ object SparkEntry {
     "q109_retrieval_metrics" -> (Retrieval.qRetrievalMetrics _),
     // postings-index append == full rebuild (oracle IS the q108
     // statement — the q101 append-certificate pattern)
-    "q110_bm25_indexed" -> (Retrieval.qBm25Indexed _))
+    "q110_bm25_indexed" -> (Retrieval.qBm25Indexed _),
+    // pseudo-relevance-feedback expansion: retrieve -> mine top terms
+    // from feedback docs -> re-retrieve (both rounds under the gate)
+    "q111_prf_expansion" -> (Retrieval.qPrfExpansion _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

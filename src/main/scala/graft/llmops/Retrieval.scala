@@ -197,6 +197,19 @@ object Retrieval {
     * join streams the index against the broadcast query terms.
     */
   def bm25Probe(queries: DataFrame, postings: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame =
+    bm25ProbeTerms(queryTerms(queries), postings, topN, k1, b, maxDf)
+
+  /** A query batch's distinct-term relation (qid, tok) — the unit the
+    * probe actually consumes; exposed so expanded/rewritten queries
+    * (q111 PRF) can feed terms that never came from a text column.
+    */
+  def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("qid"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+
+  /** [[bm25Probe]] over an explicit (qid, tok) term relation. */
+  def bm25ProbeTerms(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
     val df0 = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     // df is an inner-join input to the scoring stage, so a df ceiling
@@ -211,8 +224,6 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("doc_dl")) /
           count(lit(1)).cast("double")).as("avgdl"))
-    val qTok = queries.select(col("qid"),
-      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     // association order is the mirror contract: every parenthesis
@@ -243,6 +254,62 @@ object Retrieval {
         count(lit(1)).as("n_match"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topN)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the Rocchio/RM1
+    * shape): retrieve top-`fbDocs` per query, mine the `fbTerms`
+    * highest-mass terms from those documents that the query does NOT
+    * already contain (mass = summed tf over the feedback docs — exact
+    * integers; ties break on the term), union them into the query's
+    * term set, retrieve again. Two probe rounds over the SAME postings
+    * index — the iterative-retrieval composition every IR stack runs,
+    * and every step is either integer arithmetic or the q108 scoring
+    * contract, so the expanded run gates hash-exact.
+    *
+    * Scale shape: round-1 output is queries × fbDocs slim rows; the
+    * term-mining join re-touches only the FEEDBACK documents' postings
+    * (an equi-join on did against a broadcast run), and round 2 is a
+    * probe with ≤ fbTerms extra terms per query. The index is consumed
+    * twice — hold it materialized (the callers here do).
+    */
+  def prfExpand(queries: DataFrame, postings: DataFrame,
+      fbDocs: Int = 5, fbTerms: Int = 3, topN: Int = 10,
+      maxDf: Long = 0L): DataFrame = {
+    val qTok = queryTerms(queries)
+    val run1 = bm25ProbeTerms(qTok, postings, fbDocs, maxDf = maxDf)
+      .select("qid", "did")
+    val mined = broadcast(run1).join(postings, "did")
+      .join(qTok.withColumnRenamed("qid", "q2")
+          .withColumnRenamed("tok", "t2"),
+        col("qid") === col("q2") && col("tok") === col("t2"),
+        "left_anti")
+      .groupBy("qid", "tok")
+      .agg(sum(col("tf")).as("mass"))
+    val wE = Window.partitionBy("qid")
+      .orderBy(col("mass").desc, col("tok"))
+    val expansion = mined.withColumn("erk", row_number().over(wE))
+      .filter(col("erk") <= fbTerms)
+      .select("qid", "tok")
+    bm25ProbeTerms(qTok.unionByName(expansion).distinct(),
+      postings, topN, maxDf = maxDf)
+  }
+
+  /** q111 — the PRF report over the q108 split: feedback from the
+    * BM25 top-5, 3 expansion terms, expanded top-10 per query. Oracle
+    * replays both rounds from the shared CTE chain.
+    */
+  def qPrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = postingsIndex(corpus).localCheckpoint()
+    prfExpand(queries, index, fbDocs = 5, fbTerms = 3, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
   }
 
   /** One-shot BM25: build the index, materialize it once (it feeds

@@ -191,6 +191,30 @@ class RetrievalSpec extends SparkSpec {
       (3L, 2L, 1L, 1L, 1000000L, 500000L)))
   }
 
+  test("prfExpand: fbTerms=0 degenerates to the plain probe; " +
+    "expansion terms are new and capped") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = Retrieval.postingsIndex(corpus).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // no expansion terms -> bit-identical to the one-round probe
+    assert(rows(Retrieval.prfExpand(queries, index, fbTerms = 0)) ===
+      rows(Retrieval.bm25Probe(queries, index, topN = 10)))
+    // with expansion: every query's term set grows by at most fbTerms
+    // NEW terms, so per-pair n_match can only grow
+    val plain = Retrieval.bm25Probe(queries, index, topN = 10)
+      .select(col("qid"), col("did"), col("n_match").as("m0"))
+    val grownCnt = Retrieval.prfExpand(queries, index, fbTerms = 3)
+      .join(plain, Seq("qid", "did"))
+      .filter(col("n_match") < col("m0")).count()
+    assert(grownCnt === 0L)
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

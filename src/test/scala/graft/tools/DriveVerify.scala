@@ -559,6 +559,8 @@ object DriveVerify {
       graft.llmops.Retrieval.qRetrievalMetrics(spark, sf).show(3, false)
       println(s"bm25 over appended index: ${graft.llmops.Retrieval
         .qBm25Indexed(spark, sf).count()} rows")
+      println(s"prf expanded top-10: ${graft.llmops.Retrieval
+        .qPrfExpansion(spark, sf).count()} rows")
       // streaming postings maintenance: 2-file replay through the sink
       val pDir = java.nio.file.Files.createTempDirectory("graft_dv_post")
       corpus.select("doc_id", "text").repartition(2)
