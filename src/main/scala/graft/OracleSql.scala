@@ -2643,6 +2643,65 @@ object OracleSql {
        |FROM ranked2 WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** q112 — passage retrieval mirror
+    * ([[graft.llmops.Retrieval.qPassageRetrieval]]): the q103 chunk
+    * CTEs at 32/8 over the corpus side, passage id doc_id·1000 +
+    * chunk_idx, then the SAME scoring triple (the passage relation is
+    * simply named `postings`) and the id unpacked in the final select.
+    */
+  private val q112 = {
+    val chunk = 32
+    val step = 24
+    s"""WITH queries AS (
+       |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+       |corpusd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+       |t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')
+       |      AS toks
+       |  FROM corpusd),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $chunk THEN 1
+       |      ELSE CAST(ceil(CAST(len(toks) - $chunk AS DOUBLE) / $step)
+       |        AS BIGINT) + 1 END AS nch
+       |  FROM t),
+       |u AS (
+       |  SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_idx FROM c),
+       |ch AS (
+       |  SELECT doc_id * 1000 + chunk_idx AS did,
+       |    array_to_string(
+       |      toks[chunk_idx * $step + 1 : chunk_idx * $step + $chunk],
+       |      ' ') AS ctext
+       |  FROM u),
+       |ct0 AS (SELECT did,
+       |    string_split(regexp_replace(lower(ctext), '\\s+', ' ', 'g'),
+       |      ' ') AS toks
+       |  FROM ch),
+       |tokd AS (SELECT did, len(toks) AS dl0, unnest(toks) AS tok FROM ct0),
+       |postings AS (
+       |  SELECT did, CAST(dl0 AS DOUBLE) AS dl, tok, count(*) AS tf
+       |  FROM tokd GROUP BY did, dl0, tok),
+       |dfre AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS avgdl
+       |  FROM ct0),
+       |qt AS (SELECT qid,
+       |    unnest(list_distinct(
+       |      string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+       |        ' '))) AS tok
+       |  FROM queries),
+       |${bm25ScoreCtes("qt", "")}
+       |SELECT qid, CAST(did // 1000 AS BIGINT) AS doc_id,
+       |  CAST(did % 1000 AS BIGINT) AS chunk_idx,
+       |  CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** q105 — arbitrary-offset duplicated spans
     * ([[graft.llmops.TextOps.qDuplicatedSpans]]): the q95 trigram CTE
     * shapes at l = 8 over corpus + offset-shifted copies, corpus-global
@@ -2947,5 +3006,6 @@ object OracleSql {
     // q110 probes an APPENDED index; the oracle is the q108 statement
     // verbatim — hash match == append-equals-rebuild certificate
     "q110_bm25_indexed" -> q108,
-    "q111_prf_expansion" -> q111)
+    "q111_prf_expansion" -> q111,
+    "q112_passage_retrieval" -> q112)
 }

@@ -236,7 +236,10 @@ object SparkEntry {
     "q110_bm25_indexed" -> (Retrieval.qBm25Indexed _),
     // pseudo-relevance-feedback expansion: retrieve -> mine top terms
     // from feedback docs -> re-retrieve (both rounds under the gate)
-    "q111_prf_expansion" -> (Retrieval.qPrfExpansion _))
+    "q111_prf_expansion" -> (Retrieval.qPrfExpansion _),
+    // passage-level retrieval: q103 chunker feeds the q108 probe
+    // unchanged (granularity is a data decision, not an operator one)
+    "q112_passage_retrieval" -> (Retrieval.qPassageRetrieval _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

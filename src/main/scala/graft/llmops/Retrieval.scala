@@ -312,6 +312,38 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** q112 — passage-level retrieval (the RAG answer-context shape):
+    * the corpus is chunked by [[TextOps.chunkDocuments]] (32-token
+    * windows, 8 overlap), each passage becomes an index "document"
+    * with the synthetic id doc_id·1000 + chunk_idx (chunk counts are
+    * far below 1000 here; a corpus with longer documents widens the
+    * factor), and the q108 probe runs unchanged over the passage
+    * index — retrieval granularity is a DATA decision, not an
+    * operator change, which is exactly what the build/probe split
+    * buys. Output unpacks the passage id back into (doc_id,
+    * chunk_idx). BM25's length normalization now normalizes by
+    * PASSAGE length, the standard passage-retrieval behavior.
+    */
+  def qPassageRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery).select("doc_id", "text")
+    val passages = TextOps.chunkDocuments(corpus, 32, 8)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("did"),
+        col("chunk_text").as("text"))
+    val index = postingsIndex(passages).localCheckpoint()
+    val pid = col("did")
+    bm25Probe(queries, index, topN = 10)
+      .select(col("qid"),
+        ((pid - pmod(pid, lit(1000L))) / 1000L).cast("long")
+          .as("doc_id"),
+        pmod(pid, lit(1000L)).as("chunk_idx"),
+        col("bm25_micro"), col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** One-shot BM25: build the index, materialize it once (it feeds
     * df, stats, and the scoring join — the triangles/duplicatedSpans
     * rule), probe. Production holds the index and calls [[bm25Probe]]

@@ -215,6 +215,27 @@ class RetrievalSpec extends SparkSpec {
     assert(grownCnt === 0L)
   }
 
+  test("q112 passage ids round-trip and passages cover their documents") {
+    val got = Retrieval.qPassageRetrieval(spark, dir).collect()
+    assert(got.nonEmpty)
+    // every hit's (doc_id, chunk_idx) must identify a real passage of
+    // a real corpus document
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusIds = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val chunks = graft.llmops.TextOps.chunkDocuments(
+        d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+          .select("doc_id", "text"), 32, 8)
+      .select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val ci = r.getAs[Long]("chunk_idx")
+      assert(corpusIds.contains(doc))
+      assert(chunks.contains((doc, ci)))
+    }
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -561,6 +561,8 @@ object DriveVerify {
         .qBm25Indexed(spark, sf).count()} rows")
       println(s"prf expanded top-10: ${graft.llmops.Retrieval
         .qPrfExpansion(spark, sf).count()} rows")
+      println(s"passage top-10: ${graft.llmops.Retrieval
+        .qPassageRetrieval(spark, sf).count()} rows")
       // streaming postings maintenance: 2-file replay through the sink
       val pDir = java.nio.file.Files.createTempDirectory("graft_dv_post")
       corpus.select("doc_id", "text").repartition(2)
