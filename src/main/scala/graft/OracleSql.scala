@@ -2643,6 +2643,27 @@ object OracleSql {
        |FROM ranked2 WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** q113 — hard-negative mining mirror
+    * ([[graft.llmops.Retrieval.qHardNegatives]]): the q108 run CTEs,
+    * the q109 relevance CTE, anti-join via NOT EXISTS, dense re-rank.
+    */
+  private val q113 =
+    s"""WITH $bm25Ctes,
+       |run AS (SELECT qid, did, rk FROM ranked WHERE rk <= 10),
+       |rel AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS did
+       |  FROM documents q JOIN documents c ON q.source = c.source
+       |  WHERE q.doc_id % 100 = 0 AND c.doc_id % 100 <> 0),
+       |neg AS (
+       |  SELECT r.qid, r.did, r.rk, row_number() OVER
+       |    (PARTITION BY r.qid ORDER BY r.rk, r.did) AS neg_rank
+       |  FROM run r
+       |  WHERE NOT EXISTS (SELECT 1 FROM rel
+       |    WHERE rel.qid = r.qid AND rel.did = r.did))
+       |SELECT qid, did, rk, neg_rank
+       |FROM neg WHERE neg_rank <= 5
+       |ORDER BY qid, neg_rank""".stripMargin
+
   /** q112 — passage retrieval mirror
     * ([[graft.llmops.Retrieval.qPassageRetrieval]]): the q103 chunk
     * CTEs at 32/8 over the corpus side, passage id doc_id·1000 +
@@ -3007,5 +3028,6 @@ object OracleSql {
     // verbatim — hash match == append-equals-rebuild certificate
     "q110_bm25_indexed" -> q108,
     "q111_prf_expansion" -> q111,
-    "q112_passage_retrieval" -> q112)
+    "q112_passage_retrieval" -> q112,
+    "q113_hard_negatives" -> q113)
 }

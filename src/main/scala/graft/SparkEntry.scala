@@ -239,7 +239,10 @@ object SparkEntry {
     "q111_prf_expansion" -> (Retrieval.qPrfExpansion _),
     // passage-level retrieval: q103 chunker feeds the q108 probe
     // unchanged (granularity is a data decision, not an operator one)
-    "q112_passage_retrieval" -> (Retrieval.qPassageRetrieval _))
+    "q112_passage_retrieval" -> (Retrieval.qPassageRetrieval _),
+    // hard-negative mining: top-scoring non-relevant docs per query
+    // (the contrastive-training pair surface)
+    "q113_hard_negatives" -> (Retrieval.qHardNegatives _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

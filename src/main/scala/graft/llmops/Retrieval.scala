@@ -43,6 +43,14 @@ import org.apache.spark.sql.functions._
   * contributes nothing to the vector channel (inner joins) — the fused
   * list degrades to term-only, which is the behavior a mixed-coverage
   * corpus (sf0.1: 5000 docs, 2000 vectors) needs.
+  *
+  * Cache lifetime: the one-shot entry points `persist()` the postings
+  * index (it feeds df, stats, and the scoring join; PRF probes it
+  * twice). The cached plan backs the returned DataFrame, so it cannot
+  * be unpersisted before the caller's action; release with
+  * `spark.catalog.clearCache()` afterwards — Bench and Verify do so
+  * between queries (the Dedup.scala contract). Production callers
+  * hold the index explicitly and call the probe forms directly.
   */
 object Retrieval {
 
@@ -305,7 +313,7 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
-    val index = postingsIndex(corpus).localCheckpoint()
+    val index = postingsIndex(corpus).persist()
     prfExpand(queries, index, fbDocs = 5, fbTerms = 3, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"))
@@ -333,7 +341,7 @@ object Retrieval {
     val passages = TextOps.chunkDocuments(corpus, 32, 8)
       .select((col("doc_id") * 1000L + col("chunk_idx")).as("did"),
         col("chunk_text").as("text"))
-    val index = postingsIndex(passages).localCheckpoint()
+    val index = postingsIndex(passages).persist()
     val pid = col("did")
     bm25Probe(queries, index, topN = 10)
       .select(col("qid"),
@@ -344,6 +352,45 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/retriever
+    * training-pair shape): per query, the `k` HIGHEST-scoring
+    * documents that are NOT relevant — lexically confusable with the
+    * positives, which is exactly what makes them informative
+    * negatives. `run` is any ranked (qid, did, rk) relation (BM25
+    * here; the IVF probe works identically), `rel` the (qid, did)
+    * positives; the anti-join drops positives, ranks re-pack densely.
+    * Slim rank arithmetic on queries × topN rows — never corpus-sized.
+    */
+  def hardNegatives(run: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("rk"), col("did"))
+    run.join(rel, Seq("qid", "did"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select("qid", "did", "rk", "neg_rank")
+  }
+
+  /** q113 — the mining report over the q108 split: negatives from the
+    * BM25 top-10 minus the shared-source positives (q109's relevance),
+    * top-5 per query. Gate certifies the anti-join + dense re-rank.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val run = bm25Channel(queries, corpus, topN = 10)
+      .select("qid", "did", "rk")
+    val rel = d.filter(isQuery).select(col("doc_id").as("qid"),
+        col("source").as("q_source"))
+      .join(d.filter(!isQuery).select(col("doc_id").as("did"),
+        col("source").as("d_source")),
+        col("q_source") === col("d_source"))
+      .select("qid", "did")
+    hardNegatives(run, rel, k = 5).orderBy("qid", "neg_rank")
+  }
+
   /** One-shot BM25: build the index, materialize it once (it feeds
     * df, stats, and the scoring join — the triangles/duplicatedSpans
     * rule), probe. Production holds the index and calls [[bm25Probe]]
@@ -352,7 +399,7 @@ object Retrieval {
     */
   def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame =
-    bm25Probe(queries, postingsIndex(corpus).localCheckpoint(),
+    bm25Probe(queries, postingsIndex(corpus).persist(),
       topN, k1, b, maxDf)
 
   /** q110 — the ingest certificate: the corpus index is built as
@@ -371,7 +418,7 @@ object Retrieval {
       .select(col("doc_id").as("did"), col("text"))
     val landed = postingsIndex(corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
     val index = postingsAppend(corpus.filter(pmod(col("did"), lit(10L)) === 7L),
-      landed).localCheckpoint()
+      landed).persist()
     bm25Probe(queries, index, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"))

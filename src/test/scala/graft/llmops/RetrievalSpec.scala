@@ -236,6 +236,17 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives drops positives and re-packs ranks densely") {
+    import spark.implicits._
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (1L, 13L, 4)).toDF("qid", "did", "rk")
+    val rel = Seq((1L, 10L), (1L, 12L)).toDF("qid", "did")
+    val got = Retrieval.hardNegatives(run, rel, k = 2).orderBy("neg_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    // 11 (orig rk 2) and 13 (orig rk 4) survive, densely re-ranked
+    assert(got === Seq((11L, 2, 1), (13L, 4, 2)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

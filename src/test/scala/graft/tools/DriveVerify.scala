@@ -563,6 +563,8 @@ object DriveVerify {
         .qPrfExpansion(spark, sf).count()} rows")
       println(s"passage top-10: ${graft.llmops.Retrieval
         .qPassageRetrieval(spark, sf).count()} rows")
+      println(s"hard negatives: ${graft.llmops.Retrieval
+        .qHardNegatives(spark, sf).count()} rows")
       // streaming postings maintenance: 2-file replay through the sink
       val pDir = java.nio.file.Files.createTempDirectory("graft_dv_post")
       corpus.select("doc_id", "text").repartition(2)
