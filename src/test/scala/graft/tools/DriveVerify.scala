@@ -565,6 +565,35 @@ object DriveVerify {
         .qPassageRetrieval(spark, sf).count()} rows")
       println(s"hard negatives: ${graft.llmops.Retrieval
         .qHardNegatives(spark, sf).count()} rows")
+      // ANN recall certificate by composition: brute-force top-5 is
+      // the relevance set, the IVF probe is the run, retrievalMetrics
+      // scores it — recall_micro IS the per-query ANN recall@5
+      locally {
+        import graft.llmops.{Retrieval, Similarity}
+        val e = spark.read.parquet(s"$sf/embeddings.parquet")
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val seeds = Similarity.ivfSeeds(e)
+        val assign = Similarity.ivfAssign(e, seeds).persist()
+        val qs = e.filter(col("vec_id") % 53 === 0)
+        val run = Similarity.knnJoinIndexed(assign, seeds, qs, k = 5)
+        val runR = run.select(col("q_id").as("qid"),
+          col("nn_id").as("did"), col("rk").cast("int").as("rk"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos6").desc, col("did"))
+        val rel = e.select(col("vec_id").as("did"), col("embedding").as("ce"))
+          .crossJoin(broadcast(qs.select(col("vec_id").as("qid"),
+            col("embedding").as("qe"))))
+          .filter(col("did") =!= col("qid"))
+          .select(col("qid"), col("did"),
+            round(Similarity.cosine(col("ce"), col("qe")), 6).as("cos6"))
+          .withColumn("brk", row_number().over(wB))
+          .filter(col("brk") <= 5).select("qid", "did")
+        val m = Retrieval.retrievalMetrics(runR, rel)
+        println(s"ann recall@5 (ivf vs brute): mean recall_micro = " +
+          s"${m.agg(avg(col("recall_micro"))).first().getDouble(0).toLong}" +
+          s" over ${m.count()} queries")
+        spark.catalog.clearCache()
+      }
       // streaming postings maintenance: 2-file replay through the sink
       val pDir = java.nio.file.Files.createTempDirectory("graft_dv_post")
       corpus.select("doc_id", "text").repartition(2)
