@@ -443,6 +443,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q108: postings stream through broadcast probes, never sort-merge") {
+    val p = plan(graft.llmops.Retrieval.qBm25(spark, dir))
+    // the query-term relation is broadcast STATICALLY (bounded by
+    // contract); a SortMergeJoin here would mean the corpus postings
+    // pay a full shuffle write before scoring (the 100× lesson)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
