@@ -3029,5 +3029,8 @@ object OracleSql {
     "q110_bm25_indexed" -> q108,
     "q111_prf_expansion" -> q111,
     "q112_passage_retrieval" -> q112,
-    "q113_hard_negatives" -> q113)
+    "q113_hard_negatives" -> q113,
+    // q114 prunes with the MaxScore bound; the oracle is the q108
+    // full-scoring statement — hash match == losslessness certificate
+    "q114_bm25_maxscore" -> q108)
 }

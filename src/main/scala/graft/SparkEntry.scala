@@ -242,7 +242,10 @@ object SparkEntry {
     "q112_passage_retrieval" -> (Retrieval.qPassageRetrieval _),
     // hard-negative mining: top-scoring non-relevant docs per query
     // (the contrastive-training pair surface)
-    "q113_hard_negatives" -> (Retrieval.qHardNegatives _))
+    "q113_hard_negatives" -> (Retrieval.qHardNegatives _),
+    // MaxScore lossless pruned top-k == full scoring (oracle IS the
+    // q108 statement — the certificate pattern for the pruning path)
+    "q114_bm25_maxscore" -> (Retrieval.qBm25MaxScore _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -247,6 +247,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((11L, 2, 1), (13L, 4, 2)))
   }
 
+  test("bm25ProbeMaxScore == full probe on prune-friendly and " +
+    "fallback-forcing corpora") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro", "n_match", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // sparse: rare high-idf term (df=10) + common near-zero-idf terms;
+    // essential=1 captures the rare term, B_q stays tiny → prune path
+    val sparse = (0 until 100)
+      .map(i => (i.toLong, s"r${i / 10} c0 c1 c0")).toDF("did", "text")
+    val qs = Seq((0L, "r3 c0 c1"), (1L, "r7 c0 c1")).toDF("qid", "text")
+    val idx = Retrieval.postingsIndex(sparse).persist()
+    val qt = Retrieval.queryTerms(qs)
+    assert(rows(Retrieval.bm25ProbeMaxScore(qt, idx, topN = 5,
+        essential = 1)) ===
+      rows(Retrieval.bm25ProbeTerms(qt, idx, topN = 5)))
+    // adversarial: every doc identical → bound can't separate → the
+    // operator must fall back (or certify) and still match exactly
+    val dense = (0 until 50).map(i => (i.toLong, "a b c d"))
+      .toDF("did", "text")
+    val qd = Seq((0L, "a b c")).toDF("qid", "text")
+    val idxD = Retrieval.postingsIndex(dense).persist()
+    val qtD = Retrieval.queryTerms(qd)
+    assert(rows(Retrieval.bm25ProbeMaxScore(qtD, idxD, topN = 7,
+        essential = 1)) ===
+      rows(Retrieval.bm25ProbeTerms(qtD, idxD, topN = 7)))
+    spark.catalog.clearCache()
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -74,6 +74,17 @@ object Scale100W4 {
     onBig("q108 bm25 channel 100x, UNPRUNED (stopword fan-out)") {
       graft.llmops.Retrieval.bm25Channel(queries, corpus, topN = 20)
     }
+    onBig("q114 bm25 MaxScore 100x, essential=40 (bound prunes stopword docs)") {
+      // the 40 rare terms are essential (their posting lists ARE the
+      // relevant docs); the stopword pool is non-essential, its summed
+      // bound is far below the rank-k candidate score, so the
+      // certificate holds and the stopword-only fan-out is never
+      // scored — the same volume maxDf removes, but LOSSLESSLY
+      graft.llmops.Retrieval.bm25ProbeMaxScore(
+        graft.llmops.Retrieval.queryTerms(queries),
+        graft.llmops.Retrieval.postingsIndex(corpus).persist(),
+        topN = 20, essential = 40)
+    }
     onBig("q107 term+bm25 rrf fusion 100x (fusion cost itself)") {
       val bm = graft.llmops.Retrieval.bm25Channel(queries, corpus,
         topN = 20, maxDf = 1000L).select("qid", "did", "rk")
