@@ -385,7 +385,13 @@ object Retrieval {
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
     val index = postingsIndex(corpus).persist()
-    bm25ProbeMaxScore(queryTerms(queries), index, topN = 10)
+    // essential = 40 on this dense tiny-vocab corpus: enough term mass
+    // that the bound certifies and no query pays the fallback double
+    // pass (essential = 2 forces fallback for every query here —
+    // measured 14 s vs 5.9 s at sf0.1); the sparse prune regime is
+    // spec- and soak-covered
+    bm25ProbeMaxScore(queryTerms(queries), index, topN = 10,
+        essential = 40)
       .orderBy("qid", "rk")
   }
 
