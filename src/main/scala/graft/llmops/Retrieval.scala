@@ -150,30 +150,6 @@ object Retrieval {
       .filter(col("fused_rank") <= topK)
   }
 
-  /** BM25-scored term retrieval (Robertson–Spärck Jones k1/b family),
-    * made engine-reproducible: per-(query, doc, term) contributions are
-    * rounded to integer MICRO-points (floor(x·1e6 + 0.5)), so the
-    * per-pair score is an order-independent integer sum — the same
-    * determinism contract as [[rrfPoints]]. The idf is the LN-FREE
-    * rational form (N − df + 0.5)/(df + 0.5): every arithmetic step is
-    * IEEE +,−,×,÷ (correctly rounded, bit-identical across engines),
-    * where the classic ln idf would drift by libm ulps between JVM
-    * `Math.log` and DuckDB's libm — the same reproducibility lesson as
-    * q94's division-only priority keys. The rational idf is a steeper
-    * but still df-monotone-decreasing weight; swap in `log(...)` when
-    * cross-engine bit-equality isn't required.
-    *
-    * Scale shape: postings (did, tok, tf) from the ElementCounts map
-    * kernel — ONE row per (doc, term), pre-combined, never a raw token
-    * stream; df and the (N, avgdl) scalars are one aggregation each
-    * (the scalars broadcast); the scoring join is qTok ⋈ postings ⋈ df
-    * on the term key. The Zipf hazard and its `maxDf` answer are
-    * exactly [[termChannel]]'s — and here a df FLOOR is principled:
-    * BM25's own idf says high-df terms contribute least.
-    *
-    * Output per surviving (qid, did): bm25_micro (the integer score),
-    * n_match (matched query terms), rk.
-    */
   /** The postings index of a corpus: one pre-combined (did, dl, tok,
     * tf) row per (document, term) — the relation every term-retrieval
     * probe consumes, and the ONE-OFF tokenization cost of the corpus.
@@ -522,6 +498,30 @@ object Retrieval {
     hardNegatives(run, rel, k = 5).orderBy("qid", "neg_rank")
   }
 
+  /** BM25-scored term retrieval (Robertson–Spärck Jones k1/b family),
+    * made engine-reproducible: per-(query, doc, term) contributions are
+    * rounded to integer MICRO-points (floor(x·1e6 + 0.5)), so the
+    * per-pair score is an order-independent integer sum — the same
+    * determinism contract as [[rrfPoints]]. The idf is the LN-FREE
+    * rational form (N − df + 0.5)/(df + 0.5): every arithmetic step is
+    * IEEE +,−,×,÷ (correctly rounded, bit-identical across engines),
+    * where the classic ln idf would drift by libm ulps between JVM
+    * `Math.log` and DuckDB's libm — the same reproducibility lesson as
+    * q94's division-only priority keys. The rational idf is a steeper
+    * but still df-monotone-decreasing weight; swap in `log(...)` when
+    * cross-engine bit-equality isn't required.
+    *
+    * Scale shape: postings (did, tok, tf) from the ElementCounts map
+    * kernel — ONE row per (doc, term), pre-combined, never a raw token
+    * stream; df and the (N, avgdl) scalars are one aggregation each
+    * (the scalars broadcast); the scoring join is qTok ⋈ postings ⋈ df
+    * on the term key. The Zipf hazard and its `maxDf` answer are
+    * exactly [[termChannel]]'s — and here a df FLOOR is principled:
+    * BM25's own idf says high-df terms contribute least.
+    *
+    * Output per surviving (qid, did): bm25_micro (the integer score),
+    * n_match (matched query terms), rk.
+    */
   /** One-shot BM25: build the index, materialize it once (it feeds
     * df, stats, and the scoring join — the triangles/duplicatedSpans
     * rule), probe. Production holds the index and calls [[bm25Probe]]
