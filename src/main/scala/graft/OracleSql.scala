@@ -2664,6 +2664,41 @@ object OracleSql {
        |FROM neg WHERE neg_rank <= 5
        |ORDER BY qid, neg_rank""".stripMargin
 
+  /** q115 — phrase search mirror
+    * ([[graft.llmops.Retrieval.qPhraseSearch]]): positional bigrams
+    * via the q49-family list comprehension (no distinct — occurrence
+    * counts), query phrase = the leading bigram, rank by count.
+    */
+  private val q115 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val bigrams =
+      """CASE WHEN len(toks) - 1 > 0
+        |      THEN list_transform(range(0, len(toks) - 1),
+        |             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH qt0 AS (
+       |  SELECT doc_id AS qid, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |phrases AS (
+       |  SELECT qid, ($bigrams)[1] AS phrase FROM qt0),
+       |ct0 AS (
+       |  SELECT doc_id AS did, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 <> 0),
+       |grams AS (
+       |  SELECT did, unnest($bigrams) AS gram FROM ct0),
+       |occ AS (
+       |  SELECT did, gram, count(*) AS n_occ
+       |  FROM grams GROUP BY did, gram),
+       |hits AS (
+       |  SELECT qid, did, n_occ, row_number() OVER
+       |    (PARTITION BY qid ORDER BY n_occ DESC, did) AS rk
+       |  FROM phrases JOIN occ ON phrase = gram)
+       |SELECT qid, did, CAST(n_occ AS BIGINT) AS n_occ, rk
+       |FROM hits WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** q112 — passage retrieval mirror
     * ([[graft.llmops.Retrieval.qPassageRetrieval]]): the q103 chunk
     * CTEs at 32/8 over the corpus side, passage id doc_id·1000 +
@@ -3032,5 +3067,6 @@ object OracleSql {
     "q113_hard_negatives" -> q113,
     // q114 prunes with the MaxScore bound; the oracle is the q108
     // full-scoring statement — hash match == losslessness certificate
-    "q114_bm25_maxscore" -> q108)
+    "q114_bm25_maxscore" -> q108,
+    "q115_phrase_search" -> q115)
 }

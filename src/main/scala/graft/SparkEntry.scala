@@ -245,7 +245,10 @@ object SparkEntry {
     "q113_hard_negatives" -> (Retrieval.qHardNegatives _),
     // MaxScore lossless pruned top-k == full scoring (oracle IS the
     // q108 statement — the certificate pattern for the pruning path)
-    "q114_bm25_maxscore" -> (Retrieval.qBm25MaxScore _))
+    "q114_bm25_maxscore" -> (Retrieval.qBm25MaxScore _),
+    // exact phrase search: occurrence-count ranking over positional
+    // n-grams (what bag-of-words scoring cannot express)
+    "q115_phrase_search" -> (Retrieval.qPhraseSearch _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -459,6 +459,52 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** Exact phrase search: rank corpus documents by OCCURRENCE COUNT of
+    * a query phrase, where a phrase occurrence is a run of consecutive
+    * normalized tokens — the capability BM25's bag-of-words scoring
+    * cannot express. Positional n-grams from the zero-copy
+    * [[graft.expressions.WordShingles]] kernel (no distinct — counts
+    * need every occurrence) aggregate into a per-(doc, gram)
+    * occurrence relation, and the bounded phrase batch broadcasts
+    * into a map-side probe (the q108 static-hint lesson). At corpus
+    * scale the gram relation is the q91 span-index shape: persist it
+    * keyed by gram and phrase lookups are index probes, never scans.
+    */
+  def phraseSearch(phrases: DataFrame, corpus: DataFrame, n: Int,
+      topN: Int): DataFrame = {
+    val occ = corpus.select(col("did"),
+        explode(graft.expressions.WordShingles.shingles(col("text"), n))
+          .as("gram"))
+      .groupBy("did", "gram")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_occ").desc, col("did"))
+    broadcast(phrases).join(occ, col("phrase") === col("gram"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_occ", "rk")
+  }
+
+  /** q115 — phrase-search report: each query document's LEADING bigram
+    * is the phrase (bigrams recur on this corpus; longer exact phrases
+    * are vanishingly rare under a 60-word vocabulary), corpus ranked
+    * by occurrence count, top-10. The mirror rebuilds the positional
+    * bigrams with the q49-family list comprehension — an independent
+    * formulation of the same counting.
+    */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val phrases = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    phraseSearch(phrases, corpus, n = 2, topN = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/retriever
     * training-pair shape): per query, the `k` HIGHEST-scoring
     * documents that are NOT relevant — lexically confusable with the

@@ -276,6 +276,22 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("phraseSearch counts overlapping occurrences and handles " +
+    "short docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x a a a y"),   // "a a" occurs twice (overlapping)
+      (2L, "a a"),         // exactly the phrase
+      (3L, "a b a b"),     // zero "a a"
+      (4L, "a")            // shorter than the phrase: single shingle "a"
+    ).toDF("did", "text")
+    val phrases = Seq((7L, "a a")).toDF("qid", "phrase")
+    val got = Retrieval.phraseSearch(phrases, corpus, n = 2, topN = 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got === Seq((1L, 2L, 1), (2L, 1L, 2)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()
