@@ -2664,6 +2664,48 @@ object OracleSql {
        |FROM neg WHERE neg_rank <= 5
        |ORDER BY qid, neg_rank""".stripMargin
 
+  /** q116 — proximity search mirror
+    * ([[graft.llmops.Retrieval.qProximitySearch]]): positional tokens
+    * via the q105 struct_pack explosion, (first, last) token pair per
+    * query, position pairs within the window counted per document.
+    */
+  private val q116 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    s"""WITH qt AS (
+       |  SELECT doc_id AS qid, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |pairs AS (
+       |  SELECT qid, toks[1] AS tok_a, toks[len(toks)] AS tok_b FROM qt),
+       |ct AS (
+       |  SELECT doc_id AS did, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 <> 0),
+       |tp AS (
+       |  SELECT did, u.pos, u.tok FROM (
+       |    SELECT did, unnest(list_transform(toks,
+       |      (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |                            tok := x))) AS u
+       |    FROM ct) t),
+       |pa AS (
+       |  SELECT qid, did, pos AS ppa
+       |  FROM pairs JOIN tp ON tok = tok_a),
+       |pb AS (
+       |  SELECT qid AS qid_b, did AS did_b, pos AS ppb
+       |  FROM pairs JOIN tp ON tok = tok_b),
+       |prox AS (
+       |  SELECT qid, did, count(*) AS n_prox
+       |  FROM pa JOIN pb ON qid = qid_b AND did = did_b
+       |  WHERE abs(ppa - ppb) <= 3 AND ppa <> ppb
+       |  GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, n_prox, row_number() OVER
+       |    (PARTITION BY qid ORDER BY n_prox DESC, did) AS rk
+       |  FROM prox)
+       |SELECT qid, did, CAST(n_prox AS BIGINT) AS n_prox, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** q115 — phrase search mirror
     * ([[graft.llmops.Retrieval.qPhraseSearch]]): positional bigrams
     * via the q49-family list comprehension (no distinct — occurrence
@@ -3068,5 +3110,6 @@ object OracleSql {
     // q114 prunes with the MaxScore bound; the oracle is the q108
     // full-scoring statement — hash match == losslessness certificate
     "q114_bm25_maxscore" -> q108,
-    "q115_phrase_search" -> q115)
+    "q115_phrase_search" -> q115,
+    "q116_proximity_search" -> q116)
 }

@@ -248,7 +248,9 @@ object SparkEntry {
     "q114_bm25_maxscore" -> (Retrieval.qBm25MaxScore _),
     // exact phrase search: occurrence-count ranking over positional
     // n-grams (what bag-of-words scoring cannot express)
-    "q115_phrase_search" -> (Retrieval.qPhraseSearch _))
+    "q115_phrase_search" -> (Retrieval.qPhraseSearch _),
+    // NEAR/w proximity search over positional postings
+    "q116_proximity_search" -> (Retrieval.qProximitySearch _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

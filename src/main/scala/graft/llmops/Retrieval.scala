@@ -505,6 +505,67 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** Positional token relation (did, pos, tok) — the positional
+    * postings every proximity-class operator consumes. At corpus scale
+    * this persists keyed by tok (one more column on the q110 postings
+    * index), so term-position lookups are index probes.
+    */
+  def tokenPositions(corpus: DataFrame): DataFrame =
+    corpus.select(col("did"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+
+  /** Proximity search: rank documents by the number of position pairs
+    * where `tok_a` and `tok_b` occur within `window` tokens of each
+    * other — the NEAR/w operator of classic query languages, the
+    * second capability (after q115's phrases) that bag-of-words
+    * scoring cannot express. Both term-position fetches are broadcast
+    * probes of the positional postings; the pair count joins two
+    * query-bounded relations on (qid, did) — per-pair volume is
+    * occurrences(a) × occurrences(b) within one document, never
+    * corpus-shaped. Same-position self-pairs are excluded so a query
+    * with tok_a = tok_b degrades to counting distinct co-occurrent
+    * position pairs.
+    */
+  def proximitySearch(pairs: DataFrame, corpus: DataFrame, window: Int,
+      topN: Int): DataFrame = {
+    val tp = tokenPositions(corpus)
+    val pa = broadcast(pairs.select("qid", "tok_a"))
+      .join(tp, col("tok") === col("tok_a"))
+      .select(col("qid"), col("did"), col("pos").as("pa"))
+    val pb = broadcast(pairs.select(col("qid").as("qid_b"), col("tok_b")))
+      .join(tp.select(col("did").as("did_b"), col("pos").as("pb"),
+        col("tok")), col("tok") === col("tok_b"))
+      .select("qid_b", "did_b", "pb")
+    val wR = Window.partitionBy("qid")
+      .orderBy(col("n_prox").desc, col("did"))
+    pa.join(pb, col("qid") === col("qid_b") &&
+        col("did") === col("did_b"))
+      .filter(abs(col("pa") - col("pb")) <= window &&
+        col("pa") =!= col("pb"))
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("n_prox"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_prox", "rk")
+  }
+
+  /** q116 — proximity report: each query contributes (first token,
+    * last token) as the pair, window 3, top-10 by co-occurrence count.
+    */
+  def qProximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val toks = Dedup.tokens(col("text"))
+    val pairs = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(toks, 1).as("tok_a"),
+        element_at(toks, size(toks)).as("tok_b"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    proximitySearch(pairs, corpus, window = 3, topN = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/retriever
     * training-pair shape): per query, the `k` HIGHEST-scoring
     * documents that are NOT relevant — lexically confusable with the

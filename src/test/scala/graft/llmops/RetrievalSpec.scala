@@ -292,6 +292,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1), (2L, 1L, 2)))
   }
 
+  test("proximitySearch counts window pairs; same-token pair excludes " +
+    "self-positions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a x b"),       // |0-2|=2 <= 3 -> 1 pair
+      (2L, "a x y z z b"), // |0-5|=5 > 3  -> no pair
+      (3L, "a b a b"),     // a@{0,2} b@{1,3}: |0-1|,|0-3|,|2-1|,|2-3| -> 4
+      (4L, "b a")          // 1 pair (order-free)
+    ).toDF("did", "text")
+    val pairs = Seq((7L, "a", "b")).toDF("qid", "tok_a", "tok_b")
+    val got = Retrieval.proximitySearch(pairs, corpus, window = 3,
+        topN = 10).orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got === Seq((3L, 4L, 1), (1L, 1L, 2), (4L, 1L, 3)))
+    // tok_a == tok_b: self-position pairs excluded, symmetric pairs
+    // both counted ("a x a" -> positions {0,2}: (0,2) and (2,0))
+    val same = Seq((9L, "a", "a")).toDF("qid", "tok_a", "tok_b")
+    val got2 = Retrieval.proximitySearch(same,
+        Seq((1L, "a x a")).toDF("did", "text"), window = 3, topN = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 === Seq((1L, 2L)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -569,6 +569,8 @@ object DriveVerify {
         .qBm25MaxScore(spark, sf).count()} rows")
       println(s"phrase search: ${graft.llmops.Retrieval
         .qPhraseSearch(spark, sf).count()} rows")
+      println(s"proximity search: ${graft.llmops.Retrieval
+        .qProximitySearch(spark, sf).count()} rows")
       // ANN recall certificate by composition: brute-force top-5 is
       // the relevance set, the IVF probe is the run, retrievalMetrics
       // scores it — recall_micro IS the per-query ANN recall@5
