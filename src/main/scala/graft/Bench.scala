@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   * single-thread canary timed at the head of each rep: the ratio of
   * two rounds' calibration_s IS the host-speed factor between them —
   * divide suite times by it before reading a cross-round delta.
+  * `calibration_par_s` is the same idea fanned across every core with
+  * per-core cache-busting memory traffic — the single-thread loop is
+  * blind to parallel memory-bandwidth contention (observed: a uniform
+  * ~1.2× suite slowdown with calibration_s moving 2%), and the ratio
+  * between the two canaries separates "slower cores" from "contended
+  * bandwidth".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,13 +83,43 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     var calib = Vector.empty[Double]
+    // SECOND canary: the same fixed work fanned across every core as a
+    // Spark job over per-core memory-touching partitions. The
+    // single-thread loop is blind to the parallel memory-bandwidth
+    // contention class (measured: suite uniformly ~1.2× slower across
+    // untouched queries while calibration_s moved 2%) — the ratio
+    // calibration_par_s/calibration_s between two artifacts separates
+    // "slower cores" from "contended parallel bandwidth".
+    def calibratePar(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val s = spark.sparkContext.parallelize(0 until n, n).map { p =>
+        val arr = new Array[Long](1 << 20) // 8 MiB per core, cache-busting
+        var h = 0x9E3779B97F4A7C15L + p
+        var i = 0L
+        while (i < 40000000L) {
+          val idx = ((h >>> 17) & ((1 << 20) - 1)).toInt
+          arr(idx) += h
+          h = h * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        arr(0) + h
+      }.sum()
+      if (s == 42.0) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calibPar = Vector.empty[Double]
+    calibratePar() // discarded: JIT/scheduler warm-up, so the recorded
+    // spread reflects ambient contention rather than first-call compile
     // interleaved: outer loop over reps, inner over queries (see scaladoc)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; name <- ("" +: names)) if (name.isEmpty) {
-      // one canary sample at the head of each rep — contention DURING
-      // the run shows up as calibration spread, not just a hot start
+      // one canary sample of each kind at the head of each rep —
+      // contention DURING the run shows up as calibration spread, not
+      // just a hot start
       calib = calib :+ calibrate()
+      calibPar = calibPar :+ calibratePar()
     } else {
       val t0 = System.nanoTime()
       // a failure must not read as a speedup: record the query in
@@ -112,7 +148,9 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibS = round3(calib.min)
     val calibSpread = round3(calib.max / calib.min)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"sf":"$sfDir"}""")
+    val calibParS = round3(calibPar.min)
+    val calibParSpread = round3(calibPar.max / calibPar.min)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
