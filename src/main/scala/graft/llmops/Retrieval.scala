@@ -193,21 +193,39 @@ object Retrieval {
       explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
 
   /** [[bm25Probe]] over an explicit (qid, tok) term relation. */
-  def bm25ProbeTerms(qTok: DataFrame, postings: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+  /** The corpus invariants of a postings index — per-term df and the
+    * (n_docs, avgdl) scalars. They belong to the INDEX, not the probe:
+    * compute them once per index and pass them to [[bm25ScoreTerms]]
+    * when probing repeatedly (PRF's two rounds share one pair; an
+    * incremental deployment recomputes them only on append). Per-doc
+    * dl is integer-valued double (exact at any sum order), so avgdl
+    * from the postings roll-up is bit-identical to a direct corpus
+    * pass.
+    */
+  def postingsInvariants(postings: DataFrame): (DataFrame, DataFrame) = {
     val df0 = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    // df is an inner-join input to the scoring stage, so a df ceiling
-    // prunes the stopword-grade postings fan-out for free (BM25's own
-    // idf already says those terms contribute least)
-    val df = if (maxDf <= 0L) df0 else df0.filter(col("df") <= maxDf)
-    // per-doc dl is integer-valued double (exact at any sum order), so
-    // avgdl from the postings roll-up is bit-identical to the direct
-    // corpus pass it replaces
     val stats = postings.groupBy("did")
       .agg(first(col("dl")).as("doc_dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("doc_dl")) /
           count(lit(1)).cast("double")).as("avgdl"))
+    (df0, stats)
+  }
+
+  def bm25ProbeTerms(qTok: DataFrame, postings: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+    val (df0, stats) = postingsInvariants(postings)
+    bm25ScoreTerms(qTok, postings, df0, stats, topN, k1, b, maxDf)
+  }
+
+  /** [[bm25ProbeTerms]] with precomputed [[postingsInvariants]]. */
+  def bm25ScoreTerms(qTok: DataFrame, postings: DataFrame,
+      df0: DataFrame, stats: DataFrame, topN: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+    // df is an inner-join input to the scoring stage, so a df ceiling
+    // prunes the stopword-grade postings fan-out for free (BM25's own
+    // idf already says those terms contribute least)
+    val df = if (maxDf <= 0L) df0 else df0.filter(col("df") <= maxDf)
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     // association order is the mirror contract: every parenthesis
@@ -391,7 +409,11 @@ object Retrieval {
       fbDocs: Int = 5, fbTerms: Int = 3, topN: Int = 10,
       maxDf: Long = 0L): DataFrame = {
     val qTok = queryTerms(queries)
-    val run1 = bm25ProbeTerms(qTok, postings, fbDocs, maxDf = maxDf)
+    // the index invariants are shared by BOTH probe rounds — compute
+    // once (they belong to the index, not the probe)
+    val (df0, stats) = postingsInvariants(postings)
+    val run1 = bm25ScoreTerms(qTok, postings, df0, stats, fbDocs,
+        maxDf = maxDf)
       .select("qid", "did")
     val mined = broadcast(run1).join(postings, "did")
       .join(qTok.withColumnRenamed("qid", "q2")
@@ -405,8 +427,8 @@ object Retrieval {
     val expansion = mined.withColumn("erk", row_number().over(wE))
       .filter(col("erk") <= fbTerms)
       .select("qid", "tok")
-    bm25ProbeTerms(qTok.unionByName(expansion).distinct(),
-      postings, topN, maxDf = maxDf)
+    bm25ScoreTerms(qTok.unionByName(expansion).distinct(),
+      postings, df0, stats, topN, maxDf = maxDf)
   }
 
   /** q111 — the PRF report over the q108 split: feedback from the
