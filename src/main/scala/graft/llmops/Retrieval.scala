@@ -44,13 +44,26 @@ import org.apache.spark.sql.functions._
   * list degrades to term-only, which is the behavior a mixed-coverage
   * corpus (sf0.1: 5000 docs, 2000 vectors) needs.
   *
-  * Cache lifetime: the one-shot entry points `persist()` the postings
-  * index (it feeds df, stats, and the scoring join; PRF probes it
-  * twice). The cached plan backs the returned DataFrame, so it cannot
-  * be unpersisted before the caller's action; release with
-  * `spark.catalog.clearCache()` afterwards — Bench and Verify do so
-  * between queries (the Dedup.scala contract). Production callers
-  * hold the index explicitly and call the probe forms directly.
+  * Materialization rule (ONE idiom for the whole file, in both its
+  * forms — the multi-consumer problem shows up twice and gets a
+  * different answer each time, deliberately):
+  *  - INDEX relations a CALLER could hold across probes (postings,
+  *    positional, passage indexes) → `.persist()`. The cached plan
+  *    backs the returned DataFrame, so it cannot be unpersisted before
+  *    the caller's action; release with `spark.catalog.clearCache()`
+  *    afterwards — Bench and Verify do so between queries (the
+  *    Dedup.scala contract). Production callers hold the index
+  *    explicitly (ideally written bucketed by its key — see
+  *    [[graft.operators.Bucketing]]) and call the probe forms.
+  *  - OPERATOR-INTERNAL relations consumed by several branches of one
+  *    plan tree (MaxScore's qTerms/cand/candRanked/okQ) →
+  *    `.localCheckpoint()`. They must not outlive the call, must not
+  *    occupy cache the caller is expected to release, and — being
+  *    inputs to driver-side control flow (`fbQ.isEmpty`) — need their
+  *    lineage severed so the fallback branch replans from materialized
+  *    rows rather than re-running the whole prefix.
+  * A `persist()` inside an operator body or a `localCheckpoint()` on a
+  * returned index is a bug under this rule.
   */
 object Retrieval {
 
@@ -131,6 +144,10 @@ object Retrieval {
     */
   def rrfFuse(channels: Seq[(String, DataFrame)], topK: Int,
       rrfK: Int = 60): DataFrame = {
+    require(channels.nonEmpty, "rrfFuse needs at least one channel")
+    require(channels.map(_._1).distinct.size == channels.size,
+      s"rrfFuse channel names must be unique (each becomes an " +
+        s"in_<name> flag column); got ${channels.map(_._1)}")
     val marked = channels.zipWithIndex.map { case ((_, ch), i) =>
       val cols = Seq(col("qid"), col("did"),
         rrfPoints(col("rk"), rrfK).as("pts")) ++
@@ -181,8 +198,10 @@ object Retrieval {
     * join streams the index against the broadcast query terms.
     */
   def bm25Probe(queries: DataFrame, postings: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame =
-    bm25ProbeTerms(queryTerms(queries), postings, topN, k1, b, maxDf)
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
+      idfLn: Boolean = false): DataFrame =
+    bm25ProbeTerms(queryTerms(queries), postings, topN, k1, b, maxDf,
+      idfLn)
 
   /** A query batch's distinct-term relation (qid, tok) — the unit the
     * probe actually consumes; exposed so expanded/rewritten queries
@@ -213,15 +232,31 @@ object Retrieval {
   }
 
   def bm25ProbeTerms(qTok: DataFrame, postings: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
+      idfLn: Boolean = false): DataFrame = {
     val (df0, stats) = postingsInvariants(postings)
-    bm25ScoreTerms(qTok, postings, df0, stats, topN, k1, b, maxDf)
+    bm25ScoreTerms(qTok, postings, df0, stats, topN, k1, b, maxDf, idfLn)
   }
 
-  /** [[bm25ProbeTerms]] with precomputed [[postingsInvariants]]. */
+  /** [[bm25ProbeTerms]] with precomputed [[postingsInvariants]].
+    *
+    * `qTok` precondition: (qid, tok) rows must be DISTINCT (as
+    * [[queryTerms]] guarantees). A duplicated term double-counts its
+    * contribution — silently different scores from [[bm25Probe]] on
+    * the raw text. Callers constructing term relations by hand (PRF
+    * does — note its `.distinct()`) own the dedup.
+    *
+    * `idfLn = true` swaps the gate-grade rational idf for the CLASSIC
+    * Robertson/Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)) — the
+    * scores external consumers expect. It is NOT hash-gateable (JVM
+    * `Math.log` vs libm drift by ulps — the q94/q108 lesson), so every
+    * gated entry point keeps the default; RetrievalSpec pins rank
+    * agreement between the two forms on a skewed-df corpus.
+    */
   def bm25ScoreTerms(qTok: DataFrame, postings: DataFrame,
       df0: DataFrame, stats: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
+      idfLn: Boolean = false): DataFrame = {
     // df is an inner-join input to the scoring stage, so a df ceiling
     // prunes the stopword-grade postings fan-out for free (BM25's own
     // idf already says those terms contribute least)
@@ -230,7 +265,8 @@ object Retrieval {
     val dfD = col("df").cast("double")
     // association order is the mirror contract: every parenthesis
     // below is replayed literally by the q108 oracle SQL
-    val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val idfRational = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val idf = if (idfLn) log(lit(1.0) + idfRational) else idfRational
     val num = tfD * lit(k1 + 1.0)
     val den = tfD + lit(k1) * (lit(1.0 - b) +
       (lit(b) * col("dl")) / col("avgdl"))
@@ -280,6 +316,12 @@ object Retrieval {
     * matches an essential term, so candidates ≈ corpus and it
     * degrades to ~full scoring plus slim bound arithmetic — the
     * documented dense-universe profile, with correctness intact.
+    *
+    * `qTok` precondition: DISTINCT (qid, tok) rows, as [[queryTerms]]
+    * guarantees — a duplicated term double-counts BOTH the score and
+    * the bound (consistently, so losslessness survives, but the scores
+    * silently diverge from [[bm25Probe]] on raw text). Hand-built term
+    * relations own their dedup (the [[bm25ScoreTerms]] contract).
     */
   def bm25ProbeMaxScore(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, essential: Int = 2): DataFrame = {
@@ -449,17 +491,35 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** Pack (doc_id, chunk_idx) into one synthetic passage id —
+    * GUARDED: a chunk_idx at or above `factor` would silently collide
+    * with another document's passages and corrupt every downstream
+    * rank, so the expression fails LOUDLY instead (the
+    * Linkage.fuzzyNamePairs maxLen precedent, enforced row-level with
+    * `raise_error` because the offending maximum lives in the data,
+    * not in a parameter the driver could `require` up front).
+    */
+  def packPassageId(docId: Column, chunkIdx: Column,
+      factor: Long): Column =
+    when(chunkIdx < lit(factor), docId * lit(factor) + chunkIdx)
+      .otherwise(raise_error(concat(
+        lit(s"passage id overflow: chunk_idx >= $factor for doc_id "),
+        docId.cast("string"),
+        lit(s" — widen the pack factor (docs here exceed " +
+          s"${factor} chunks)"))).cast("long"))
+
   /** q112 — passage-level retrieval (the RAG answer-context shape):
     * the corpus is chunked by [[TextOps.chunkDocuments]] (32-token
     * windows, 8 overlap), each passage becomes an index "document"
-    * with the synthetic id doc_id·1000 + chunk_idx (chunk counts are
-    * far below 1000 here; a corpus with longer documents widens the
-    * factor), and the q108 probe runs unchanged over the passage
-    * index — retrieval granularity is a DATA decision, not an
-    * operator change, which is exactly what the build/probe split
-    * buys. Output unpacks the passage id back into (doc_id,
-    * chunk_idx). BM25's length normalization now normalizes by
-    * PASSAGE length, the standard passage-retrieval behavior.
+    * with the synthetic id [[packPassageId]](doc_id, chunk_idx, 1000)
+    * — a document long enough to overflow the factor (≥1000 chunks ≈ a
+    * 24k-token doc at 32/8) fails loudly rather than colliding — and
+    * the q108 probe runs unchanged over the passage index — retrieval
+    * granularity is a DATA decision, not an operator change, which is
+    * exactly what the build/probe split buys. Output unpacks the
+    * passage id back into (doc_id, chunk_idx). BM25's length
+    * normalization now normalizes by PASSAGE length, the standard
+    * passage-retrieval behavior.
     */
   def qPassageRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -468,7 +528,8 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery).select("doc_id", "text")
     val passages = TextOps.chunkDocuments(corpus, 32, 8)
-      .select((col("doc_id") * 1000L + col("chunk_idx")).as("did"),
+      .select(packPassageId(col("doc_id"), col("chunk_idx"), 1000L)
+          .as("did"),
         col("chunk_text").as("text"))
     val index = postingsIndex(passages).persist()
     val pid = col("did")
@@ -486,17 +547,26 @@ object Retrieval {
     * normalized tokens — the capability BM25's bag-of-words scoring
     * cannot express. Positional n-grams from the zero-copy
     * [[graft.expressions.WordShingles]] kernel (no distinct — counts
-    * need every occurrence) aggregate into a per-(doc, gram)
-    * occurrence relation, and the bounded phrase batch broadcasts
-    * into a map-side probe (the q108 static-hint lesson). At corpus
-    * scale the gram relation is the q91 span-index shape: persist it
-    * keyed by gram and phrase lookups are index probes, never scans.
+    * need every occurrence) are SEMI-JOINED against the broadcast
+    * phrase set BEFORE the per-(doc, gram) occurrence aggregation: the
+    * count is per-(did, gram) and the final join is inner on the
+    * phrase, so pre-filtering is semantics-preserving, and it turns
+    * the aggregation's shuffle from corpus-gram-sized into
+    * matched-gram-sized — for a bounded phrase batch that is the
+    * difference between shuffling every positional n-gram of a 100 TB
+    * corpus and shuffling the handful that can ever match (PlanSpec
+    * pins the semi-join below the aggregate). For REPEATED phrase
+    * workloads, skip the one-shot entirely: [[positionalIndex]] +
+    * [[phraseProbe]] is the build/probe split (the q91 span-index
+    * shape), and q117 certifies it against this operator's statement.
     */
   def phraseSearch(phrases: DataFrame, corpus: DataFrame, n: Int,
       topN: Int): DataFrame = {
+    val pSet = phrases.select(col("phrase")).distinct()
     val occ = corpus.select(col("did"),
         explode(graft.expressions.WordShingles.shingles(col("text"), n))
           .as("gram"))
+      .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
       .groupBy("did", "gram")
       .agg(count(lit(1)).as("n_occ"))
     val w = Window.partitionBy("qid")
@@ -658,9 +728,10 @@ object Retrieval {
     * Scale100W4).
     */
   def bm25Channel(queries: DataFrame, corpus: DataFrame, topN: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
+      idfLn: Boolean = false): DataFrame =
     bm25Probe(queries, postingsIndex(corpus).persist(),
-      topN, k1, b, maxDf)
+      topN, k1, b, maxDf, idfLn)
 
   /** q110 — the ingest certificate: the corpus index is built as
     * landed (90%) + [[postingsAppend]] of a late batch (doc_id ≡ 7

@@ -43,8 +43,8 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     cols.map { c =>
-      df.agg(profileExprs(c, count_distinct(col(c))).head,
-          profileExprs(c, count_distinct(col(c))).tail: _*)
+      val es = profileExprs(c, count_distinct(col(c)))
+      df.agg(es.head, es.tail: _*)
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
@@ -58,8 +58,8 @@ object Profile {
       rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
-      df.agg(profileExprs(c, approx_count_distinct(col(c), rsd)).head,
-          profileExprs(c, approx_count_distinct(col(c), rsd)).tail: _*)
+      val es = profileExprs(c, approx_count_distinct(col(c), rsd))
+      df.agg(es.head, es.tail: _*)
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
