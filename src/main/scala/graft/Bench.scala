@@ -120,6 +120,13 @@ object Bench {
       // just a hot start
       calib = calib :+ calibrate()
       calibPar = calibPar :+ calibratePar()
+      // settle: the parallel canary just churned cpus × 8 MiB of
+      // cache-busting arrays — without an untimed collection point its
+      // GC debt lands on the rep's FIRST timed query (observed as a
+      // first-query-only spread). The canary measures the host; it must
+      // not tax the suite.
+      System.gc()
+      Thread.sleep(200L)
     } else {
       val t0 = System.nanoTime()
       // a failure must not read as a speedup: record the query in

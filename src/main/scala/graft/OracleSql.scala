@@ -3111,5 +3111,13 @@ object OracleSql {
     // full-scoring statement — hash match == losslessness certificate
     "q114_bm25_maxscore" -> q108,
     "q115_phrase_search" -> q115,
-    "q116_proximity_search" -> q116)
+    "q116_proximity_search" -> q116,
+    // q117/q118 probe a landed+appended POSITIONAL index; the oracles
+    // are the q115/q116 one-shot statements verbatim — hash match ==
+    // append-equals-rebuild AND probe-equals-one-shot certificate
+    "q117_phrase_indexed" -> q115,
+    "q118_proximity_indexed" -> q116,
+    // q119 fuses the IVF-probe vector channel at nProbe >= nCells; the
+    // oracle is the q107 statement verbatim — drop-in certificate
+    "q119_hybrid_rrf_ivf" -> q107)
 }

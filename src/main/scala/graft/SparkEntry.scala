@@ -250,7 +250,15 @@ object SparkEntry {
     // n-grams (what bag-of-words scoring cannot express)
     "q115_phrase_search" -> (Retrieval.qPhraseSearch _),
     // NEAR/w proximity search over positional postings
-    "q116_proximity_search" -> (Retrieval.qProximitySearch _))
+    "q116_proximity_search" -> (Retrieval.qProximitySearch _),
+    // positional-index certificates: landed + positionalAppend probed
+    // by phraseProbe/proximityProbe; oracles ARE the q115/q116
+    // statements verbatim (append ≡ rebuild AND probe ≡ one-shot)
+    "q117_phrase_indexed" -> (Retrieval.qPhraseIndexed _),
+    "q118_proximity_indexed" -> (Retrieval.qProximityIndexed _),
+    // hybrid RRF with the IVF-probe vector channel at nProbe ≥ nCells;
+    // oracle IS the q107 statement (the indexed swap is a drop-in)
+    "q119_hybrid_rrf_ivf" -> (Retrieval.qHybridRrfIvf _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -492,21 +492,34 @@ object Retrieval {
   }
 
   /** Pack (doc_id, chunk_idx) into one synthetic passage id —
-    * GUARDED: a chunk_idx at or above `factor` would silently collide
-    * with another document's passages and corrupt every downstream
-    * rank, so the expression fails LOUDLY instead (the
-    * Linkage.fuzzyNamePairs maxLen precedent, enforced row-level with
-    * `raise_error` because the offending maximum lives in the data,
-    * not in a parameter the driver could `require` up front).
+    * GUARDED on both operands: a chunk_idx at or above `factor` would
+    * silently collide with another document's passages, and a doc_id
+    * above (Long.MaxValue − (factor−1)) / factor would WRAP the
+    * multiply — either way corrupting every downstream rank — so the
+    * expression fails LOUDLY instead (the Linkage.fuzzyNamePairs
+    * maxLen precedent, enforced row-level with `raise_error` because
+    * the offending maximum lives in the data, not in a parameter the
+    * driver could `require` up front). RetrievalSpec plants a
+    * ≥`factor`-chunk document and an over-bound doc_id and asserts
+    * both branches throw.
     */
   def packPassageId(docId: Column, chunkIdx: Column,
-      factor: Long): Column =
-    when(chunkIdx < lit(factor), docId * lit(factor) + chunkIdx)
-      .otherwise(raise_error(concat(
+      factor: Long): Column = {
+    // largest doc_id whose packed id (docId·factor + factor−1) still
+    // fits in a Long — conservative per-row bound, overflow-free
+    val maxDoc = (Long.MaxValue - (factor - 1)) / factor
+    when(chunkIdx >= lit(factor), raise_error(concat(
         lit(s"passage id overflow: chunk_idx >= $factor for doc_id "),
         docId.cast("string"),
         lit(s" — widen the pack factor (docs here exceed " +
           s"${factor} chunks)"))).cast("long"))
+      .when(docId > lit(maxDoc), raise_error(concat(
+        lit(s"passage id overflow: doc_id "), docId.cast("string"),
+        lit(s" > $maxDoc — docId * $factor wraps Long; " +
+          "shrink the pack factor or re-key the documents")))
+        .cast("long"))
+      .otherwise(docId * lit(factor) + chunkIdx)
+  }
 
   /** q112 — passage-level retrieval (the RAG answer-context shape):
     * the corpus is chunked by [[TextOps.chunkDocuments]] (32-token
@@ -555,10 +568,11 @@ object Retrieval {
     * matched-gram-sized — for a bounded phrase batch that is the
     * difference between shuffling every positional n-gram of a 100 TB
     * corpus and shuffling the handful that can ever match (PlanSpec
-    * pins the semi-join below the aggregate). For REPEATED phrase
-    * workloads, skip the one-shot entirely: [[positionalIndex]] +
-    * [[phraseProbe]] is the build/probe split (the q91 span-index
-    * shape), and q117 certifies it against this operator's statement.
+    * "q115" pins the semi-join below the aggregate). For REPEATED
+    * phrase workloads, skip the one-shot entirely: [[positionalIndex]]
+    * + [[phraseProbe]] is the build/probe split (the q110 postings
+    * shape), and q117 certifies it against this operator's statement
+    * (the oracle IS the q115 SQL, verbatim).
     */
   def phraseSearch(phrases: DataFrame, corpus: DataFrame, n: Int,
       topN: Int): DataFrame = {
@@ -606,26 +620,89 @@ object Retrieval {
     corpus.select(col("did"),
       posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
 
-  /** Proximity search: rank documents by the number of position pairs
-    * where `tok_a` and `tok_b` occur within `window` tokens of each
-    * other — the NEAR/w operator of classic query languages, the
-    * second capability (after q115's phrases) that bag-of-words
-    * scoring cannot express. Both term-position fetches are broadcast
-    * probes of the positional postings; the pair count joins two
-    * query-bounded relations on (qid, did) — per-pair volume is
-    * occurrences(a) × occurrences(b) within one document, never
+  /** The POSITIONAL INDEX of a corpus — [[tokenPositions]] under the
+    * index contract (the q110 postings-index sibling): one (did, pos,
+    * tok) row per token occurrence, per-doc independent by
+    * construction. Build once, hold it (persist here; written
+    * bucketed by `tok` in production — [[graft.operators.Bucketing]] —
+    * so [[phraseProbe]]/[[proximityProbe]] term lookups are
+    * Exchange-free on the corpus side), and every phrase/NEAR-w batch
+    * is a probe instead of a corpus re-tokenization — the one-shot
+    * [[phraseSearch]]/[[proximitySearch]] forms re-tokenize per call,
+    * which at 100 TB is the dominant cost of a repeated workload.
+    * Ingest is [[positionalAppend]]; q117/q118 certify the grown
+    * index through the probes against the one-shot statements, and
+    * [[graft.streaming.StreamOps.positionalIndexSink]] is the
+    * streaming face.
+    */
+  def positionalIndex(corpus: DataFrame): DataFrame =
+    tokenPositions(corpus)
+
+  /** Ingest form: positions are per-doc, so the delta IS the batch's
+    * own index — landed documents are never re-tokenized (the
+    * [[postingsAppend]] contract, positionally).
+    */
+  def positionalAppend(batch: DataFrame, landed: DataFrame): DataFrame =
+    landed.unionByName(positionalIndex(batch))
+
+  /** Exact phrase occurrence counting over a prebuilt
+    * [[positionalIndex]] — the probe form of [[phraseSearch]]. The
+    * phrase's tokens are posexploded to (qid, j, ptok) and the index
+    * is probed with ONE broadcast equi-join on the token; each matched
+    * occurrence votes for the anchor position `pos − j`, and an anchor
+    * where the vote count equals the phrase length is one complete
+    * occurrence (each phrase offset j can contribute at most one row
+    * per anchor, so count == m ⟺ every offset matched). One join +
+    * two aggregations whose shuffles carry only MATCHED slim rows —
+    * never the corpus's gram stream — and arbitrary phrase lengths
+    * probe the same index (no per-n index builds).
+    *
+    * Contract (as [[phraseSearch]]): one phrase per qid. Semantics
+    * match the one-shot for any corpus document with ≥ phrase-length
+    * tokens; shorter documents differ by construction (the shingle
+    * kernel emits their whole text as one short gram, while positions
+    * can never complete an m-anchor) — RetrievalSpec pins both the
+    * equivalence and the divergence.
+    */
+  def phraseProbe(phrases: DataFrame, positions: DataFrame,
+      topN: Int): DataFrame = {
+    val pTok = phrases.select(col("qid"),
+      posexplode(split(col("phrase"), " ")).as(Seq("j", "ptok")))
+    val pLen = phrases.select(col("qid"),
+      size(split(col("phrase"), " ")).as("m"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_occ").desc, col("did"))
+    broadcast(pTok).join(positions, col("tok") === col("ptok"))
+      .select(col("qid"), col("did"), (col("pos") - col("j")).as("anchor"))
+      .groupBy("qid", "did", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(pLen), "qid")
+      .filter(col("n_hit") === col("m"))
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_occ", "rk")
+  }
+
+  /** NEAR/w proximity counting over a prebuilt [[positionalIndex]] —
+    * the probe form of [[proximitySearch]]. Both term-position fetches
+    * are broadcast probes of the positional postings; the pair count
+    * joins two query-bounded relations on (qid, did) — per-pair volume
+    * is occurrences(a) × occurrences(b) within one document, never
     * corpus-shaped. Same-position self-pairs are excluded so a query
     * with tok_a = tok_b degrades to counting distinct co-occurrent
-    * position pairs.
+    * position pairs. The caller owns the index's materialization (the
+    * file's rule): both probe branches consume `positions`, so an
+    * unmaterialized plan tokenizes the corpus twice.
     */
-  def proximitySearch(pairs: DataFrame, corpus: DataFrame, window: Int,
-      topN: Int): DataFrame = {
-    val tp = tokenPositions(corpus)
+  def proximityProbe(pairs: DataFrame, positions: DataFrame,
+      window: Int, topN: Int): DataFrame = {
     val pa = broadcast(pairs.select("qid", "tok_a"))
-      .join(tp, col("tok") === col("tok_a"))
+      .join(positions, col("tok") === col("tok_a"))
       .select(col("qid"), col("did"), col("pos").as("pa"))
     val pb = broadcast(pairs.select(col("qid").as("qid_b"), col("tok_b")))
-      .join(tp.select(col("did").as("did_b"), col("pos").as("pb"),
+      .join(positions.select(col("did").as("did_b"), col("pos").as("pb"),
         col("tok")), col("tok") === col("tok_b"))
       .select("qid_b", "did_b", "pb")
     val wR = Window.partitionBy("qid")
@@ -640,6 +717,19 @@ object Retrieval {
       .filter(col("rk") <= topN)
       .select("qid", "did", "n_prox", "rk")
   }
+
+  /** Proximity search, one-shot: tokenize and probe in one call. The
+    * positional relation feeds BOTH probe branches of one plan tree,
+    * so it is localCheckpoint-materialized per the file's
+    * materialization rule (operator-internal multi-consumer) — without
+    * it the corpus is tokenized and posexploded twice per call.
+    * Repeated workloads hold a [[positionalIndex]] and call
+    * [[proximityProbe]] directly (q118 certifies the equivalence).
+    */
+  def proximitySearch(pairs: DataFrame, corpus: DataFrame, window: Int,
+      topN: Int): DataFrame =
+    proximityProbe(pairs, tokenPositions(corpus).localCheckpoint(),
+      window, topN)
 
   /** q116 — proximity report: each query contributes (first token,
     * last token) as the pair, window 3, top-10 by co-occurrence count.
@@ -656,6 +746,91 @@ object Retrieval {
       .select(col("doc_id").as("did"), col("text"))
     proximitySearch(pairs, corpus, window = 3, topN = 10)
       .orderBy("qid", "rk")
+  }
+
+  /** q117 — the positional-index certificate, phrase side: the index
+    * is built as landed (did ≢ 7 mod 10) + [[positionalAppend]] of the
+    * late batch (did ≡ 7 mod 10), then probed by [[phraseProbe]] with
+    * the q115 phrases. The oracle IS the q115 statement VERBATIM (the
+    * q110 certificate pattern), so the hash match certifies BOTH
+    * append ≡ rebuild AND probe ≡ one-shot in one row.
+    */
+  def qPhraseIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val phrases = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = positionalIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val index = positionalAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
+      .persist()
+    phraseProbe(phrases, index, topN = 10).orderBy("qid", "rk")
+  }
+
+  /** q118 — the positional-index certificate, NEAR/w side: the SAME
+    * grown index shape probed by [[proximityProbe]] with the q116
+    * pairs; the oracle IS the q116 statement VERBATIM.
+    */
+  def qProximityIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val toks = Dedup.tokens(col("text"))
+    val pairs = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(toks, 1).as("tok_a"),
+        element_at(toks, size(toks)).as("tok_b"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = positionalIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val index = positionalAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
+      .persist()
+    proximityProbe(pairs, index, window = 3, topN = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** q119 — hybrid RRF with the INDEXED vector channel: the q107
+    * fusion verbatim, but the vector ranks come from the IVF probe
+    * ([[Similarity.knnJoinIndexed]] — the 100 TB path the q107
+    * scaladoc promises) instead of the brute-force crossJoin. With
+    * nProbe ≥ nCells the probe is exhaustive, so the ranks — round-6
+    * cosine desc, vec_id tiebreak, the same ordering contract — equal
+    * the brute channel's and the q107 oracle gates this statement
+    * VERBATIM: the hash match certifies the swap is a drop-in.
+    * Production dials nProbe down for sublinear probes (recall at
+    * nProbe < nCells is measured by RetrievalSpec).
+    */
+  def qHybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = emb(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val term = termChannel(queries, corpus, topN = 20)
+    val cv = corpus.join(e, col("did") === col("vec_id"))
+      .select(col("did").as("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val qv = queries.join(e, col("qid") === col("vec_id"))
+      .select(col("qid").as("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val seeds = Similarity.ivfSeeds(cv)
+    val vec = Similarity.knnJoinIndexed(
+        Similarity.ivfAssign(cv, seeds), seeds, qv,
+        k = 20, nProbe = Int.MaxValue)
+      .select(col("q_id").as("qid"), col("nn_id").as("did"),
+        col("rk").cast("int").as("rk"))
+    rrfFuse(Seq("term" -> term, "vec" -> vec), topK = 10)
+      .select(col("qid"), col("did"), col("rrf_pts"),
+        col("in_term"), col("in_vec"), col("fused_rank"))
+      .orderBy("qid", "fused_rank")
   }
 
   /** Hard-negative mining for contrastive training (the DPR/retriever

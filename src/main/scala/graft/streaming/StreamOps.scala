@@ -237,6 +237,42 @@ object StreamOps {
     spark.read.parquet(s"$statePath/postings")
       .select("did", "dl", "tok", "tf")
 
+  /** Streaming POSITIONAL-index maintenance — the streaming face of
+    * [[graft.llmops.Retrieval.positionalAppend]]: each micro-batch of
+    * (doc_id, text) tokenizes ONLY itself (positions are per-doc
+    * independent — the [[postingsIndexSink]] contract, positionally)
+    * and lands as an overwrite-whole per-batch parquet dir, the shared
+    * replay-idempotent file-state pattern. [[readPositionalIndex]]
+    * hands the grown index straight to
+    * [[graft.llmops.Retrieval.phraseProbe]] /
+    * [[graft.llmops.Retrieval.proximityProbe]]; StreamOpsSpec pins
+    * probe-equality with a fresh full [[graft.llmops.Retrieval
+    * .positionalIndex]] build across a multi-batch replay (the q117/
+    * q118 certificate, streamed).
+    */
+  def positionalIndexSink(docs: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.llmops.Retrieval.positionalIndex(
+              batch.select(col("doc_id").as("did"), col("text")))
+            .write.mode("overwrite")
+            .parquet(s"$statePath/positions/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The grown positional index, shaped for
+    * [[graft.llmops.Retrieval.phraseProbe]] /
+    * [[graft.llmops.Retrieval.proximityProbe]]. */
+  def readPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/positions")
+      .select("did", "pos", "tok")
+
   /** The grown IVF assignment and its quantizer, shaped for
     * [[graft.llmops.Similarity.knnJoinIndexed]]. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,

@@ -315,6 +315,174 @@ class RetrievalSpec extends SparkSpec {
     assert(got2 === Seq((1L, 2L)))
   }
 
+  test("phraseProbe == one-shot phraseSearch for true n-gram phrases; " +
+    "a shorter-than-n phrase is the documented divergence") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "n_occ", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val corpus = Seq(
+      (1L, "x a a a y"),   // "a a" twice (overlapping)
+      (2L, "a a"),
+      (3L, "a b a b"),
+      (4L, "a"),           // shorter than n: whole-text shingle
+      (5L, "b c a a b c a a x")
+    ).toDF("did", "text")
+    val phrases = Seq((7L, "a a"), (9L, "b c")).toDF("qid", "phrase")
+    val idx = Retrieval.positionalIndex(corpus).localCheckpoint()
+    assert(rows(Retrieval.phraseProbe(phrases, idx, topN = 10)) ===
+      rows(Retrieval.phraseSearch(phrases, corpus, n = 2, topN = 10)))
+    // divergence, by contract: a 1-token phrase probed against the
+    // positional index counts every occurrence of the token, while the
+    // bigram one-shot only sees it as a whole-short-doc gram — so doc 4
+    // ("a", shorter than n) matches BOTH ways, but the ≥n-token docs
+    // match only the probe
+    val short = Seq((7L, "a")).toDF("qid", "phrase")
+    val probeDids = Retrieval.phraseProbe(short, idx, topN = 10)
+      .select("did").collect().map(_.getLong(0)).toSet
+    val oneShotDids = Retrieval.phraseSearch(short, corpus, n = 2,
+        topN = 10).select("did").collect().map(_.getLong(0)).toSet
+    assert(oneShotDids === Set(4L))
+    assert(probeDids === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("positionalAppend == full positionalIndex through both probes " +
+    "(the q117/q118 certificate, locally)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val grown = Retrieval.positionalAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L),
+      Retrieval.positionalIndex(
+        corpus.filter(pmod(col("did"), lit(10L)) =!= 7L)))
+      .localCheckpoint()
+    val full = Retrieval.positionalIndex(corpus).localCheckpoint()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("did", "pos", "tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(key(grown) === key(full))
+    assert(grown.count() === full.count()) // no dup rows either
+    val phrases = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val pGrown = rows(Retrieval.phraseProbe(phrases, grown, topN = 10))
+    assert(pGrown === rows(Retrieval.phraseProbe(phrases, full, topN = 10)))
+    assert(pGrown.nonEmpty)
+  }
+
+  test("idfLn ranks agree with the rational form on a skewed-df " +
+    "corpus; the scores themselves differ") {
+    import spark.implicits._
+    // df skew: r<k> terms df=10, c0/c1 df=100 — group-3 docs match the
+    // query's rare term and outrank the rest under ANY positive
+    // df-monotone idf; within groups ties break by did. Rank agreement
+    // between the rational and ln forms is therefore structural here,
+    // which is exactly what makes it pinnable (a general corpus does
+    // NOT guarantee sum-order agreement across monotone idf transforms).
+    val corpus = (0 until 100)
+      .map(i => (i.toLong, s"r${i / 10} c0 c1 c0")).toDF("did", "text")
+    val qs = Seq((0L, "r3 c0 c1"), (1L, "r7 c0")).toDF("qid", "text")
+    val idx = Retrieval.postingsIndex(corpus).localCheckpoint()
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val rational = Retrieval.bm25Probe(qs, idx, topN = 15)
+    val ln = Retrieval.bm25Probe(qs, idx, topN = 15, idfLn = true)
+    assert(ranks(rational) === ranks(ln))
+    // and the ln branch is really taken: the micro scores differ
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sR = scores(rational); val sL = scores(ln)
+    assert(sR.keySet === sL.keySet)
+    assert(sR.exists { case (k, v) => sL(k) != v })
+  }
+
+  test("packPassageId fails loudly on a >=factor-chunk document and " +
+    "on a wrap-bound doc_id; the boundary still packs exactly") {
+    import spark.implicits._
+    def chain(t: Throwable): String = {
+      var cur: Throwable = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    // the round-10 scenario: a document long enough that the 32/8
+    // chunker emits >= 1000 chunks — the pack must throw, not collide
+    val longDoc = Seq((5L, (0 until 24100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(longDoc, 32, 8)
+    assert(chunks.count() >= 1000L)
+    val e1 = intercept[Exception] {
+      chunks.select(Retrieval.packPassageId(col("doc_id"),
+        col("chunk_idx"), 1000L).as("pid")).collect()
+    }
+    assert(chain(e1).contains("passage id overflow"), chain(e1))
+    // doc_id branch: above the conservative bound the multiply wraps,
+    // so the guard throws instead (ADVICE r11)
+    val maxDoc = (Long.MaxValue - 999L) / 1000L
+    val e2 = intercept[Exception] {
+      Seq((maxDoc + 1L, 0L)).toDF("d", "c")
+        .select(Retrieval.packPassageId(col("d"), col("c"), 1000L))
+        .collect()
+    }
+    assert(chain(e2).contains("wraps Long"), chain(e2))
+    // boundary: the largest admissible (doc_id, chunk_idx) packs to the
+    // exact arithmetic value with no wrap
+    val got = Seq((maxDoc, 999L)).toDF("d", "c")
+      .select(Retrieval.packPassageId(col("d"), col("c"), 1000L))
+      .collect()(0).getLong(0)
+    assert(got === maxDoc * 1000L + 999L && got > 0L)
+  }
+
+  test("IVF vector channel: nProbe >= nCells reproduces the brute " +
+    "channel; nProbe < nCells recall is partial but nonzero") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val corpus = d.filter(!isQuery).select(col("doc_id").as("did"))
+    val queries = d.filter(isQuery).select(col("doc_id").as("qid"))
+    val cv = corpus.join(e, col("did") === col("vec_id"))
+      .select(col("did").as("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val qv = queries.join(e, col("qid") === col("vec_id"))
+      .select(col("qid").as("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val seeds = Similarity.ivfSeeds(cv)
+    val assign = Similarity.ivfAssign(cv, seeds).localCheckpoint()
+    val nCells = seeds.count().toInt
+    assert(nCells > 1)
+    def ivfRanks(nProbe: Int) =
+      Similarity.knnJoinIndexed(assign, seeds, qv, k = 20, nProbe)
+        .select(col("q_id"), col("nn_id"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = Retrieval.vectorChannel(
+        qv.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        cv.select(col("vec_id").as("did"), col("embedding").as("ce")),
+        topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    // exhaustive probe == brute force, rank for rank (the q119 swap)
+    assert(ivfRanks(nCells).sortBy(t => (t._1, t._3)).toSeq ===
+      brute.sortBy(t => (t._1, t._3)).toSeq)
+    // sublinear probe: per-query recall@20 against the brute top-20 —
+    // partial by construction (cells prune), never zero on this corpus
+    val bruteSets = brute.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ivfSets = ivfRanks(1).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteSets.map { case (q, b) =>
+      ivfSets.getOrElse(q, Set.empty[Long]).intersect(b).size.toDouble / b.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg > 0.0 && avg <= 1.0)
+    assert(recalls.exists(_ < 1.0) || nCells == 1,
+      s"nProbe=1 of $nCells cells should prune something: $recalls")
+    info(f"IVF recall@20, nProbe=1 of $nCells cells: avg=$avg%.3f")
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

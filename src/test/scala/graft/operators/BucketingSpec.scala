@@ -51,4 +51,50 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("tok-bucketed postings: bm25Probe never shuffles the postings on tok") {
+    import graft.llmops.Retrieval
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("did"), col("text"))
+    val postings = Retrieval.postingsIndex(corpus)
+    try {
+      // the production layout the Retrieval scaladoc prescribes: the
+      // postings index persisted bucketed by its probe key
+      Bucketing.writeBucketed(postings, "postings_tokb", "tok", 8)
+      val bucketed = spark.table("postings_tokb")
+        .select("did", "dl", "tok", "tf")
+      val probe = Retrieval.bm25Probe(queries, bucketed, topN = 10)
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // ZERO Exchange on tok anywhere in the probe: the df aggregation
+      // rides the bucket layout and the scoring join is a broadcast
+      // probe — the corpus-sized postings relation is never shuffled on
+      // the term key (the only remaining exchanges carry slim did-keyed
+      // aggregates)
+      assert(!p.contains("hashpartitioning(tok"),
+        s"bucketed probe still shuffles postings on tok:\n$p")
+      assert(p.contains("SelectedBucketsCount"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // contrast: the same probe over the raw (unbucketed) index pays a
+      // vocabulary-sized tok exchange for df — the cost the layout
+      // retires (and what makes this pin non-vacuous)
+      val raw = Retrieval.bm25Probe(queries, postings, topN = 10)
+      raw.collect()
+      val pRaw = raw.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(pRaw.contains("hashpartitioning(tok"), pRaw)
+      // and the layout changes the plan only, never the answer
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "did", "bm25_micro", "n_match", "rk")
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(rows(probe) === rows(raw))
+      assert(rows(probe).nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS postings_tokb")
+    }
+  }
 }

@@ -443,6 +443,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q115: the phrase semi-join sits below the (did, gram) aggregate") {
+    val p = plan(graft.llmops.Retrieval.qPhraseSearch(spark, dir))
+    val finalPlan = p.split("== Initial Plan ==").head
+    val lines = finalPlan.linesIterator.toVector
+    // the broadcast semi-join against the phrase set is the prune that
+    // turns the occurrence aggregation's shuffle from corpus-gram-sized
+    // into matched-gram-sized — it must exist, be broadcast, and sit
+    // BELOW the partial occurrence aggregate (printed tree is top-down:
+    // parent aggregate above, pruning join below)
+    val semiIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiIdx >= 0, s"no broadcast LeftSemi in q115's plan:\n$p")
+    val aggIdx = lines.indexWhere(_.contains("partial_count"))
+    assert(aggIdx >= 0, p)
+    assert(aggIdx < semiIdx,
+      s"occurrence aggregate (line $aggIdx) must consume the semi-join " +
+        s"(line $semiIdx), not feed it — corpus grams are riding the " +
+        s"aggregation shuffle unpruned:\n$p")
+  }
+
   test("q108: postings stream through broadcast probes, never sort-merge") {
     val p = plan(graft.llmops.Retrieval.qBm25(spark, dir))
     // the query-term relation is broadcast STATICALLY (bounded by

@@ -435,6 +435,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("positionalIndexSink: grown index == fresh full build; phrase and proximity probes agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_possink")
+    try {
+      import graft.llmops.Retrieval
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.positionalIndexSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData(base.take(200).toSeq)
+      q.processAllAvailable()
+      in.addData(base.drop(200).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val grown = StreamOps.readPositionalIndex(spark, s"$dir/state")
+      val full = Retrieval.positionalIndex(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id").as("did"), col("text")))
+      assert(grown.count() === full.count())
+      val d = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val phrases = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          element_at(graft.expressions.WordShingles
+            .shingles(col("text"), 2), 1).as("phrase"))
+      val toks = graft.llmops.Dedup.tokens(col("text"))
+      val pairs = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          element_at(toks, 1).as("tok_a"),
+          element_at(toks, size(toks)).as("tok_b"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val phGrown = rows(Retrieval.phraseProbe(phrases, grown, topN = 5))
+      assert(phGrown === rows(Retrieval.phraseProbe(phrases, full, topN = 5)))
+      assert(phGrown.nonEmpty)
+      val pxGrown = rows(Retrieval.proximityProbe(pairs, grown,
+        window = 3, topN = 5))
+      assert(pxGrown === rows(Retrieval.proximityProbe(pairs, full,
+        window = 3, topN = 5)))
+      assert(pxGrown.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")

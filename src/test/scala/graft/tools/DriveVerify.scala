@@ -571,6 +571,24 @@ object DriveVerify {
         .qPhraseSearch(spark, sf).count()} rows")
       println(s"proximity search: ${graft.llmops.Retrieval
         .qProximitySearch(spark, sf).count()} rows")
+      // positional index build/append/probe (q117/q118) + the one-shot
+      // materialization fix: proximitySearch's positions feed BOTH
+      // probe branches, so its plan must read ONE checkpointed RDD
+      // instead of tokenizing the corpus twice
+      println(s"phrase over appended positional index: ${graft.llmops
+        .Retrieval.qPhraseIndexed(spark, sf).count()} rows")
+      println(s"proximity over appended positional index: ${graft.llmops
+        .Retrieval.qProximityIndexed(spark, sf).count()} rows")
+      locally {
+        val px = graft.llmops.Retrieval.qProximitySearch(spark, sf)
+        px.collect()
+        val pl = px.queryExecution.executedPlan.toString
+        println(s"proximity one-shot reads checkpointed positions: " +
+          s"${pl.contains("Scan ExistingRDD")}, posexplode count in " +
+          s"plan: ${"posexplode".r.findAllIn(pl).size}")
+      }
+      println(s"hybrid rrf, IVF vector channel (q119): ${graft.llmops
+        .Retrieval.qHybridRrfIvf(spark, sf).count()} fused rows")
       // ANN recall certificate by composition: brute-force top-5 is
       // the relevance set, the IVF probe is the run, retrievalMetrics
       // scores it — recall_micro IS the per-query ANN recall@5
@@ -622,6 +640,30 @@ object DriveVerify {
             .select(col("doc_id").as("qid"), col("text")),
           pIdx, topN = 5).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(pDir.toFile)
+      // streaming positional maintenance: same 2-file replay shape
+      val posDir = java.nio.file.Files.createTempDirectory("graft_dv_pos")
+      corpus.select("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(s"$posDir/docs")
+      val posSrc = spark.readStream
+        .schema(spark.read.parquet(s"$posDir/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$posDir/docs")
+      val posQ = graft.streaming.StreamOps
+        .positionalIndexSink(posSrc, s"$posDir/state")
+        .option("checkpointLocation", s"$posDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      posQ.awaitTermination()
+      val posIdx = graft.streaming.StreamOps
+        .readPositionalIndex(spark, s"$posDir/state")
+      println(s"stream positional index: ${posIdx.count()} rows, " +
+        s"phrase-probe rows: ${graft.llmops.Retrieval.phraseProbe(
+          corpus.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"),
+              element_at(graft.expressions.WordShingles
+                .shingles(col("text"), 2), 1).as("phrase")),
+          posIdx, topN = 5).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(posDir.toFile)
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
