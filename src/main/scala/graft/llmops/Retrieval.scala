@@ -663,6 +663,19 @@ object Retrieval {
     * kernel emits their whole text as one short gram, while positions
     * can never complete an m-anchor) — RetrievalSpec pins both the
     * equivalence and the divergence.
+    *
+    * Cost profile, measured both ways: probe volume is SINGLE-TOKEN
+    * occurrence fan-out, so on the dense 60-word gate vocabulary each
+    * phrase token matches ~1/60 of all positions and the anchor
+    * aggregation carries that stream (q117 at 10×-sf0.1: 28 s vs the
+    * one-shot's 2.3 s, whose gram semi-join enjoys full-BIGRAM
+    * selectivity — the same documented dense-universe degenerate as
+    * q114's bound collapse). On the rare-vocab Scale100W5 soak (100k
+    * terms, the real-corpus regime) a 100-phrase batch probes 21.5M
+    * held positions in ~4 s, comparable to one one-shot pass — the
+    * split's wins there are ingest ([[positionalAppend]] never
+    * re-tokenizes landed documents) and serving phrase + NEAR/w +
+    * arbitrary-m batches from ONE held (bucketed-by-tok) relation.
     */
   def phraseProbe(phrases: DataFrame, positions: DataFrame,
       topN: Int): DataFrame = {
