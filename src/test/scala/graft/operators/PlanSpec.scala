@@ -463,6 +463,35 @@ class PlanSpec extends SparkSpec {
         s"aggregation shuffle unpruned:\n$p")
   }
 
+  test("q117/q118: positional probes are broadcast equi-joins with rank pushdown") {
+    for (df <- Seq(graft.llmops.Retrieval.qPhraseIndexed(spark, dir),
+        graft.llmops.Retrieval.qProximityIndexed(spark, dir))) {
+      val p = plan(df)
+      spark.catalog.clearCache()
+      val finalPlan = p.split("== Initial Plan ==").head
+      // the phrase/pair batch is bounded by contract and broadcasts
+      // STATICALLY into the positions relation; a SortMergeJoin here
+      // would shuffle the corpus-sized index per probe (the q108
+      // lesson), and per-query top-k must truncate in partial mode
+      assert(finalPlan.contains("BroadcastHashJoin"), p)
+      assert(!finalPlan.contains("SortMergeJoin"), p)
+      assert(!finalPlan.contains("CartesianProduct"), p)
+      assert(finalPlan.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("q119: the IVF vector channel keeps the q98 probe shape inside the fusion") {
+    val p = plan(graft.llmops.Retrieval.qHybridRrfIvf(spark, dir))
+    spark.catalog.clearCache()
+    val finalPlan = p.split("== Initial Plan ==").head
+    // candidates come from the seed_id equi-join (never all-pairs: the
+    // only nested-loop stages are the broadcast seed crossJoins), and
+    // both the probe rank and the channel top-k truncate partial-mode
+    assert(!finalPlan.contains("CartesianProduct"), p)
+    assert(finalPlan.contains("seed_id"), p)
+    assert(finalPlan.contains("WindowGroupLimit"), p)
+  }
+
   test("q108: postings stream through broadcast probes, never sort-merge") {
     val p = plan(graft.llmops.Retrieval.qBm25(spark, dir))
     // the query-term relation is broadcast STATICALLY (bounded by
