@@ -2008,32 +2008,42 @@ object OracleSql {
     * id), train assigned to its one nearest cell, eval probing its two
     * nearest cells, in-cell cross-split cosine ≥ 0.3
     * ([[graft.llmops.Curation.semanticDecontaminate]]).
+    *
+    * Memory-lean form (round 12): the ranking windows sort SLIM
+    * (vec_id, seed_id, cosine) rows — the 64-double embedding arrays
+    * join back by unique vec_id only AFTER the rank filters, so the
+    * per-thread sort working set carries ids, not vectors (at 32
+    * DuckDB threads the embedding-carrying form OOM'd a 500MB limit —
+    * the q61 thread-scaled-working-set class; this form runs in ~1 s
+    * there).
     */
   private val q90 = {
     val cosT = cosineSql("tr.embedding", "seeds.semb", 64)
     val cosE = cosineSql("ev.embedding", "seeds.semb", 64)
-    val cosTE = cosineSql("temb", "eemb", 64)
+    val cosTE = cosineSql("t2.embedding", "e2.embedding", 64)
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7),
        |ev AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 7),
        |seeds AS (
        |  SELECT vec_id AS seed_id, embedding AS semb FROM tr
        |  WHERE vec_id % 97 = 0),
-       |assign_t AS (
-       |  SELECT vec_id AS train_id, embedding AS temb, seed_id FROM (
-       |    SELECT tr.vec_id, tr.embedding, seeds.seed_id,
+       |assign_t AS MATERIALIZED (
+       |  SELECT vec_id AS train_id, seed_id FROM (
+       |    SELECT tr.vec_id, seeds.seed_id,
        |      row_number() OVER (PARTITION BY tr.vec_id
        |        ORDER BY round($cosT, 6) DESC, seed_id) AS rk
        |    FROM tr, seeds) t WHERE rk = 1),
-       |probe_e AS (
-       |  SELECT vec_id AS eval_id, embedding AS eemb, seed_id FROM (
-       |    SELECT ev.vec_id, ev.embedding, seeds.seed_id,
+       |probe_e AS MATERIALIZED (
+       |  SELECT vec_id AS eval_id, seed_id FROM (
+       |    SELECT ev.vec_id, seeds.seed_id,
        |      row_number() OVER (PARTITION BY ev.vec_id
        |        ORDER BY round($cosE, 6) DESC, seed_id) AS rk
        |    FROM ev, seeds) t WHERE rk <= 2),
        |pairs AS (
-       |  SELECT train_id, eval_id, round($cosTE, 6) AS cos_sim
-       |  FROM assign_t JOIN probe_e USING (seed_id))
+       |  SELECT a.train_id, p.eval_id, round($cosTE, 6) AS cos_sim
+       |  FROM assign_t a JOIN probe_e p USING (seed_id)
+       |  JOIN tr t2 ON t2.vec_id = a.train_id
+       |  JOIN ev e2 ON e2.vec_id = p.eval_id)
        |SELECT train_id AS vec_id, count(*) AS n_eval_hits,
        |  max(cos_sim) AS max_cos, min(eval_id) AS first_eval_id
        |FROM pairs WHERE cos_sim >= 0.3

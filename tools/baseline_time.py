@@ -26,24 +26,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-con = duckdb.connect()
-for t in TABLES:
-    path = f"{SF_DIR}/{t}.parquet"
-    if os.path.isdir(path):
-        path = f"{path}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+def connect():
+    # ONE connection per statement: a single shared connection
+    # accumulates allocator fragmentation across 100+ statements and
+    # fails LEAN queries mid-run with tiny-block OOMs (observed: q87-q91
+    # failing 16-256KB allocations in a shared-connection pass while
+    # each passes alone under a 500MB limit via oracle_stress.py) --
+    # which would misreport engine-vs-baseline coverage
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
 
 times = {}
 failed = []
 for name in sorted(oracle):
     sql = oracle[name]
     try:
+        con = connect()
         con.execute(sql).fetchall()  # warm
         best = min(
             (lambda t0: (con.execute(sql).fetchall(), time.time() - t0)[1])(
                 time.time())
             for _ in range(REPS))
         times[name] = round(best, 3)
+        con.close()
     except Exception as e:
         failed.append(name)
         print(f"FAIL {name}: {e}", file=sys.stderr)

@@ -27,21 +27,31 @@ ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-# out-of-core spilling for big scale factors (the 10x gate OOMs the
-# in-memory default when heavy statements run back to back); DuckDB's
-# string-expression working set scales with threads — DUCKDB_THREADS=4
-# gets the heavy text statements through at 10x
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
-if os.environ.get("DUCKDB_THREADS"):
-    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
-for t in TABLES:
-    # driver testdata ships single files; Spark-written scale-up copies
-    # (tools/Scale10) are directories of part files
-    path = f"{SF_DIR}/{t}.parquet"
-    if os.path.isdir(path):
-        path = f"{path}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+def fresh_con():
+    c = duckdb.connect()
+    # out-of-core spilling is OPT-IN (DUCKDB_SPILL=1, for the 10x gate
+    # whose heavy statements exceed the in-memory default): on this
+    # DuckDB build a set temp_directory makes the buffer manager fail
+    # SPURIOUSLY under thread pressure — small-block "bad allocation"
+    # OOMs (and occasional segfaults) on statements that run in ~1 s
+    # at a 200MB memory_limit with no temp dir (reproduced ~40% of
+    # runs on q90 at sf0.01 with 123 GB free). The gate must never
+    # report a green query as FAIL because of an allocator artifact.
+    if os.environ.get("DUCKDB_SPILL"):
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    if os.environ.get("DUCKDB_THREADS"):
+        c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    for t in TABLES:
+        # driver testdata ships single files; Spark-written scale-up
+        # copies (tools/Scale10) are directories of part files
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return c
+
+
+con = fresh_con()
 
 # q26's oracle slices documents.text as a *character* string while Spark
 # slices the binary payload; they agree only while the text is pure ASCII
@@ -63,10 +73,32 @@ ok, bad = [], []
 for name, sql in sorted(oracle.items()):
     if ONLY is not None and name not in ONLY:
         continue
-    try:
-        want = con.execute(sql).df()
-    except Exception as e:
-        bad.append((name, f"oracle SQL error: {e}"))
+    want = None
+    err = None
+    for attempt in range(3):
+        try:
+            want = con.execute(sql).df()
+            err = None
+            break
+        except Exception as e:
+            err = e
+            # the spurious-allocator class above also hits LONG-LIVED
+            # shared connections; retry each failed statement on a
+            # FRESH connection before believing the failure (a truly
+            # memory-hungry statement fails all three attempts — and
+            # tools/oracle_stress.py exists to prove leanness per
+            # statement, so real regressions stay visible)
+            if "allocat" not in str(e) and "Out of Memory" not in str(e):
+                break
+            print(f"RETRY {name} (attempt {attempt + 1}): {e}",
+                  file=sys.stderr)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
+    if err is not None:
+        bad.append((name, f"oracle SQL error: {err}"))
         continue
     try:
         got = pd.read_parquet(f"{OUT}/{name}")
