@@ -2751,6 +2751,67 @@ object OracleSql {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** q120 — phrase-snippet (KWIC) mirror
+    * ([[graft.llmops.Retrieval.qPhraseSnippets]]): q116-style
+    * positional tokens, phrase-offset anchors complete when their hit
+    * count equals the phrase length, per-(qid, did) occurrence count +
+    * first anchor, and the snippet rebuilt with list_slice over the
+    * SAME lowercased token arrays and the same clipped bounds.
+    */
+  private val q120 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val bigrams =
+      """CASE WHEN len(toks) - 1 > 0
+        |      THEN list_transform(range(0, len(toks) - 1),
+        |             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    s"""WITH qt0 AS (
+       |  SELECT doc_id AS qid, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |phrases AS (
+       |  SELECT qid, ($bigrams)[1] AS phrase FROM qt0),
+       |plen AS (
+       |  SELECT qid, len(string_split(phrase, ' ')) AS m FROM phrases),
+       |ptok AS (
+       |  SELECT qid, u.j, u.ptok FROM (
+       |    SELECT qid, unnest(list_transform(string_split(phrase, ' '),
+       |      (x, i) -> struct_pack(j := CAST(i - 1 AS BIGINT),
+       |                            ptok := x))) AS u
+       |    FROM phrases) t),
+       |ct AS (
+       |  SELECT doc_id AS did, $toks AS toks
+       |  FROM documents WHERE doc_id % 100 <> 0),
+       |tp AS (
+       |  SELECT did, u.pos, u.tok FROM (
+       |    SELECT did, unnest(list_transform(toks,
+       |      (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |                            tok := x))) AS u
+       |    FROM ct) t),
+       |anch AS (
+       |  SELECT qid, did, anchor FROM (
+       |    SELECT p.qid, tp.did, tp.pos - p.j AS anchor
+       |    FROM ptok p JOIN tp ON tp.tok = p.ptok) h
+       |  JOIN plen USING (qid)
+       |  GROUP BY qid, did, anchor, m HAVING count(*) = m),
+       |occ AS (
+       |  SELECT qid, did, count(*) AS n_occ, min(anchor) AS first_pos
+       |  FROM anch GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, n_occ, first_pos, row_number() OVER
+       |    (PARTITION BY qid ORDER BY n_occ DESC, did) AS rk
+       |  FROM occ)
+       |SELECT r.qid, r.did, CAST(n_occ AS BIGINT) AS n_occ,
+       |  CAST(first_pos AS BIGINT) AS first_pos,
+       |  array_to_string(list_slice(ct.toks,
+       |    greatest(first_pos - 3, 0) + 1, first_pos + m + 3), ' ')
+       |    AS snippet,
+       |  rk
+       |FROM ranked r JOIN ct USING (did) JOIN plen USING (qid)
+       |WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** q112 — passage retrieval mirror
     * ([[graft.llmops.Retrieval.qPassageRetrieval]]): the q103 chunk
     * CTEs at 32/8 over the corpus side, passage id doc_id·1000 +
@@ -3129,5 +3190,6 @@ object OracleSql {
     "q118_proximity_indexed" -> q116,
     // q119 fuses the IVF-probe vector channel at nProbe >= nCells; the
     // oracle is the q107 statement verbatim — drop-in certificate
-    "q119_hybrid_rrf_ivf" -> q107)
+    "q119_hybrid_rrf_ivf" -> q107,
+    "q120_phrase_snippets" -> q120)
 }

@@ -258,7 +258,10 @@ object SparkEntry {
     "q118_proximity_indexed" -> (Retrieval.qProximityIndexed _),
     // hybrid RRF with the IVF-probe vector channel at nProbe ≥ nCells;
     // oracle IS the q107 statement (the indexed swap is a drop-in)
-    "q119_hybrid_rrf_ivf" -> (Retrieval.qHybridRrfIvf _))
+    "q119_hybrid_rrf_ivf" -> (Retrieval.qHybridRrfIvf _),
+    // KWIC snippets over the positional index: occurrence count, first
+    // anchor, and the context window as a hash-gated snippet string
+    "q120_phrase_snippets" -> (Retrieval.qPhraseSnippets _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

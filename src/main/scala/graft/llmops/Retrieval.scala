@@ -1045,4 +1045,74 @@ object Retrieval {
         col("in_term"), col("in_vec"), col("fused_rank"))
       .orderBy("qid", "fused_rank")
   }
+
+  /** KWIC snippet extraction over a prebuilt [[positionalIndex]] —
+    * the serving surface a phrase hit needs (show the match in
+    * context): per (query, doc) the occurrence count, the FIRST
+    * occurrence position, and the `ctx`-token window around that
+    * occurrence as the snippet string, ranked like [[phraseProbe]].
+    *
+    * Scale shape: the anchor stage IS [[phraseProbe]]'s (one broadcast
+    * token equi-join, matched-rows-only shuffles); the snippet slice
+    * then re-derives token arrays for the RANKED documents only —
+    * the corpus joins a broadcast of the ≤ queries × topN hit ids, so
+    * full-text access is top-k-sized, never corpus-sized (the
+    * re-tokenization of ~topN docs per query is the price of not
+    * materializing corpus-wide token arrays, and the right side of
+    * that trade at 100 TB). Snippets are deterministic token-joined
+    * strings — hash-gateable (q120, mirrored with list_slice).
+    */
+  def phraseSnippets(phrases: DataFrame, positions: DataFrame,
+      corpus: DataFrame, topN: Int, ctx: Int): DataFrame = {
+    val pTok = phrases.select(col("qid"),
+      posexplode(split(col("phrase"), " ")).as(Seq("j", "ptok")))
+    val pLen = phrases.select(col("qid"),
+      size(split(col("phrase"), " ")).as("m"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_occ").desc, col("did"))
+    val ranked = broadcast(pTok)
+      .join(positions, col("tok") === col("ptok"))
+      .select(col("qid"), col("did"), (col("pos") - col("j")).as("anchor"))
+      .groupBy("qid", "did", "anchor")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(pLen), "qid")
+      .filter(col("n_hit") === col("m"))
+      .groupBy("qid", "did", "m")
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+    val docToks = corpus
+      .join(broadcast(ranked.select("did").distinct()), "did")
+      .select(col("did").as("sdid"), Dedup.tokens(col("text")).as("toks"))
+    val start0 = greatest(col("first_pos") - ctx, lit(0L))
+    ranked.join(broadcast(docToks), col("did") === col("sdid"))
+      .select(col("qid"), col("did"), col("n_occ"), col("first_pos"),
+        concat_ws(" ", slice(col("toks"), (start0 + 1).cast("int"),
+          (col("first_pos") + col("m") + lit(ctx) - start0).cast("int")))
+          .as("snippet"),
+        col("rk"))
+  }
+
+  /** q120 — snippet report: the q115 phrases over the q115 corpus
+    * split, positional index held once and serving BOTH the anchor
+    * probe and (via the ranked-ids prune) the context slices; top-5
+    * hits per query with a 3-token context window. The mirror replays
+    * the anchor arithmetic and the slice bounds with list_slice over
+    * the same lowercased token arrays, so the snippet STRINGS gate
+    * hash-exact.
+    */
+  def qPhraseSnippets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val phrases = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = positionalIndex(corpus).persist()
+    phraseSnippets(phrases, index, corpus, topN = 5, ctx = 3)
+      .orderBy("qid", "rk")
+  }
 }

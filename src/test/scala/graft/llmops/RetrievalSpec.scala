@@ -483,6 +483,29 @@ class RetrievalSpec extends SparkSpec {
     info(f"IVF recall@20, nProbe=1 of $nCells cells: avg=$avg%.3f")
   }
 
+  test("phraseSnippets: exact windows incl. doc-start clip, doc-end " +
+    "clip, and first-of-overlapping-occurrences anchoring") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q a b x y z w"),  // interior: 3-token ctx both sides
+      (2L, "a b t u v"),        // doc-start clip: window starts at 0
+      (3L, "m n o p q a b"),    // doc-end clip: window ends at len
+      (4L, "a b c a b")         // overlap+repeat: first_pos = 0
+    ).toDF("did", "text")
+    val phrases = Seq((7L, "a b")).toDF("qid", "phrase")
+    val idx = Retrieval.positionalIndex(corpus).localCheckpoint()
+    val got = Retrieval.phraseSnippets(phrases, idx, corpus,
+        topN = 10, ctx = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getInt(5))).toSeq
+    assert(got === Seq(
+      (4L, 2L, 0L, "a b c a b", 1),          // n_occ=2 outranks all
+      (1L, 1L, 2L, "p q a b x y z", 2),      // 2 before (clipped), 3 after
+      (2L, 1L, 0L, "a b t u v", 3),          // clipped at doc start
+      (3L, 1L, 5L, "o p q a b", 4)))         // clipped at doc end
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -470,11 +470,15 @@ class PlanSpec extends SparkSpec {
       spark.catalog.clearCache()
       val finalPlan = p.split("== Initial Plan ==").head
       // the phrase/pair batch is bounded by contract and broadcasts
-      // STATICALLY into the positions relation; a SortMergeJoin here
-      // would shuffle the corpus-sized index per probe (the q108
-      // lesson), and per-query top-k must truncate in partial mode
+      // STATICALLY into the positions relation (hint-driven — holds
+      // even when a concurrent suite floors the auto-broadcast
+      // threshold), so the corpus-sized index is NEVER exchanged on
+      // the token key; per-query top-k must truncate in partial mode.
+      // q118's (qid, did) pair join of two query-bounded relations is
+      // deliberately NOT pinned to a join strategy — both its sides
+      // are probe outputs, so any equi-join shape is scale-safe there.
       assert(finalPlan.contains("BroadcastHashJoin"), p)
-      assert(!finalPlan.contains("SortMergeJoin"), p)
+      assert(!finalPlan.contains("hashpartitioning(tok"), p)
       assert(!finalPlan.contains("CartesianProduct"), p)
       assert(finalPlan.contains("WindowGroupLimit"), p)
     }

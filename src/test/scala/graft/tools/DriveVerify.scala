@@ -589,6 +589,7 @@ object DriveVerify {
       }
       println(s"hybrid rrf, IVF vector channel (q119): ${graft.llmops
         .Retrieval.qHybridRrfIvf(spark, sf).count()} fused rows")
+      graft.llmops.Retrieval.qPhraseSnippets(spark, sf).show(3, false)
       // ANN recall certificate by composition: brute-force top-5 is
       // the relevance set, the IVF probe is the run, retrievalMetrics
       // scores it — recall_micro IS the per-query ANN recall@5
