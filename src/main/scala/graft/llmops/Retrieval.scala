@@ -1046,42 +1046,59 @@ object Retrieval {
       .orderBy("qid", "fused_rank")
   }
 
-  /** KWIC snippet extraction over a prebuilt [[positionalIndex]] —
-    * the serving surface a phrase hit needs (show the match in
-    * context): per (query, doc) the occurrence count, the FIRST
-    * occurrence position, and the `ctx`-token window around that
-    * occurrence as the snippet string, ranked like [[phraseProbe]].
-    *
-    * Scale shape: the anchor stage IS [[phraseProbe]]'s (one broadcast
-    * token equi-join, matched-rows-only shuffles); the snippet slice
-    * then re-derives token arrays for the RANKED documents only —
-    * the corpus joins a broadcast of the ≤ queries × topN hit ids, so
-    * full-text access is top-k-sized, never corpus-sized (the
-    * re-tokenization of ~topN docs per query is the price of not
-    * materializing corpus-wide token arrays, and the right side of
-    * that trade at 100 TB). Snippets are deterministic token-joined
-    * strings — hash-gateable (q120, mirrored with list_slice).
+  /** Positional n-GRAM relation (did, pos, gram) — the nextword-index
+    * idea (Williams, Zobel & Bahle 2004, "Fast phrase querying with
+    * combined indexes"): for FIXED-length phrase workloads, index the
+    * n-gram with its position and a phrase lookup carries the
+    * selectivity of the FULL n-gram instead of a single token. On the
+    * dense gate vocabulary that is the difference between ~1/60 of
+    * all positions per phrase token ([[phraseProbe]]'s anchor stream —
+    * fine on real rare vocabularies, measured in Scale100W5) and only
+    * the exact-phrase matches (q120: 40 s → q115-class seconds at
+    * 10×-sf0.1). Persist bucketed by gram for repeated batches; the
+    * token-positional [[positionalIndex]] remains the structure for
+    * NEAR/w and arbitrary-length phrases.
     */
-  def phraseSnippets(phrases: DataFrame, positions: DataFrame,
-      corpus: DataFrame, topN: Int, ctx: Int): DataFrame = {
-    val pTok = phrases.select(col("qid"),
-      posexplode(split(col("phrase"), " ")).as(Seq("j", "ptok")))
-    val pLen = phrases.select(col("qid"),
-      size(split(col("phrase"), " ")).as("m"))
+  def gramPositions(corpus: DataFrame, n: Int): DataFrame =
+    corpus.select(col("did"),
+      posexplode(graft.expressions.WordShingles.shingles(col("text"), n))
+        .as(Seq("pos", "gram")))
+
+  /** KWIC snippet extraction — the serving surface a phrase hit needs
+    * (show the match in context): per (query, doc) the occurrence
+    * count, the FIRST occurrence position, and the `ctx`-token window
+    * around that occurrence as the snippet string, ranked like
+    * [[phraseSearch]]. Phrases must be `n`-token strings (the
+    * fixed-n [[gramPositions]] contract; arbitrary lengths take
+    * [[phraseProbe]] and forgo positions).
+    *
+    * Scale shape: the anchor stage is q115's plan plus `min(pos)` —
+    * positional n-grams semi-joined against the broadcast phrase set
+    * BEFORE the per-(doc, gram) aggregation, so the shuffle carries
+    * only matched grams; the snippet slice then re-derives token
+    * arrays for the RANKED documents only — the corpus joins a
+    * broadcast of the ≤ queries × topN hit ids, so full-text access
+    * is top-k-sized, never corpus-sized (the re-tokenization of ~topN
+    * docs per query is the price of not materializing corpus-wide
+    * token arrays, and the right side of that trade at 100 TB).
+    * Snippets are deterministic token-joined strings — hash-gateable
+    * (q120, mirrored with list_slice).
+    */
+  def phraseSnippets(phrases: DataFrame, corpus: DataFrame, n: Int,
+      topN: Int, ctx: Int): DataFrame = {
+    val pSet = phrases.select(col("phrase")).distinct()
     val w = Window.partitionBy("qid")
       .orderBy(col("n_occ").desc, col("did"))
-    val ranked = broadcast(pTok)
-      .join(positions, col("tok") === col("ptok"))
-      .select(col("qid"), col("did"), (col("pos") - col("j")).as("anchor"))
-      .groupBy("qid", "did", "anchor")
-      .agg(count(lit(1)).as("n_hit"))
-      .join(broadcast(pLen), "qid")
-      .filter(col("n_hit") === col("m"))
-      .groupBy("qid", "did", "m")
+    val occ = gramPositions(corpus, n)
+      .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
+      .groupBy("did", "gram")
       .agg(count(lit(1)).as("n_occ"),
-        min(col("anchor")).cast("long").as("first_pos"))
+        min(col("pos")).cast("long").as("first_pos"))
+    val ranked = broadcast(phrases)
+      .join(occ, col("phrase") === col("gram"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topN)
+      .select("qid", "did", "n_occ", "first_pos", "rk")
     val docToks = corpus
       .join(broadcast(ranked.select("did").distinct()), "did")
       .select(col("did").as("sdid"), Dedup.tokens(col("text")).as("toks"))
@@ -1089,18 +1106,17 @@ object Retrieval {
     ranked.join(broadcast(docToks), col("did") === col("sdid"))
       .select(col("qid"), col("did"), col("n_occ"), col("first_pos"),
         concat_ws(" ", slice(col("toks"), (start0 + 1).cast("int"),
-          (col("first_pos") + col("m") + lit(ctx) - start0).cast("int")))
+          (col("first_pos") + lit(n) + lit(ctx) - start0).cast("int")))
           .as("snippet"),
         col("rk"))
   }
 
   /** q120 — snippet report: the q115 phrases over the q115 corpus
-    * split, positional index held once and serving BOTH the anchor
-    * probe and (via the ranked-ids prune) the context slices; top-5
-    * hits per query with a 3-token context window. The mirror replays
-    * the anchor arithmetic and the slice bounds with list_slice over
-    * the same lowercased token arrays, so the snippet STRINGS gate
-    * hash-exact.
+    * split, anchors from the positional-bigram relation (q115's plan
+    * + min(pos)), context slices via the ranked-ids prune; top-5 hits
+    * per query with a 3-token window. The mirror replays the anchor
+    * arithmetic and the slice bounds with list_slice over the same
+    * lowercased token arrays, so the snippet STRINGS gate hash-exact.
     */
   def qPhraseSnippets(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -1111,8 +1127,7 @@ object Retrieval {
           .shingles(col("text"), 2), 1).as("phrase"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
-    val index = positionalIndex(corpus).persist()
-    phraseSnippets(phrases, index, corpus, topN = 5, ctx = 3)
+    phraseSnippets(phrases, corpus, n = 2, topN = 5, ctx = 3)
       .orderBy("qid", "rk")
   }
 }

@@ -493,8 +493,7 @@ class RetrievalSpec extends SparkSpec {
       (4L, "a b c a b")         // overlap+repeat: first_pos = 0
     ).toDF("did", "text")
     val phrases = Seq((7L, "a b")).toDF("qid", "phrase")
-    val idx = Retrieval.positionalIndex(corpus).localCheckpoint()
-    val got = Retrieval.phraseSnippets(phrases, idx, corpus,
+    val got = Retrieval.phraseSnippets(phrases, corpus, n = 2,
         topN = 10, ctx = 3)
       .orderBy("rk").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -39,8 +39,15 @@ def fresh_con():
     # report a green query as FAIL because of an allocator artifact.
     if os.environ.get("DUCKDB_SPILL"):
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
-    if os.environ.get("DUCKDB_THREADS"):
-        c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    # default to 8 threads: the root cause of the spurious OOMs is
+    # vm.max_map_count exhaustion — ONE 32-thread execution of an
+    # unrolled-cosine statement fragments the allocator into ~60k
+    # memory maps (ceiling 65,530; measured via /proc/self/maps),
+    # after which ANY allocation in the process can fail. At 8 threads
+    # the same statement creates ~270 maps and runs 2-4x FASTER
+    # (correctness gating doesn't need scan parallelism). Override
+    # with DUCKDB_THREADS when experimenting.
+    c.execute(f"SET threads={int(os.environ.get('DUCKDB_THREADS', 8))}")
     for t in TABLES:
         # driver testdata ships single files; Spark-written scale-up
         # copies (tools/Scale10) are directories of part files
