@@ -3191,5 +3191,14 @@ object OracleSql {
     // q119 fuses the IVF-probe vector channel at nProbe >= nCells; the
     // oracle is the q107 statement verbatim — drop-in certificate
     "q119_hybrid_rrf_ivf" -> q107,
-    "q120_phrase_snippets" -> q120)
+    "q120_phrase_snippets" -> q120,
+    // q121/q122 probe a landed+appended GRAM index; the oracles are
+    // the q115/q120 one-shot statements verbatim — hash match ==
+    // append-equals-rebuild AND probe-equals-one-shot certificate
+    "q121_gram_indexed" -> q115,
+    "q122_snippets_indexed" -> q120,
+    // q123 probes pre-quantized impacts over appended postings; the
+    // oracle is the q108 full-scoring statement verbatim — the
+    // append → re-quantize → probe certificate
+    "q123_bm25_impact" -> q108)
 }

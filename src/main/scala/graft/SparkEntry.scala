@@ -261,7 +261,15 @@ object SparkEntry {
     "q119_hybrid_rrf_ivf" -> (Retrieval.qHybridRrfIvf _),
     // KWIC snippets over the positional index: occurrence count, first
     // anchor, and the context window as a hash-gated snippet string
-    "q120_phrase_snippets" -> (Retrieval.qPhraseSnippets _))
+    "q120_phrase_snippets" -> (Retrieval.qPhraseSnippets _),
+    // gram-index certificates: landed + gramAppend probed by
+    // gramProbe/snippetProbe; oracles ARE the q115/q120 statements
+    // verbatim (append ≡ rebuild AND probe ≡ one-shot, fixed-n)
+    "q121_gram_indexed" -> (Retrieval.qPhraseGramIndexed _),
+    "q122_snippets_indexed" -> (Retrieval.qSnippetsGramIndexed _),
+    // impact-ordered postings: append → re-quantize → probe; oracle
+    // IS the q108 statement (pre-computed-impact certificate)
+    "q123_bm25_impact" -> (Retrieval.qBm25Impact _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

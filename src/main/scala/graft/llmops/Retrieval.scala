@@ -568,28 +568,21 @@ object Retrieval {
     * matched-gram-sized — for a bounded phrase batch that is the
     * difference between shuffling every positional n-gram of a 100 TB
     * corpus and shuffling the handful that can ever match (PlanSpec
-    * "q115" pins the semi-join below the aggregate). For REPEATED
-    * phrase workloads, skip the one-shot entirely: [[positionalIndex]]
-    * + [[phraseProbe]] is the build/probe split (the q110 postings
-    * shape), and q117 certifies it against this operator's statement
-    * (the oracle IS the q115 SQL, verbatim).
+    * "q115" pins the semi-join below the aggregate; the probe itself
+    * is the shared [[gramProbe]]). For REPEATED phrase workloads, skip
+    * the one-shot entirely: [[gramIndex]] + [[gramProbe]] is the
+    * fixed-n build/probe split (q121 certifies it against this
+    * operator's statement — the oracle IS the q115 SQL, verbatim) and
+    * [[positionalIndex]] + [[phraseProbe]] the arbitrary-length one
+    * (q117, same oracle).
     */
   def phraseSearch(phrases: DataFrame, corpus: DataFrame, n: Int,
-      topN: Int): DataFrame = {
-    val pSet = phrases.select(col("phrase")).distinct()
-    val occ = corpus.select(col("did"),
+      topN: Int): DataFrame =
+    gramProbe(phrases,
+      corpus.select(col("did"),
         explode(graft.expressions.WordShingles.shingles(col("text"), n))
-          .as("gram"))
-      .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
-      .groupBy("did", "gram")
-      .agg(count(lit(1)).as("n_occ"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("n_occ").desc, col("did"))
-    broadcast(phrases).join(occ, col("phrase") === col("gram"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topN)
-      .select("qid", "did", "n_occ", "rk")
-  }
+          .as("gram")),
+      topN)
 
   /** q115 — phrase-search report: each query document's LEADING bigram
     * is the phrase (bigrams recur on this corpus; longer exact phrases
@@ -1064,6 +1057,82 @@ object Retrieval {
       posexplode(graft.expressions.WordShingles.shingles(col("text"), n))
         .as(Seq("pos", "gram")))
 
+  /** The GRAM INDEX of a corpus — [[gramPositions]] under the index
+    * contract (the [[positionalIndex]] sibling, keyed by the full
+    * n-gram): one (did, pos, gram) row per n-gram occurrence, per-doc
+    * independent by construction. Build once for a FIXED n, hold it
+    * (persist here; written bucketed by `gram` in production —
+    * [[graft.operators.Bucketing]] — so probes are Exchange-free on
+    * the corpus side), and every phrase-count or snippet batch is a
+    * probe carrying full-n-gram selectivity instead of a corpus
+    * re-shingling — on dense vocabularies that selectivity is the
+    * whole game (the q117-vs-q115 gap). Ingest is [[gramAppend]];
+    * q121/q122 certify the grown index through [[gramProbe]] /
+    * [[snippetProbe]] against the one-shot statements (oracle = the
+    * q115 / q120 SQL, verbatim), and
+    * [[graft.streaming.StreamOps.gramIndexSink]] is the streaming
+    * face.
+    */
+  def gramIndex(corpus: DataFrame, n: Int): DataFrame =
+    gramPositions(corpus, n)
+
+  /** Ingest form: grams are per-doc, so the delta IS the batch's own
+    * index — landed documents are never re-shingled (the
+    * [[postingsAppend]] contract, gram-keyed). `n` must match the
+    * landed index's build (the fixed-n contract).
+    */
+  def gramAppend(batch: DataFrame, landed: DataFrame, n: Int): DataFrame =
+    landed.unionByName(gramIndex(batch, n))
+
+  /** Phrase-occurrence counting over a gram relation with (did, gram)
+    * rows — the shared probe of [[phraseSearch]] (one-shot gram
+    * stream) and q121 (a held [[gramIndex]]). The relation is
+    * SEMI-JOINED against the broadcast phrase set BEFORE the
+    * per-(doc, gram) occurrence aggregation — the count is
+    * per-(did, gram) and the final join is inner on the phrase, so
+    * pre-filtering is semantics-preserving, and the aggregation's
+    * shuffle carries only the grams that can ever match (PlanSpec
+    * "q115" pins the semi-join below the aggregate).
+    */
+  def gramProbe(phrases: DataFrame, grams: DataFrame,
+      topN: Int): DataFrame = {
+    val pSet = phrases.select(col("phrase")).distinct()
+    val occ = grams
+      .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
+      .groupBy("did", "gram")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_occ").desc, col("did"))
+    broadcast(phrases).join(occ, col("phrase") === col("gram"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_occ", "rk")
+  }
+
+  /** q121 — the gram-index certificate, count side: the index is
+    * built as landed (did ≢ 7 mod 10) + [[gramAppend]] of the late
+    * batch (did ≡ 7 mod 10), then probed by [[gramProbe]] with the
+    * q115 phrases. The oracle IS the q115 statement VERBATIM (the
+    * q110/q117 certificate pattern), so one hash certifies BOTH
+    * append ≡ rebuild AND probe ≡ one-shot.
+    */
+  def qPhraseGramIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val phrases = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = gramIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L), n = 2)
+    val index = gramAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed, n = 2)
+      .persist()
+    gramProbe(phrases, index, topN = 10).orderBy("qid", "rk")
+  }
+
   /** KWIC snippet extraction — the serving surface a phrase hit needs
     * (show the match in context): per (query, doc) the occurrence
     * count, the FIRST occurrence position, and the `ctx`-token window
@@ -1085,11 +1154,22 @@ object Retrieval {
     * (q120, mirrored with list_slice).
     */
   def phraseSnippets(phrases: DataFrame, corpus: DataFrame, n: Int,
-      topN: Int, ctx: Int): DataFrame = {
+      topN: Int, ctx: Int): DataFrame =
+    snippetProbe(phrases, gramPositions(corpus, n), corpus, n, topN, ctx)
+
+  /** KWIC probe over a positional gram relation (did, pos, gram) —
+    * the [[phraseSnippets]] anchor/slice stages against a held
+    * [[gramIndex]] (q122 certifies the grown-index path against the
+    * one-shot's q120 statement, verbatim). `corpus` supplies text for
+    * the RANKED documents only — the slice stage joins it against a
+    * broadcast of the ≤ queries × topN hit ids.
+    */
+  def snippetProbe(phrases: DataFrame, grams: DataFrame,
+      corpus: DataFrame, n: Int, topN: Int, ctx: Int): DataFrame = {
     val pSet = phrases.select(col("phrase")).distinct()
     val w = Window.partitionBy("qid")
       .orderBy(col("n_occ").desc, col("did"))
-    val occ = gramPositions(corpus, n)
+    val occ = grams
       .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
       .groupBy("did", "gram")
       .agg(count(lit(1)).as("n_occ"),
@@ -1128,6 +1208,115 @@ object Retrieval {
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
     phraseSnippets(phrases, corpus, n = 2, topN = 5, ctx = 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** q122 — the gram-index certificate, snippet side: the SAME grown
+    * index shape as q121 (landed + [[gramAppend]]) serving
+    * [[snippetProbe]] with the q120 parameters; the oracle IS the
+    * q120 statement VERBATIM, so one hash certifies that a held gram
+    * index serves the KWIC surface — counts, first positions, AND
+    * snippet strings — identically to the one-shot.
+    */
+  def qSnippetsGramIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val phrases = d.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = gramIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L), n = 2)
+    val index = gramAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed, n = 2)
+      .persist()
+    snippetProbe(phrases, index, corpus, n = 2, topN = 5, ctx = 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** IMPACT-ORDERED postings (Anh & Moffat 2006, "Pruned query
+    * evaluation using pre-computed impacts", re-expressed relationally):
+    * every per-(doc, term) BM25 contribution depends only on
+    * index-time statistics (tf, dl, df, avgdl, n_docs), so quantize it
+    * ONCE at index time into the exact integer micro-points the q108
+    * scoring contract already uses. The probe then degenerates to a
+    * broadcast term semi-join + one grouped SUM — no df join, no
+    * corpus-stats crossJoin, no floating-point arithmetic per probe —
+    * which at 100 TB moves ALL scoring arithmetic from every query
+    * batch to the one-off build.
+    *
+    * Epoch contract (the real-world impact-index tradeoff): df, avgdl
+    * and n_docs are GLOBAL, so appending documents invalidates landed
+    * impacts — ingest appends at the POSTINGS level ([[postingsAppend]],
+    * which stays incremental) and re-quantizes impacts per epoch over
+    * the grown postings. q123 certifies exactly that composition
+    * (postings landed + append → quantize → probe) against direct
+    * full scoring: the oracle IS the q108 statement VERBATIM.
+    *
+    * `df` rides along so probe-time stopword ceilings ([[bm25Probe]]'s
+    * `maxDf` contract) still apply without a separate relation.
+    */
+  def impactIndex(postings: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (df0, stats) = postingsInvariants(postings)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val num = tfD * lit(k1 + 1.0)
+    val den = tfD + lit(k1) * (lit(1.0 - b) +
+      (lit(b) * col("dl")) / col("avgdl"))
+    postings.join(df0, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("did"), col("df"),
+        floor(idf * (num / den) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("impact_micro"))
+  }
+
+  /** BM25 probe over a prebuilt [[impactIndex]]: one broadcast join of
+    * the query terms against the impact relation (gram-for-gram the
+    * q108 ranking — summed micro-points, match count, (score desc,
+    * did) tie-break), zero scoring arithmetic. RetrievalSpec pins
+    * row-equality with [[bm25ProbeTerms]] (including under `maxDf`)
+    * and q123 gates the full composition.
+    */
+  def impactProbe(qTok: DataFrame, impacts: DataFrame, topN: Int,
+      maxDf: Long = 0L): DataFrame = {
+    val imp = if (maxDf <= 0L) impacts
+      else impacts.filter(col("df") <= maxDf)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25_micro").desc, col("did"))
+    broadcast(qTok).join(imp, "tok")
+      .groupBy("qid", "did")
+      .agg(sum(col("impact_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_match"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+  }
+
+  /** q123 — the impact-index certificate: postings built as landed
+    * (did ≢ 7 mod 10) + [[postingsAppend]] of the late batch, impacts
+    * quantized over the GROWN postings (the epoch contract), then
+    * probed by [[impactProbe]]. The oracle IS the q108 statement
+    * VERBATIM, so one hash certifies append → re-quantize → probe ≡
+    * direct full scoring.
+    */
+  def qBm25Impact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val landed = postingsIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val postings = postingsAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
+    val impacts = impactIndex(postings).persist()
+    impactProbe(queryTerms(queries), impacts, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
       .orderBy("qid", "rk")
   }
 }

@@ -273,6 +273,43 @@ object StreamOps {
     spark.read.parquet(s"$statePath/positions")
       .select("did", "pos", "tok")
 
+  /** Streaming GRAM-index maintenance — the streaming face of
+    * [[graft.llmops.Retrieval.gramAppend]]: each micro-batch of
+    * (doc_id, text) shingles ONLY itself (grams are per-doc
+    * independent — the [[positionalIndexSink]] contract, gram-keyed)
+    * and lands as an overwrite-whole per-batch parquet dir, the shared
+    * replay-idempotent file-state pattern. `n` is the index's fixed
+    * gram length. [[readGramPositions]] hands the grown index straight
+    * to [[graft.llmops.Retrieval.gramProbe]] /
+    * [[graft.llmops.Retrieval.snippetProbe]]; StreamOpsSpec pins
+    * probe-equality with a fresh full
+    * [[graft.llmops.Retrieval.gramIndex]] build across a multi-batch
+    * replay (the q121/q122 certificate, streamed).
+    */
+  def gramIndexSink(docs: DataFrame, statePath: String, n: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.llmops.Retrieval.gramIndex(
+              batch.select(col("doc_id").as("did"), col("text")), n)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/gram_index/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The grown positional gram index, shaped for
+    * [[graft.llmops.Retrieval.gramProbe]] /
+    * [[graft.llmops.Retrieval.snippetProbe]] (distinct from
+    * [[readGramIndex]], the [[duplicatedSpansSink]] digest state). */
+  def readGramPositions(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/gram_index")
+      .select("did", "pos", "gram")
+
   /** The grown IVF assignment and its quantizer, shaped for
     * [[graft.llmops.Similarity.knnJoinIndexed]]. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,

@@ -505,6 +505,72 @@ class RetrievalSpec extends SparkSpec {
       (3L, 1L, 5L, "o p q a b", 4)))         // clipped at doc end
   }
 
+  test("gramAppend == full gramIndex through gramProbe and " +
+    "snippetProbe (the q121/q122 certificate, locally)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val grown = Retrieval.gramAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L),
+      Retrieval.gramIndex(
+        corpus.filter(pmod(col("did"), lit(10L)) =!= 7L), n = 2), n = 2)
+      .localCheckpoint()
+    val full = Retrieval.gramIndex(corpus, n = 2).localCheckpoint()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("did", "pos", "gram").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(key(grown) === key(full))
+    assert(grown.count() === full.count()) // no dup rows either
+    val phrases = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // count probe: grown index == one-shot statement (no divergence
+    // cases here — index and one-shot share the WordShingles kernel,
+    // short docs included)
+    val pGrown = rows(Retrieval.gramProbe(phrases, grown, topN = 10))
+    assert(pGrown === rows(Retrieval.phraseSearch(phrases, corpus,
+      n = 2, topN = 10)))
+    assert(pGrown.nonEmpty)
+    // snippet probe: grown index == one-shot snippets, STRINGS included
+    val sGrown = rows(Retrieval.snippetProbe(phrases, grown, corpus,
+      n = 2, topN = 5, ctx = 3))
+    assert(sGrown === rows(Retrieval.phraseSnippets(phrases, corpus,
+      n = 2, topN = 5, ctx = 3)))
+    assert(sGrown.nonEmpty)
+  }
+
+  test("impactProbe == bm25Probe exactly, plain and under maxDf (the " +
+    "q123 certificate, locally)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val postings = Retrieval.postingsIndex(corpus).localCheckpoint()
+    val impacts = Retrieval.impactIndex(postings).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro", "n_match", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val qTok = Retrieval.queryTerms(queries).localCheckpoint()
+    val plain = rows(Retrieval.impactProbe(qTok, impacts, topN = 10))
+    assert(plain === rows(Retrieval.bm25ProbeTerms(qTok, postings,
+      topN = 10)))
+    assert(plain.nonEmpty)
+    // the df column rides the impacts, so probe-time stopword ceilings
+    // still bite: pick a maxDf that actually prunes terms here
+    val medianDf = impacts.select("df").distinct()
+      .orderBy("df").collect().map(_.getLong(0))
+    val cut = medianDf(medianDf.length / 2)
+    val cutRows = rows(Retrieval.impactProbe(qTok, impacts, topN = 10,
+      maxDf = cut))
+    assert(cutRows === rows(Retrieval.bm25ProbeTerms(qTok, postings,
+      topN = 10, maxDf = cut)))
+    assert(cutRows !== plain) // the ceiling really pruned something
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

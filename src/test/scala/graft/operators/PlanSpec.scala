@@ -496,6 +496,47 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("WindowGroupLimit"), p)
   }
 
+  test("q121/q122: gram-index probes keep the semi-join below the " +
+    "aggregate and broadcast the phrase side") {
+    for (df <- Seq(graft.llmops.Retrieval.qPhraseGramIndexed(spark, dir),
+        graft.llmops.Retrieval.qSnippetsGramIndexed(spark, dir))) {
+      val p = plan(df)
+      spark.catalog.clearCache()
+      val finalPlan = p.split("== Initial Plan ==").head
+      val lines = finalPlan.linesIterator.toVector
+      // same contract as the q115 one-shot: the broadcast LeftSemi
+      // against the phrase set prunes the index BEFORE the (did, gram)
+      // occurrence aggregate, so the shuffle carries matched grams only
+      val semiIdx = lines.indexWhere(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      assert(semiIdx >= 0, s"no broadcast LeftSemi in the probe plan:\n$p")
+      val aggIdx = lines.indexWhere(_.contains("partial_count"))
+      assert(aggIdx >= 0, p)
+      assert(aggIdx < semiIdx,
+        s"occurrence aggregate must consume the semi-join, not feed " +
+          s"it:\n$p")
+      assert(!finalPlan.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q123: the impact probe is one broadcast join + one grouped " +
+    "sum — no index-wide aggregates, no sort-merge") {
+    val p = plan(graft.llmops.Retrieval.qBm25Impact(spark, dir))
+    spark.catalog.clearCache()
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the probe side must never re-derive df/stats from the index: the
+    // only aggregates allowed above the persisted impacts are the
+    // per-(qid, did) score sum and the window rank
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    assert(!finalPlan.contains("SortMergeJoin"), p)
+    assert(!finalPlan.contains("CartesianProduct"), p)
+    assert(finalPlan.contains("WindowGroupLimit"), p)
+    // scoring arithmetic is gone from the probe: no division remains
+    // above the InMemoryTableScan (it all ran at quantization time)
+    val aboveScan = finalPlan.split("InMemoryTableScan").head
+    assert(!aboveScan.contains("avgdl"), p)
+  }
+
   test("q108: postings stream through broadcast probes, never sort-merge") {
     val p = plan(graft.llmops.Retrieval.qBm25(spark, dir))
     // the query-term relation is broadcast STATICALLY (bounded by

@@ -482,6 +482,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("gramIndexSink: grown index == fresh full build; count and snippet probes agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gramsink")
+    try {
+      import graft.llmops.Retrieval
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.gramIndexSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state", n = 2)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData(base.take(200).toSeq)
+      q.processAllAvailable()
+      in.addData(base.drop(200).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val grown = StreamOps.readGramPositions(spark, s"$dir/state")
+      val all = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").as("did"), col("text"))
+      val full = Retrieval.gramIndex(all, n = 2)
+      assert(grown.count() === full.count())
+      val d = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val phrases = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          element_at(graft.expressions.WordShingles
+            .shingles(col("text"), 2), 1).as("phrase"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val cGrown = rows(Retrieval.gramProbe(phrases, grown, topN = 5))
+      assert(cGrown === rows(Retrieval.gramProbe(phrases, full, topN = 5)))
+      assert(cGrown.nonEmpty)
+      val sGrown = rows(Retrieval.snippetProbe(phrases, grown, all,
+        n = 2, topN = 5, ctx = 3))
+      assert(sGrown === rows(Retrieval.snippetProbe(phrases, full, all,
+        n = 2, topN = 5, ctx = 3)))
+      assert(sGrown.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")

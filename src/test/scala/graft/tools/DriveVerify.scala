@@ -665,6 +665,37 @@ object DriveVerify {
                 .shingles(col("text"), 2), 1).as("phrase")),
           posIdx, topN = 5).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(posDir.toFile)
+      // gram-index family (q121/q122) + impact index (q123)
+      println(s"phrase over appended gram index: ${graft.llmops
+        .Retrieval.qPhraseGramIndexed(spark, sf).count()} rows")
+      println(s"snippets over appended gram index: ${graft.llmops
+        .Retrieval.qSnippetsGramIndexed(spark, sf).count()} rows")
+      println(s"bm25 over pre-quantized impacts: ${graft.llmops
+        .Retrieval.qBm25Impact(spark, sf).count()} rows")
+      // streaming gram maintenance: same 2-file replay shape
+      val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
+      corpus.select("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(s"$grDir/docs")
+      val grSrc = spark.readStream
+        .schema(spark.read.parquet(s"$grDir/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$grDir/docs")
+      val grQ = graft.streaming.StreamOps
+        .gramIndexSink(grSrc, s"$grDir/state", n = 2)
+        .option("checkpointLocation", s"$grDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      grQ.awaitTermination()
+      val grIdx = graft.streaming.StreamOps
+        .readGramPositions(spark, s"$grDir/state")
+      println(s"stream gram index: ${grIdx.count()} rows, " +
+        s"gram-probe rows: ${graft.llmops.Retrieval.gramProbe(
+          corpus.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"),
+              element_at(graft.expressions.WordShingles
+                .shingles(col("text"), 2), 1).as("phrase")),
+          grIdx, topN = 5).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(grDir.toFile)
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
