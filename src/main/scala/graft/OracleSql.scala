@@ -2539,13 +2539,14 @@ object OracleSql {
     * corpus stats, the original query-term relation `qt`) — shared by
     * q108/q109/q110/q111 so the gates can never rank differently.
     */
-  private val bm25BaseCtes = {
+  private def bm25BaseCtesWhere(corpusPred: String) = {
     val toks = "string_split(regexp_replace(lower(text)," +
       " '\\s+', ' ', 'g'), ' ')"
     s"""queries AS (
        |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
        |corpus AS (
-       |  SELECT doc_id AS did, text FROM documents WHERE doc_id % 100 <> 0),
+       |  SELECT doc_id AS did, text FROM documents
+       |  WHERE doc_id % 100 <> 0$corpusPred),
        |ct0 AS (SELECT did, $toks AS toks FROM corpus),
        |tokd AS (SELECT did, len(toks) AS dl0, unnest(toks) AS tok FROM ct0),
        |postings AS (
@@ -2586,7 +2587,23 @@ object OracleSql {
        |  FROM agg$suffix)""".stripMargin
   }
 
+  private val bm25BaseCtes = bm25BaseCtesWhere("")
+
   private val bm25Ctes = s"$bm25BaseCtes,\n${bm25ScoreCtes("qt", "")}"
+
+  /** q125 — index-delete mirror
+    * ([[graft.llmops.Retrieval.qBm25Deleted]]): the q108 statement
+    * REBUILT over the remaining corpus (did ≢ 3 mod 10) — the engine
+    * deletes from a built index, the oracle scores the survivors from
+    * scratch, so the hash match is the delete ≡ rebuild certificate.
+    */
+  private val q125 =
+    s"""WITH ${bm25BaseCtesWhere(" AND doc_id % 10 <> 3")},
+       |${bm25ScoreCtes("qt", "")}
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   private val q108 =
     s"""WITH $bm25Ctes
@@ -2809,6 +2826,48 @@ object OracleSql {
        |  rk
        |FROM ranked r JOIN ct USING (did) JOIN plen USING (qid)
        |WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
+  /** q124 — boolean retrieval mirror
+    * ([[graft.llmops.Retrieval.qBooleanRetrieval]]): required = the
+    * two lexicographically-smallest distinct query tokens, excluded =
+    * the largest; AND via the match-count-equals-m trick, NOT via
+    * NOT EXISTS against the excluded term's postings, rank by total
+    * matched tf.
+    */
+  private val q124 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    s"""WITH qt AS (
+       |  SELECT doc_id AS qid, list_sort(list_distinct($toks)) AS dt
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |req AS (
+       |  SELECT qid, unnest(list_slice(dt, 1, 2)) AS tok FROM qt),
+       |neg AS (
+       |  SELECT qid, dt[len(dt)] AS tok FROM qt),
+       |tfp AS (
+       |  SELECT doc_id AS did, unnest($toks) AS tok
+       |  FROM documents WHERE doc_id % 100 <> 0),
+       |post AS (
+       |  SELECT did, tok, count(*) AS tf FROM tfp GROUP BY did, tok),
+       |m AS (SELECT qid, count(*) AS m FROM req GROUP BY qid),
+       |conj AS (
+       |  SELECT r.qid, p.did, count(*) AS n_req, sum(tf) AS tf_sum
+       |  FROM req r JOIN post p USING (tok) GROUP BY r.qid, p.did),
+       |ok AS (
+       |  SELECT c.qid, c.did, c.n_req, c.tf_sum
+       |  FROM conj c JOIN m USING (qid) WHERE n_req = m),
+       |fin AS (
+       |  SELECT o.qid, o.did, o.n_req, o.tf_sum, row_number() OVER
+       |    (PARTITION BY o.qid ORDER BY o.tf_sum DESC, o.did) AS rk
+       |  FROM ok o
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM neg n JOIN post p USING (tok)
+       |    WHERE n.qid = o.qid AND p.did = o.did))
+       |SELECT qid, did, CAST(n_req AS BIGINT) AS n_req,
+       |  CAST(tf_sum AS BIGINT) AS tf_sum, rk
+       |FROM fin WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
   }
 
@@ -3200,5 +3259,9 @@ object OracleSql {
     // q123 probes pre-quantized impacts over appended postings; the
     // oracle is the q108 full-scoring statement verbatim — the
     // append → re-quantize → probe certificate
-    "q123_bm25_impact" -> q108)
+    "q123_bm25_impact" -> q108,
+    "q124_boolean_retrieval" -> q124,
+    // q125 deletes from a built index; the oracle rebuilds over the
+    // remaining corpus — hash match == delete-equals-rebuild
+    "q125_index_delete" -> q125)
 }

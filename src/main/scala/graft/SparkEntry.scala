@@ -269,7 +269,14 @@ object SparkEntry {
     "q122_snippets_indexed" -> (Retrieval.qSnippetsGramIndexed _),
     // impact-ordered postings: append → re-quantize → probe; oracle
     // IS the q108 statement (pre-computed-impact certificate)
-    "q123_bm25_impact" -> (Retrieval.qBm25Impact _))
+    "q123_bm25_impact" -> (Retrieval.qBm25Impact _),
+    // boolean AND + NOT retrieval ranked by matched tf — the
+    // query-language operator ranked scoring cannot express
+    "q124_boolean_retrieval" -> (Retrieval.qBooleanRetrieval _),
+    // index deletion (takedowns / update = delete + append): one slim
+    // did anti-join serves all three per-doc index shapes; oracle
+    // rebuilds over the remaining corpus (delete ≡ rebuild)
+    "q125_index_delete" -> (Retrieval.qBm25Deleted _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -1319,4 +1319,112 @@ object Retrieval {
         col("n_match"), col("rk"))
       .orderBy("qid", "rk")
   }
+
+  /** Document DELETION from any of the per-doc indexes — the
+    * maintenance operator every long-lived 100 TB index needs (data
+    * takedowns, re-ingest of updated documents = delete + append).
+    * All three index shapes key their rows by `did`
+    * ([[postingsIndex]] (did, dl, tok, tf); [[positionalIndex]]
+    * (did, pos, tok); [[gramIndex]] (did, pos, gram)), so ONE slim
+    * anti-join removes a document completely from any of them — and
+    * because the probe-time invariants ([[postingsInvariants]]' df and
+    * avgdl/n_docs) are derived FROM the index, deletion is
+    * statistics-complete with no tombstone bookkeeping. The one
+    * exception is pre-quantized [[impactIndex]] state: impacts bake
+    * the global stats in, so deletes (like appends) are epoch
+    * operations there — delete at the postings level, re-quantize.
+    * q125 certifies delete-then-probe ≡ rebuild-on-the-remaining-
+    * corpus through the q108 scoring statement; the spec pins the
+    * same equivalence for the positional and gram shapes.
+    *
+    * The delete set broadcasts when bounded (the common takedown
+    * batch); a mass deletion is a shuffled anti-join on did — both
+    * sides slim — and at that volume a filtered rewrite of the
+    * bucketed index files is the better layout operation anyway.
+    */
+  def indexDelete(docIds: DataFrame, landed: DataFrame): DataFrame =
+    landed.join(docIds.select("did").distinct(), Seq("did"), "left_anti")
+
+  /** q125 — the index-delete certificate: the full corpus index is
+    * built, the did ≡ 3 (mod 10) documents are [[indexDelete]]d, and
+    * the survivors are probed. The oracle is the q108 statement over
+    * the REMAINING corpus (rebuild formulation), so the hash match
+    * certifies delete ≡ rebuild — df, avgdl and n_docs all reflect
+    * the deletion with no separate maintenance.
+    */
+  def qBm25Deleted(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val full = postingsIndex(corpus)
+    val index = indexDelete(
+      corpus.filter(pmod(col("did"), lit(10L)) === 3L).select("did"),
+      full).persist()
+    bm25Probe(queries, index, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** BOOLEAN retrieval over a [[postingsIndex]] — the query-language
+    * operator ranked scoring cannot express: documents matching ALL
+    * `required` terms and NONE of the `excluded` terms (AND + NOT),
+    * ranked by total matched term frequency (exact integers — the
+    * determinism contract), ties on did. Inputs are DISTINCT
+    * (qid, tok) relations (the [[queryTerms]] contract); a query's
+    * required set is satisfied when its per-doc match count equals its
+    * term count — one grouped COUNT over matched postings, no
+    * per-term intersection loop.
+    *
+    * Scale shape: both term relations broadcast (query batches are
+    * bounded by contract); the conjunction is matched-postings-sized
+    * (each required term's posting list, the DAAT-AND volume); the
+    * NOT is a slim (qid, did) anti-join whose right side is bounded
+    * by the excluded terms' document frequency — the inherent cost of
+    * boolean NOT, carried as 16-byte rows, never document payloads.
+    */
+  def booleanProbe(required: DataFrame, excluded: DataFrame,
+      postings: DataFrame, topN: Int): DataFrame = {
+    val m = required.groupBy("qid").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("tf_sum").desc, col("did"))
+    val conj = broadcast(required).join(postings, "tok")
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("n_req"),
+        sum(col("tf")).cast("long").as("tf_sum"))
+      .join(broadcast(m), "qid")
+      .filter(col("n_req") === col("m"))
+    val excl = broadcast(excluded).join(postings, "tok")
+      .select("qid", "did")
+    conj.join(excl, Seq("qid", "did"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_req", "tf_sum", "rk")
+  }
+
+  /** q124 — boolean retrieval report: per query document, the two
+    * lexicographically-smallest distinct tokens are required and the
+    * largest is excluded (sorted picks — deterministic on both
+    * engines), top-10 by matched tf. A query whose excluded token is
+    * one of its required tokens returns nothing, by construction —
+    * the mirror replays the same picks over list_sort(list_distinct).
+    */
+  def qBooleanRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val dt = array_sort(array_distinct(Dedup.tokens(col("text"))))
+    val qd = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), dt.as("dt"))
+    val required = qd.select(col("qid"),
+      explode(slice(col("dt"), 1, 2)).as("tok"))
+    val excluded = qd.select(col("qid"),
+      element_at(col("dt"), size(col("dt"))).as("tok"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    booleanProbe(required, excluded, postingsIndex(corpus), topN = 10)
+      .orderBy("qid", "rk")
+  }
 }

@@ -571,6 +571,68 @@ class RetrievalSpec extends SparkSpec {
     assert(cutRows !== plain) // the ceiling really pruned something
   }
 
+  test("booleanProbe: AND requires every term, NOT excludes, rank by " +
+    "matched tf; required∩excluded returns nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b b c"),     // a+b, no x: matches, tf_sum = 1+2 = 3
+      (2L, "a b x"),       // contains x: excluded
+      (3L, "a a b b b"),   // a+b, no x: tf_sum = 2+3 = 5 → rank 1
+      (4L, "a c c"),       // missing b: fails the conjunction
+      (5L, "b b b")        // missing a: fails the conjunction
+    ).toDF("did", "text")
+    val postings = Retrieval.postingsIndex(corpus).localCheckpoint()
+    val req = Seq((7L, "a"), (7L, "b")).toDF("qid", "tok")
+    val neg = Seq((7L, "x")).toDF("qid", "tok")
+    val got = Retrieval.booleanProbe(req, neg, postings, topN = 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got === Seq(
+      (7L, 3L, 2L, 5L, 1),
+      (7L, 1L, 2L, 3L, 2)))
+    // NOT of a required term: the exclusion wins — empty by construction
+    val negA = Seq((7L, "a")).toDF("qid", "tok")
+    assert(Retrieval.booleanProbe(req, negA, postings, topN = 10)
+      .isEmpty)
+    // empty excluded relation: plain conjunctive AND
+    val none = Seq.empty[(Long, String)].toDF("qid", "tok")
+    val conj = Retrieval.booleanProbe(req, none, postings, topN = 10)
+      .select("did").collect().map(_.getLong(0)).toSet
+    assert(conj === Set(1L, 2L, 3L))
+  }
+
+  test("indexDelete == rebuild-on-survivors for all three index " +
+    "shapes (the q125 certificate, locally)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val gone = corpus.filter(pmod(col("did"), lit(10L)) === 3L)
+      .select("did")
+    val kept = corpus.filter(pmod(col("did"), lit(10L)) =!= 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // postings: probe the deleted index vs a fresh build — df/avgdl/
+    // n_docs must all reflect the deletion (they derive from the index)
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val deleted = Retrieval.indexDelete(gone,
+      Retrieval.postingsIndex(corpus)).localCheckpoint()
+    val probed = rows(Retrieval.bm25Probe(queries, deleted, topN = 10))
+    assert(probed === rows(Retrieval.bm25Probe(queries,
+      Retrieval.postingsIndex(kept).localCheckpoint(), topN = 10)))
+    assert(probed.nonEmpty)
+    // positional and gram shapes: row-set equality with the rebuild
+    def key3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toString).toSet
+    assert(key3(Retrieval.indexDelete(gone,
+        Retrieval.positionalIndex(corpus))) ===
+      key3(Retrieval.positionalIndex(kept)))
+    assert(key3(Retrieval.indexDelete(gone,
+        Retrieval.gramIndex(corpus, n = 2))) ===
+      key3(Retrieval.gramIndex(kept, n = 2)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

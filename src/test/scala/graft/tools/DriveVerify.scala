@@ -672,6 +672,10 @@ object DriveVerify {
         .Retrieval.qSnippetsGramIndexed(spark, sf).count()} rows")
       println(s"bm25 over pre-quantized impacts: ${graft.llmops
         .Retrieval.qBm25Impact(spark, sf).count()} rows")
+      println(s"boolean AND+NOT retrieval: ${graft.llmops
+        .Retrieval.qBooleanRetrieval(spark, sf).count()} rows")
+      println(s"bm25 over delete-maintained index: ${graft.llmops
+        .Retrieval.qBm25Deleted(spark, sf).count()} rows")
       // streaming gram maintenance: same 2-file replay shape
       val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
       corpus.select("doc_id", "text").repartition(2)
