@@ -97,4 +97,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS postings_tokb")
     }
   }
+
+  test("gram-bucketed index: gramProbe never exchanges gram positions") {
+    import graft.llmops.Retrieval
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val phrases = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"),
+        element_at(graft.expressions.WordShingles
+          .shingles(col("text"), 2), 1).as("phrase"))
+    val corpus = d.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("did"), col("text"))
+    val grams = Retrieval.gramIndex(corpus, n = 2)
+    try {
+      // the production layout the gramIndex scaladoc prescribes: the
+      // positional gram relation persisted bucketed by its probe key.
+      // hashpartitioning(gram) satisfies the (did, gram) occurrence
+      // aggregation's clustering (equal (did, gram) ⇒ equal gram ⇒
+      // same bucket), so the corpus-sized relation is NEVER exchanged
+      Bucketing.writeBucketed(grams, "grams_gramb", "gram", 8)
+      val bucketed = spark.table("grams_gramb")
+        .select("did", "pos", "gram")
+      val probe = Retrieval.gramProbe(phrases, bucketed, topN = 10)
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val gramExchanges = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("gram"))
+      assert(gramExchanges.isEmpty,
+        s"bucketed probe still shuffles gram positions:\n$p")
+      assert(p.contains("SelectedBucketsCount"), p)
+      // contrast: over the raw relation the occurrence aggregate pays
+      // a (did, gram) exchange — the cost the layout retires
+      val raw = Retrieval.gramProbe(phrases, grams, topN = 10)
+      raw.collect()
+      val pRaw = raw.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(pRaw.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("gram")),
+        pRaw)
+      // and the layout changes the plan only, never the answer
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(rows(probe) === rows(raw))
+      assert(rows(probe).nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS grams_gramb")
+    }
+  }
 }

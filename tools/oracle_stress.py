@@ -4,15 +4,19 @@ DuckDB memory_limit to prove they stay lean when the driver's host is
 contended (the round-9 q91/q96/q97/q98 OOMs were oracle-side allocator
 failures under ambient memory pressure, not engine bugs).
 
+Each statement runs in its OWN spawned subprocess (the baseline_time.py
+isolation): DuckDB connections leak allocator memory maps into the host
+process even after close(), so a multi-statement run in one process hits
+the vm.max_map_count fragmentation class and reports position-dependent
+FAILs for statements that pass in isolation (measured: the SAME q108
+statement OK at list position 1, OOM at position 3).
+
 Run: python3 tools/oracle_stress.py /root/testdata/sf0.01 /tmp/vout \
         q91_span_dedup,q96_pagerank,q97_kmeans,q98_knn_join 200MB
 """
 import json
-import os
+import multiprocessing as mp
 import sys
-import time
-
-import duckdb
 
 SF_DIR = sys.argv[1]
 OUT = sys.argv[2]
@@ -23,26 +27,48 @@ THREADS = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-for name in NAMES:
+def _run_stmt(sf_dir, sql, mem, threads, q):
+    # fresh spawned process: clean allocator map table per statement
+    import os
+    import time
+
+    import duckdb
     con = duckdb.connect()
-    con.execute(f"SET memory_limit='{MEM}'")
+    con.execute(f"SET memory_limit='{mem}'")
     # no temp_directory: forbid spilling, so the limit is a hard working-
     # set bound — leaner than the driver's actual config (which spills)
-    if THREADS:
-        con.execute(f"SET threads={THREADS}")
+    if threads:
+        con.execute(f"SET threads={threads}")
     for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
+        path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     t0 = time.time()
     try:
-        n = len(con.execute(oracle[name]).fetchall())
-        print(f"OK   {name}: {n} rows in {time.time()-t0:.2f}s "
-              f"(mem={MEM}, threads={THREADS or 'default'})")
-    except Exception as e:
-        print(f"FAIL {name}: {type(e).__name__}: {e} "
-              f"({time.time()-t0:.2f}s, mem={MEM})")
-    con.close()
+        n = len(con.execute(sql).fetchall())
+        q.put(("ok", n, time.time() - t0))
+    except Exception as e:  # noqa: BLE001 — report, don't crash the loop
+        q.put(("fail", f"{type(e).__name__}: {e}", time.time() - t0))
+
+
+def main():
+    ctx = mp.get_context("spawn")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    for name in NAMES:
+        q = ctx.Queue()
+        p = ctx.Process(target=_run_stmt,
+                        args=(SF_DIR, oracle[name], MEM, THREADS, q))
+        p.start()
+        status, payload, dt = q.get()
+        p.join()
+        if status == "ok":
+            print(f"OK   {name}: {payload} rows in {dt:.2f}s "
+                  f"(mem={MEM}, threads={THREADS or 'default'})")
+        else:
+            print(f"FAIL {name}: {payload} ({dt:.2f}s, mem={MEM})")
+
+
+if __name__ == "__main__":
+    main()
