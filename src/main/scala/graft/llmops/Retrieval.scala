@@ -316,6 +316,12 @@ object Retrieval {
     * matches an essential term, so candidates ≈ corpus and it
     * degrades to ~full scoring plus slim bound arithmetic — the
     * documented dense-universe profile, with correctness intact.
+    * Since round 12 the exact-scoring stages (candidates AND the
+    * fallback) read PRE-QUANTIZED impacts ([[impactIndexWith]], fed
+    * this probe's own df/stats) — identical integers by construction,
+    * so the q114 gate hash is untouched while the dense degenerate
+    * sheds its per-row scoring arithmetic (the q123 trade applied to
+    * the pruning path).
     *
     * `qTok` precondition: DISTINCT (qid, tok) rows, as [[queryTerms]]
     * guarantees — a duplicated term double-counts BOTH the score and
@@ -325,12 +331,7 @@ object Retrieval {
     */
   def bm25ProbeMaxScore(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, essential: Int = 2): DataFrame = {
-    val df0 = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = postings.groupBy("did")
-      .agg(first(col("dl")).as("doc_dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("doc_dl")) /
-          count(lit(1)).cast("double")).as("avgdl"))
+    val (df0, stats) = postingsInvariants(postings)
     val dfD = col("df").cast("double")
     val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
     // (qid, tok, df, ub_micro): the safe integer per-term bound.
@@ -356,30 +357,29 @@ object Retrieval {
     val cand = broadcast(ess).join(postings, "tok")
       .select("qid", "did").distinct()
       .localCheckpoint() // consumed by candDids AND the scoring join
-    // exact-score candidates only: candidate docs' postings × the
-    // query's terms — non-candidate postings are never scored
-    val tfD = col("tf").cast("double")
-    val num = tfD * lit(k1 + 1.0)
-    val den = tfD + lit(k1) * (lit(1.0 - b) +
-      (lit(b) * col("dl")) / col("avgdl"))
-    val pts = floor(idf * (num / den) * lit(1000000.0) + lit(0.5))
-      .cast("long")
+    // exact-score candidates only, from PRE-QUANTIZED impacts: the
+    // integers are identical to inline scoring by construction
+    // (impactIndexWith shares this probe's df0/stats), so losslessness
+    // and the gate hash are untouched while the scoring join sheds the
+    // stats crossJoin and all per-row floating point (the q123 trade,
+    // applied to the pruning path: 97 s → see SURVEY at 10×-sf0.1).
+    // localCheckpoint: candidate scoring AND the fallback probe read it
+    val impacts = impactIndexWith(postings, df0, stats, k1, b)
+      .localCheckpoint()
     val wS = Window.partitionBy("qid")
       .orderBy(col("bm25_micro").desc, col("did"))
     // the candidate DOC set (distinct dids) is bounded by the
     // essential terms' posting lists — broadcast it so the full
-    // postings relation only STREAMS through a map-side semi-filter
-    // (shuffling 21.5M postings rows for an 8k-doc candidate set was
+    // impact relation only STREAMS through a map-side semi-filter
+    // (shuffling 21.5M index rows for an 8k-doc candidate set was
     // measured 2.6× slower than not pruning at all); the remaining
     // joins touch candidate-sized relations only
     val candDids = broadcast(cand.select("did").distinct())
-    val candPost = postings.join(candDids, "did")
-    val candRanked = candPost.join(cand, "did")
-      .join(qTerms.select("qid", "tok", "df"), Seq("qid", "tok"))
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("did"), pts.as("pts"))
+    val candImp = impacts.join(candDids, "did")
+    val candRanked = candImp.join(cand, "did")
+      .join(qTerms.select("qid", "tok"), Seq("qid", "tok"))
       .groupBy("qid", "did")
-      .agg(sum(col("pts")).as("bm25_micro"),
+      .agg(sum(col("impact_micro")).as("bm25_micro"),
         count(lit(1)).as("n_match"))
       .withColumn("rk", row_number().over(wS))
       .localCheckpoint() // threshold extraction AND the top-k read it
@@ -401,8 +401,10 @@ object Retrieval {
     // fallback queries
     if (fbQ.isEmpty) pruned
     else {
-      val fallback = bm25ProbeTerms(
-        qTok.join(broadcast(fbQ), "qid"), postings, topN, k1, b)
+      // full scoring from the SAME impacts — identical integers to
+      // bm25ProbeTerms, without re-deriving df/stats
+      val fallback = impactProbe(
+        qTok.join(broadcast(fbQ), "qid"), impacts, topN)
         .select("qid", "did", "bm25_micro", "n_match", "rk")
       pruned.unionByName(fallback)
     }
@@ -1261,6 +1263,16 @@ object Retrieval {
   def impactIndex(postings: DataFrame, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val (df0, stats) = postingsInvariants(postings)
+    impactIndexWith(postings, df0, stats, k1, b)
+  }
+
+  /** [[impactIndex]] with precomputed [[postingsInvariants]] — the
+    * composition seam callers holding df/stats already use
+    * ([[bm25ProbeMaxScore]] derives the bound relation from the same
+    * pair, so the quantization must not re-aggregate the postings).
+    */
+  def impactIndexWith(postings: DataFrame, df0: DataFrame,
+      stats: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tfD = col("tf").cast("double")
     val dfD = col("df").cast("double")
     val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
