@@ -382,6 +382,13 @@ object Retrieval {
       .agg(sum(col("impact_micro")).as("bm25_micro"),
         count(lit(1)).as("n_match"))
       .withColumn("rk", row_number().over(wS))
+      // BOTH consumers live at rk ≤ topN (threshold reads rk == topN),
+      // so truncate BEFORE materializing: the rank filter specializes
+      // the window to a partial top-k (WindowGroupLimit — map tasks
+      // keep topN rows per qid before the sort's shuffle) and the
+      // checkpoint lands queries × topN slim rows instead of the FULL
+      // per-candidate ranking (≈ corpus-sized on the dense gate)
+      .filter(col("rk") <= topN)
       .localCheckpoint() // threshold extraction AND the top-k read it
     // certificate: the rank-k candidate exists and strictly beats B_q
     val tq = candRanked.filter(col("rk") === topN)
@@ -389,7 +396,7 @@ object Retrieval {
     val okQ = bq.join(tq, "qid")
       .filter(col("b_micro") < col("t_micro")).select("qid")
       .localCheckpoint() // top-k filter and the fallback anti-join
-    val pruned = candRanked.filter(col("rk") <= topN)
+    val pruned = candRanked
       .join(broadcast(okQ), "qid")
       .select("qid", "did", "bm25_micro", "n_match", "rk")
     val fbQ = qTok.select("qid").distinct()
