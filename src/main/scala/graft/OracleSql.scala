@@ -2612,6 +2612,55 @@ object OracleSql {
        |FROM ranked WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** q126 — collocation mirror ([[graft.llmops.TextOps.qCollocations]]):
+    * unigram/bigram counts rebuilt with the q115-family list
+    * comprehension (unigrams over every document, bigrams over
+    * documents with ≥ 2 tokens — the WordShingles degenerate-shingle
+    * contract), N_bi summed over the PRE-floor pair counts, and the
+    * lift quantization replayed with the engine's association order:
+    * ((c_ab·N_uni)·N_uni) / ((N_bi·c_a)·c_b), ·1e6, floor(+0.5).
+    */
+  private val q126 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    s"""WITH t AS (
+       |  SELECT $toks AS toks FROM documents),
+       |uni AS (
+       |  SELECT term, count(*) AS c_term
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+       |bi0 AS (
+       |  SELECT gram, count(*) AS c_ab
+       |  FROM (
+       |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+       |             i -> array_to_string(list_slice(toks, i + 1, i + 2),
+       |                                  ' '))) AS gram
+       |    FROM t WHERE len(toks) >= 2)
+       |  GROUP BY gram),
+       |tot AS (
+       |  SELECT (SELECT sum(c_term) FROM uni) AS n_uni,
+       |         (SELECT sum(c_ab) FROM bi0) AS n_bi),
+       |scored AS (
+       |  SELECT split_part(gram, ' ', 1) AS tok_a,
+       |    split_part(gram, ' ', 2) AS tok_b,
+       |    CAST(c_ab AS BIGINT) AS c_ab,
+       |    CAST(ua.c_term AS BIGINT) AS c_a,
+       |    CAST(ub.c_term AS BIGINT) AS c_b,
+       |    CAST(floor(
+       |      ((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE))
+       |         * CAST(n_uni AS DOUBLE))
+       |      / ((CAST(n_bi AS DOUBLE) * CAST(ua.c_term AS DOUBLE))
+       |         * CAST(ub.c_term AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+       |  FROM bi0, tot
+       |  JOIN uni ua ON split_part(gram, ' ', 1) = ua.term
+       |  JOIN uni ub ON split_part(gram, ' ', 2) = ub.term
+       |  WHERE c_ab >= 5)
+       |SELECT tok_a, tok_b, c_ab, c_a, c_b, lift_micro
+       |FROM scored
+       |ORDER BY lift_micro DESC, tok_a, tok_b
+       |LIMIT 100""".stripMargin
+  }
+
   /** q109 — retrieval metrics mirror
     * ([[graft.llmops.Retrieval.qRetrievalMetrics]]): the q108 run CTEs
     * verbatim, relevance = shared `source`, and the exact integer
@@ -3263,5 +3312,6 @@ object OracleSql {
     "q124_boolean_retrieval" -> q124,
     // q125 deletes from a built index; the oracle rebuilds over the
     // remaining corpus — hash match == delete-equals-rebuild
-    "q125_index_delete" -> q125)
+    "q125_index_delete" -> q125,
+    "q126_collocations" -> q126)
 }

@@ -276,7 +276,11 @@ object SparkEntry {
     // index deletion (takedowns / update = delete + append): one slim
     // did anti-join serves all three per-doc index shapes; oracle
     // rebuilds over the remaining corpus (delete ≡ rebuild)
-    "q125_index_delete" -> (Retrieval.qBm25Deleted _))
+    "q125_index_delete" -> (Retrieval.qBm25Deleted _),
+    // collocation mining: adjacent-pair association by exact rational
+    // lift (= exp(PMI), rank-equivalent), micro-quantized — the
+    // tokenizer/phrase-table vocabulary-induction pass
+    "q126_collocations" -> (TextOps.qCollocations _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

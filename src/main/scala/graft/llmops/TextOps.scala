@@ -303,6 +303,95 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(20)
 
+  /** Collocation mining — the vocabulary-induction pass a tokenizer
+    * or phrase-table build runs over a corpus: adjacent token pairs
+    * ranked by pointwise association. The score is LIFT,
+    * p(ab) / (p(a)·p(b)) with p(ab) = c_ab/N_bi and p(x) = c_x/N_uni
+    * — i.e. exp(PMI), so the RANKING is exactly PMI's (log is
+    * monotone) while the arithmetic stays exact-integer counts, three
+    * correctly-rounded double multiplies and one division — no `ln`,
+    * which drifts by libm ulps between engines (the q108 rational-idf
+    * lesson). Quantized to integer micro-units (floor(x·1e6 + 0.5),
+    * the q108 contract), so q126 gates hash-exact.
+    *
+    * Counting contract (replayed by the mirror): unigrams over EVERY
+    * document; bigrams over documents with ≥ 2 tokens (below that the
+    * WordShingles kernel degenerates to a whole-text shingle, which is
+    * not a pair). `minCount` floors c_ab — rare-pair PMI is noise, and
+    * the floor is what bounds the report at corpus scale.
+    *
+    * Scale shape: both count relations come from the one-pass
+    * WordShingles + ElementCounts map kernels with map-side combine —
+    * the shuffles carry (key, partial count), vocab-/pair-bounded, the
+    * q37 profile. The two component-token joins are plain equi-joins
+    * of the pair relation (vocab²-bounded, minCount-floored) against
+    * the vocab relation — NO broadcast hint on purpose: at 100 TB both
+    * sides are vocabulary-scaled and AQE picks the build side; this is
+    * a one-off corpus-analytics job, not a bounded-batch probe. The
+    * report is a TakeOrderedAndProject, never a global sort.
+    */
+  def collocations(corpus: DataFrame, minCount: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    // each count relation feeds several branches of this one plan tree
+    // (both component joins + its total) — operator-internal
+    // multi-consumer, so localCheckpoint per the materialization rule
+    // (Retrieval.scala header); each lands vocab-/pair-bounded rows,
+    // never corpus rows
+    val uni = corpus
+      .select(explode(graft.expressions.ElementCounts.elementCounts(
+        graft.expressions.WordShingles.shingles(col("text"), 1)))
+        .as(Seq("term", "tf")))
+      .groupBy("term").agg(sum(col("tf")).as("c_term"))
+      .localCheckpoint()
+    val bi0 = corpus.filter(size(toks) >= 2)
+      .select(explode(graft.expressions.ElementCounts.elementCounts(
+        graft.expressions.WordShingles.shingles(col("text"), 2)))
+        .as(Seq("gram", "tf")))
+      .groupBy("gram").agg(sum(col("tf")).as("c_ab"))
+      .localCheckpoint()
+    val bi = bi0.filter(col("c_ab") >= minCount)
+    // totals are one slim aggregate each over the checkpointed count
+    // relations (N_bi sums the PRE-floor pair counts — the floor
+    // selects which pairs are reported, not what the corpus mass is),
+    // broadcast as scalars
+    val nUni = uni.agg(sum(col("c_term")).as("n_uni"))
+    val nBi = bi0.agg(sum(col("c_ab")).as("n_bi"))
+    // tokens contain no spaces by construction (tokenization splits on
+    // the collapsed single space), so the bigram string splits back
+    // into its component tokens losslessly
+    val a = split_part(col("gram"), lit(" "), lit(1))
+    val b = split_part(col("gram"), lit(" "), lit(2))
+    // association order is the mirror contract — replayed literally by
+    // the q126 oracle SQL
+    val lift = ((col("c_ab").cast("double") * col("n_uni").cast("double"))
+      * col("n_uni").cast("double")) /
+      ((col("n_bi").cast("double") * col("c_a").cast("double"))
+        * col("c_b").cast("double"))
+    bi.select(a.as("tok_a"), b.as("tok_b"), col("c_ab"))
+      .join(uni.select(col("term").as("tok_a"), col("c_term").as("c_a")),
+        "tok_a")
+      .join(uni.select(col("term").as("tok_b"), col("c_term").as("c_b")),
+        "tok_b")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        floor(lift * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
+  /** q126 — the collocation report over the documents corpus:
+    * pairs seen ≥ 5 times, top-100 by lift (desc, then pair). The
+    * mirror rebuilds both count relations with the q115-family list
+    * comprehension and replays the quantization literally.
+    */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(docs(spark, dir).select("doc_id", "text"),
+      minCount = 5L, topK = 100)
+
   /** q74 — BPE merge-pair statistics: corpus-weighted adjacent
     * CHARACTER-pair frequencies over the token vocabulary — the
     * argmax of this table is the first merge a BPE tokenizer trainer

@@ -181,4 +181,28 @@ class LmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("collocations: hand-computed lift on a crafted corpus; " +
+    "single-token docs count unigrams but never pairs; minCount floors") {
+    import spark.implicits._
+    // unigrams: a=3, b=2, c=2 → N_uni=7 (doc 2's lone token COUNTS)
+    // bigrams (docs with >=2 tokens only): "a b"×2, "b a", "a c" → N_bi=4
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "c"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.collocations(corpus, minCount = 1L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // lift = ((c_ab·7)·7)/((4·c_a)·c_b), micro-quantized:
+    //   "a b": 98/24 = 4.0833… → 4083333;  "a c"/"b a": 49/24 → 2041667
+    // tie at 2041667 breaks on tok_a: "a c" before "b a"
+    assert(got.toSeq === Seq(
+      ("a", "b", 2L, 3L, 2L, 4083333L),
+      ("a", "c", 1L, 3L, 2L, 2041667L),
+      ("b", "a", 1L, 2L, 3L, 2041667L)))
+    // the floor drops every pair below minCount
+    val floored = TextOps.collocations(corpus, minCount = 2L, topK = 10)
+      .select("tok_a", "tok_b").as[(String, String)].collect()
+    assert(floored.toSeq === Seq(("a", "b")))
+  }
 }

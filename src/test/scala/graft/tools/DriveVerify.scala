@@ -700,6 +700,16 @@ object DriveVerify {
                 .shingles(col("text"), 2), 1).as("phrase")),
           grIdx, topN = 5).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(grDir.toFile)
+      // collocation mining: the report is non-empty on the gate corpus
+      // and every lift is positive (counts are positive by construction)
+      val colls = graft.llmops.TextOps.collocations(
+        corpus.select("doc_id", "text"), minCount = 5L, topK = 20)
+        .collect()
+      println(s"collocations: ${colls.length} pairs, top " +
+        (if (colls.isEmpty) "n/a"
+         else s"${colls.head.getString(0)} ${colls.head.getString(1)} " +
+           s"lift_micro=${colls.head.getLong(5)}"))
+      assert(colls.forall(_.getLong(5) > 0L), "non-positive lift")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
