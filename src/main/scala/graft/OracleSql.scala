@@ -2612,6 +2612,32 @@ object OracleSql {
        |FROM ranked WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** q127 — sequence-packing mirror
+    * ([[graft.llmops.TextOps.qSequencePacking]]): the NAIVE
+    * formulation — one global window cumsum over doc_id order — which
+    * is exactly what the engine's two-level bucket prefix sum must
+    * equal, so the hash match is the two-level ≡ naive certificate.
+    * DuckDB `//`/`%` on non-negative BIGINTs match the engine's
+    * subtract-pmod div and pmod.
+    */
+  private val q127 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM c)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+       |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** q126 — collocation mirror ([[graft.llmops.TextOps.qCollocations]]):
     * unigram/bigram counts rebuilt with the q115-family list
     * comprehension (unigrams over every document, bigrams over
@@ -3313,5 +3339,8 @@ object OracleSql {
     // q125 deletes from a built index; the oracle rebuilds over the
     // remaining corpus — hash match == delete-equals-rebuild
     "q125_index_delete" -> q125,
-    "q126_collocations" -> q126)
+    "q126_collocations" -> q126,
+    // the mirror is the naive global-window cumsum; the engine runs
+    // the two-level bucket prefix sum — hash match == two-level ≡ naive
+    "q127_sequence_packing" -> q127)
 }

@@ -280,7 +280,12 @@ object SparkEntry {
     // collocation mining: adjacent-pair association by exact rational
     // lift (= exp(PMI), rank-equivalent), micro-quantized — the
     // tokenizer/phrase-table vocabulary-induction pass
-    "q126_collocations" -> (TextOps.qCollocations _))
+    "q126_collocations" -> (TextOps.qCollocations _),
+    // sequence packing (concat-and-chunk training layout): per-doc
+    // placement via the distributed two-level prefix sum; the mirror
+    // replays it as one naive global cumsum — hash match certifies
+    // two-level == naive
+    "q127_sequence_packing" -> (TextOps.qSequencePacking _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

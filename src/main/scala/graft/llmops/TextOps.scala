@@ -383,6 +383,72 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Sequence packing — the concat-and-chunk batch layout an LLM
+    * training run feeds its dataloader: documents are concatenated in
+    * doc_id order with `sepTokens` separator slots between them, the
+    * stream is cut into fixed `ctxLen`-token training sequences, and
+    * each document's placement is reported as (start_tok, seq_id,
+    * seq_offset) — documents may span sequence boundaries, exactly
+    * like the GPT-style packing it models. Every output is an exact
+    * integer (token counts and prefix sums), so q127 gates hash-exact.
+    *
+    * Scale shape — the distributed prefix sum: the naive formulation
+    * is ONE window over the global doc_id order, which Spark executes
+    * as a single task holding the whole corpus (the classic
+    * non-scalable cumsum). Instead: docs bucket by
+    * floor(doc_id / bucketWidth) — order-preserving, since doc_id asc
+    * implies (bkt, doc_id) asc — per-bucket slot sums aggregate in
+    * parallel, the unpartitioned window runs over the BUCKET relation
+    * only (bucketWidth× smaller than the corpus; size it so that
+    * relation stays single-task-cheap), and the per-document cumsum
+    * windows partition by bucket, fully parallel. The bucket-prefix
+    * join is a plain equi-join on bkt (AQE broadcasts the prefix
+    * relation when it is small). The spec pins two-level ≡ naive
+    * single-window on a multi-bucket fixture.
+    */
+  def packSequences(corpus: DataFrame, ctxLen: Int, sepTokens: Int = 1,
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(ctxLen > 0 && sepTokens >= 0 && bucketWidth > 0,
+      s"need ctxLen > 0, sepTokens >= 0, bucketWidth > 0; " +
+        s"got $ctxLen/$sepTokens/$bucketWidth")
+    val nToks = size(Dedup.tokens(col("text"))).cast("long")
+    val counted = corpus.select(col("doc_id"),
+      nToks.as("n_tokens"),
+      (nToks + lit(sepTokens)).as("n_slot"),
+      floor(col("doc_id").cast("double") / lit(bucketWidth.toDouble))
+        .cast("long").as("bkt"))
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPrefix = counted.groupBy("bkt")
+      .agg(sum(col("n_slot")).as("bkt_sum"))
+      .withColumn("bkt_prefix",
+        coalesce(sum(col("bkt_sum")).over(wB), lit(0L)))
+      .select("bkt", "bkt_prefix")
+    val wD = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = col("bkt_prefix") +
+      coalesce(sum(col("n_slot")).over(wD), lit(0L))
+    // exact integer div/mod (the q112 unpack idiom — no double
+    // division on the prefix magnitudes a 100 TB corpus reaches)
+    val ctx = lit(ctxLen.toLong)
+    counted.join(bktPrefix, "bkt")
+      .withColumn("start_tok", start)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        ((col("start_tok") - pmod(col("start_tok"), ctx)) / ctx)
+          .cast("long").as("seq_id"),
+        pmod(col("start_tok"), ctx).as("seq_offset"))
+  }
+
+  /** q127 — the packing report over the documents corpus: ctx = 512,
+    * one separator slot, doc_id order. The mirror replays the prefix
+    * sum as ONE global window cumsum — an independent formulation, so
+    * the hash match certifies two-level ≡ naive.
+    */
+  def qSequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packSequences(docs(spark, dir).select("doc_id", "text"),
+      ctxLen = 512, sepTokens = 1)
+      .orderBy("doc_id")
+
   /** q126 — the collocation report over the documents corpus:
     * pairs seen ≥ 5 times, top-100 by lift (desc, then pair). The
     * mirror rebuilds both count relations with the q115-family list

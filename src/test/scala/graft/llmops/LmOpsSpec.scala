@@ -205,4 +205,35 @@ class LmOpsSpec extends SparkSpec {
       .select("tok_a", "tok_b").as[(String, String)].collect()
     assert(floored.toSeq === Seq(("a", "b")))
   }
+
+  test("sequence packing: two-level prefix sum == hand-computed naive " +
+    "cumsum across buckets; div/mod placement exact") {
+    import spark.implicits._
+    // bucketWidth = 3 puts these five docs in four buckets (0,0,1,2,3)
+    // so the bucket-prefix join and the per-bucket window both carry
+    // real work; slots are n_tokens + 1 separator
+    val corpus = Seq(
+      (0L, "a b c"),   // slot 4, start 0
+      (2L, "d e"),     // slot 3, start 4
+      (5L, "f"),       // slot 2, start 7
+      (7L, "g h i j"), // slot 5, start 9
+      (11L, "k")       //          start 14
+    ).toDF("doc_id", "text")
+    val got = TextOps.packSequences(corpus, ctxLen = 4, sepTokens = 1,
+        bucketWidth = 3L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (2L, 2L, 4L, 1L, 0L),
+      (5L, 1L, 7L, 1L, 3L),
+      (7L, 4L, 9L, 2L, 1L),
+      (11L, 1L, 14L, 3L, 2L)))
+    // separator-free packing: starts collapse to plain token prefix
+    val noSep = TextOps.packSequences(corpus, ctxLen = 4, sepTokens = 0,
+        bucketWidth = 3L)
+      .orderBy("doc_id").select("start_tok").as[Long].collect()
+    assert(noSep.toSeq === Seq(0L, 3L, 5L, 6L, 10L))
+  }
 }

@@ -537,6 +537,16 @@ class PlanSpec extends SparkSpec {
     assert(!aboveScan.contains("avgdl"), p)
   }
 
+  test("q127: the document-level cumsum window partitions by bucket — " +
+    "the corpus never pays a single-task global window") {
+    val p = plan(graft.llmops.TextOps.qSequencePacking(spark, dir))
+    // the per-doc running sum must be keyed by bkt (parallel); only
+    // the bucket-sum relation (bucketWidth× smaller) sees the
+    // unpartitioned ordering
+    assert(p.contains("windowspecdefinition(bkt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q108: postings stream through broadcast probes, never sort-merge") {
     val p = plan(graft.llmops.Retrieval.qBm25(spark, dir))
     // the query-term relation is broadcast STATICALLY (bounded by

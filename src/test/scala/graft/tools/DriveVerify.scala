@@ -710,6 +710,18 @@ object DriveVerify {
          else s"${colls.head.getString(0)} ${colls.head.getString(1)} " +
            s"lift_micro=${colls.head.getLong(5)}"))
       assert(colls.forall(_.getLong(5) > 0L), "non-positive lift")
+      // sequence packing: starts strictly increase in doc_id order and
+      // every offset sits inside the context window
+      val packed = graft.llmops.TextOps.packSequences(
+        corpus.select("doc_id", "text"), ctxLen = 512)
+        .orderBy("doc_id").collect()
+      val starts = packed.map(_.getAs[Long]("start_tok"))
+      assert(starts.zip(starts.tail).forall { case (a, b) => a < b },
+        "start_tok must strictly increase")
+      assert(packed.forall(r => r.getAs[Long]("seq_offset") >= 0L &&
+        r.getAs[Long]("seq_offset") < 512L), "offset outside ctx")
+      println(s"sequence packing: ${packed.length} docs into " +
+        s"${packed.last.getAs[Long]("seq_id") + 1} sequences")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
