@@ -249,6 +249,10 @@ object Curation {
     * first-fit within partitions wastes at most one pack's tail per
     * partition and runs at scan speed. Returns (pack_id, id, tokens);
     * pack_id = partition << 32 | seq, unique across the corpus.
+    * The OTHER packing discipline — concat-and-chunk, where documents
+    * span sequence boundaries and placement is a global prefix sum —
+    * is [[TextOps.concatAndChunk]] (q127): two different
+    * training-batch contracts, deliberately two operators.
     */
   def packSequences(docs: DataFrame, maxTokens: Long,
       idCol: String = "doc_id", tokensCol: String = "n_tokens",

@@ -383,14 +383,19 @@ object TextOps {
       .limit(topK)
   }
 
-  /** Sequence packing — the concat-and-chunk batch layout an LLM
-    * training run feeds its dataloader: documents are concatenated in
-    * doc_id order with `sepTokens` separator slots between them, the
-    * stream is cut into fixed `ctxLen`-token training sequences, and
-    * each document's placement is reported as (start_tok, seq_id,
-    * seq_offset) — documents may span sequence boundaries, exactly
-    * like the GPT-style packing it models. Every output is an exact
-    * integer (token counts and prefix sums), so q127 gates hash-exact.
+  /** Concat-and-chunk sequence layout — the packed-causal-LM batch
+    * discipline: documents are concatenated in doc_id order with
+    * `sepTokens` separator slots between them, the stream is cut into
+    * fixed `ctxLen`-token training sequences, and each document's
+    * placement is reported as (start_tok, seq_id, seq_offset) —
+    * documents may span sequence boundaries, exactly like the
+    * GPT-style packing it models. The OTHER packing discipline,
+    * doc-atomic greedy bin-packing for padding-based batches (no doc
+    * ever spans a boundary, fill ratio is the waste metric), is
+    * [[Curation.packSequences]] — two different training-batch
+    * contracts, deliberately two operators. Every output here is an
+    * exact integer (token counts and prefix sums), so q127 gates
+    * hash-exact.
     *
     * Scale shape — the distributed prefix sum: the naive formulation
     * is ONE window over the global doc_id order, which Spark executes
@@ -406,7 +411,7 @@ object TextOps {
     * relation when it is small). The spec pins two-level ≡ naive
     * single-window on a multi-bucket fixture.
     */
-  def packSequences(corpus: DataFrame, ctxLen: Int, sepTokens: Int = 1,
+  def concatAndChunk(corpus: DataFrame, ctxLen: Int, sepTokens: Int = 1,
       bucketWidth: Long = 4096L): DataFrame = {
     require(ctxLen > 0 && sepTokens >= 0 && bucketWidth > 0,
       s"need ctxLen > 0, sepTokens >= 0, bucketWidth > 0; " +
@@ -445,7 +450,7 @@ object TextOps {
     * the hash match certifies two-level ≡ naive.
     */
   def qSequencePacking(spark: SparkSession, dir: String): DataFrame =
-    packSequences(docs(spark, dir).select("doc_id", "text"),
+    concatAndChunk(docs(spark, dir).select("doc_id", "text"),
       ctxLen = 512, sepTokens = 1)
       .orderBy("doc_id")
 

@@ -219,7 +219,7 @@ class LmOpsSpec extends SparkSpec {
       (7L, "g h i j"), // slot 5, start 9
       (11L, "k")       //          start 14
     ).toDF("doc_id", "text")
-    val got = TextOps.packSequences(corpus, ctxLen = 4, sepTokens = 1,
+    val got = TextOps.concatAndChunk(corpus, ctxLen = 4, sepTokens = 1,
         bucketWidth = 3L)
       .orderBy("doc_id")
       .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_offset")
@@ -231,7 +231,7 @@ class LmOpsSpec extends SparkSpec {
       (7L, 4L, 9L, 2L, 1L),
       (11L, 1L, 14L, 3L, 2L)))
     // separator-free packing: starts collapse to plain token prefix
-    val noSep = TextOps.packSequences(corpus, ctxLen = 4, sepTokens = 0,
+    val noSep = TextOps.concatAndChunk(corpus, ctxLen = 4, sepTokens = 0,
         bucketWidth = 3L)
       .orderBy("doc_id").select("start_tok").as[Long].collect()
     assert(noSep.toSeq === Seq(0L, 3L, 5L, 6L, 10L))

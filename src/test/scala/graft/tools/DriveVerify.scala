@@ -712,7 +712,7 @@ object DriveVerify {
       assert(colls.forall(_.getLong(5) > 0L), "non-positive lift")
       // sequence packing: starts strictly increase in doc_id order and
       // every offset sits inside the context window
-      val packed = graft.llmops.TextOps.packSequences(
+      val packed = graft.llmops.TextOps.concatAndChunk(
         corpus.select("doc_id", "text"), ctxLen = 512)
         .orderBy("doc_id").collect()
       val starts = packed.map(_.getAs[Long]("start_tok"))

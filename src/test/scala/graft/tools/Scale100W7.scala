@@ -80,8 +80,8 @@ object Scale100W7 {
       s"c_ab=${top.head.getLong(2)} lift_micro=${top.head.getLong(5)}")
 
     // ---- q127 sequence packing at volume: two-level == naive ----
-    val packed = time("packSequences 100x (two-level prefix sum)") {
-      graft.llmops.TextOps.packSequences(corpus, ctxLen = 2048)
+    val packed = time("concatAndChunk 100x (two-level prefix sum)") {
+      graft.llmops.TextOps.concatAndChunk(corpus, ctxLen = 2048)
         .select("doc_id", "start_tok").localCheckpoint()
     }
     // the naive single-window formulation the mirror uses — one task
@@ -102,7 +102,7 @@ object Scale100W7 {
       .filter(col("start_tok") =!= col("start_naive")).count()
     require(mismatches == 0L,
       s"two-level prefix sum diverged from naive on $mismatches docs")
-    println("packSequences two-level == naive on 500k docs")
+    println("concatAndChunk two-level == naive on 500k docs")
     spark.stop()
   }
 }
