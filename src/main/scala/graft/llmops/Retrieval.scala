@@ -733,6 +733,43 @@ object Retrieval {
       .select("qid", "did", "n_prox", "rk")
   }
 
+  /** Ordered sloppy-phrase counting over a prebuilt
+    * [[positionalIndex]] — the Lucene `"a b"~slop` query for the
+    * two-term case: tok_a must PRECEDE tok_b with at most `slop`
+    * intervening tokens, i.e. 1 ≤ pos_b − pos_a ≤ slop + 1 (compare
+    * [[proximityProbe]]'s symmetric |Δ| ≤ w, which is order-blind).
+    * slop = 0 degenerates to exact bigram adjacency, so
+    * [[phraseProbe]] over the corresponding 2-grams counts the SAME
+    * occurrences — RetrievalSpec pins that equivalence on the real
+    * corpus (the internal certificate), the orderedness ("b a" never
+    * matches "a b"~slop), and monotonicity in slop. Plan shape is
+    * [[proximityProbe]]'s verbatim: two broadcast token probes of the
+    * held positions + one (qid, did) equi-join of query-bounded
+    * relations; only the filter differs.
+    */
+  def slopPhraseProbe(pairs: DataFrame, positions: DataFrame,
+      slop: Int, topN: Int): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val pa = broadcast(pairs.select("qid", "tok_a"))
+      .join(positions, col("tok") === col("tok_a"))
+      .select(col("qid"), col("did"), col("pos").as("pa"))
+    val pb = broadcast(pairs.select(col("qid").as("qid_b"), col("tok_b")))
+      .join(positions.select(col("did").as("did_b"), col("pos").as("pb"),
+        col("tok")), col("tok") === col("tok_b"))
+      .select("qid_b", "did_b", "pb")
+    val wR = Window.partitionBy("qid")
+      .orderBy(col("n_occ").desc, col("did"))
+    pa.join(pb, col("qid") === col("qid_b") &&
+        col("did") === col("did_b"))
+      .filter(col("pb") - col("pa") >= 1 &&
+        col("pb") - col("pa") <= slop + 1)
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "n_occ", "rk")
+  }
+
   /** Proximity search, one-shot: tokenize and probe in one call. The
     * positional relation feeds BOTH probe branches of one plan tree,
     * so it is localCheckpoint-materialized per the file's

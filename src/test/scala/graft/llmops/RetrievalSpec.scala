@@ -647,4 +647,53 @@ class RetrievalSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("slopPhraseProbe: slop=0 == phraseProbe on the real corpus; " +
+    "ordered (reversed pair never matches); monotone in slop") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val positions = Retrieval.positionalIndex(corpus)
+    val phrases = d.filter(isQuery).select(col("doc_id").as("qid"),
+      element_at(graft.expressions.WordShingles.shingles(col("text"), 2),
+        1).as("phrase"))
+    val pairs = phrases.select(col("qid"),
+      split_part(col("phrase"), lit(" "), lit(1)).as("tok_a"),
+      split_part(col("phrase"), lit(" "), lit(2)).as("tok_b"))
+    def occs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "n_occ")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the internal certificate: adjacency-ordered pairs ARE the bigram
+    // occurrences phraseProbe counts (topN wide open on this corpus)
+    val viaSlop0 = occs(Retrieval.slopPhraseProbe(pairs, positions,
+      slop = 0, topN = 100000))
+    assert(viaSlop0 === occs(Retrieval.phraseProbe(phrases, positions,
+      topN = 100000)))
+    assert(viaSlop0.nonEmpty)
+    // orderedness: the REVERSED pair must never count an occurrence
+    // that only exists in forward order — build a crafted doc where
+    // "x y" appears but "y x" does not
+    import spark.implicits._
+    val crafted = Seq((1L, "x y z x y")).toDF("did", "text")
+    val cpos = Retrieval.tokenPositions(crafted)
+    val fwd = Seq((7L, "x", "y")).toDF("qid", "tok_a", "tok_b")
+    val rev = Seq((7L, "y", "x")).toDF("qid", "tok_a", "tok_b")
+    assert(Retrieval.slopPhraseProbe(fwd, cpos, slop = 0, topN = 10)
+      .head().getAs[Long]("n_occ") === 2L)
+    assert(Retrieval.slopPhraseProbe(rev, cpos, slop = 0, topN = 10)
+      .isEmpty) // y->x gaps are 2 (pos 1->3), outside slop 0
+    // ...but slop = 1 admits exactly that gap-1 ordered pair
+    assert(Retrieval.slopPhraseProbe(rev, cpos, slop = 1, topN = 10)
+      .head().getAs[Long]("n_occ") === 1L)
+    // monotonicity on the real corpus: widening slop never loses pairs
+    val s0 = viaSlop0.map(r => (r(0), r(1)) -> r(2).asInstanceOf[Long]).toMap
+    val s2 = occs(Retrieval.slopPhraseProbe(pairs, positions,
+      slop = 2, topN = 100000))
+      .map(r => (r(0), r(1)) -> r(2).asInstanceOf[Long]).toMap
+    s0.foreach { case (k, n) =>
+      assert(s2.getOrElse(k, 0L) >= n, s"slop widened but $k lost pairs")
+    }
+  }
 }

@@ -722,6 +722,21 @@ object DriveVerify {
         r.getAs[Long]("seq_offset") < 512L), "offset outside ctx")
       println(s"sequence packing: ${packed.length} docs into " +
         s"${packed.last.getAs[Long]("seq_id") + 1} sequences")
+      // ordered sloppy phrase over the held positions: slop widening
+      // can only add documents
+      val slopPosIdx = graft.llmops.Retrieval.positionalIndex(
+        corpus.filter(col("doc_id") % 100 =!= 0)
+          .select(col("doc_id").as("did"), col("text"))).persist()
+      val slopPairs = corpus.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          element_at(graft.llmops.Dedup.tokens(col("text")), 1).as("tok_a"),
+          element_at(graft.llmops.Dedup.tokens(col("text")), 2).as("tok_b"))
+      val n0 = graft.llmops.Retrieval
+        .slopPhraseProbe(slopPairs, slopPosIdx, slop = 0, topN = 10).count()
+      val n2 = graft.llmops.Retrieval
+        .slopPhraseProbe(slopPairs, slopPosIdx, slop = 2, topN = 10).count()
+      println(s"slop phrase probe: $n0 rows at slop=0, $n2 at slop=2")
+      assert(n2 >= n0, "slop widening lost documents")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
