@@ -444,6 +444,45 @@ object TextOps {
         pmod(col("start_tok"), ctx).as("seq_offset"))
   }
 
+  /** Ingest form of [[concatAndChunk]]: a batch whose doc_ids all come
+    * AFTER the landed corpus's extends the concatenated stream, so
+    * landed placements NEVER move — only the batch needs placing, at
+    * the landed total-slot offset. `landed` is the landed PLACEMENT
+    * REPORT (this operator's own output carries n_tokens, and a slot
+    * is n_tokens + sepTokens, so the offset is one slim aggregate over
+    * it — landed documents are never re-tokenized, the
+    * [[Retrieval.postingsAppend]] property in layout space). The
+    * doc_id precondition is enforced ROW-LEVEL: an interleaved id
+    * would silently shift every later landed document's placement, so
+    * it fails loudly instead (the packPassageId precedent — the
+    * offending value lives in the data, not in a parameter a driver
+    * `require` could see). The spec pins append ≡ full rebuild and the
+    * loud failure.
+    */
+  def concatAndChunkAppend(batch: DataFrame, landed: DataFrame,
+      ctxLen: Int, sepTokens: Int = 1,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val off = landed.agg(
+      sum(col("n_tokens") + lit(sepTokens)).as("landed_slots"),
+      max(col("doc_id")).as("landed_max"))
+    val ctx = lit(ctxLen.toLong)
+    val startCol =
+      when(col("doc_id") <= col("landed_max"), raise_error(concat(
+          lit("concatAndChunkAppend: batch doc_id "),
+          col("doc_id").cast("string"),
+          lit(" <= landed max doc_id "), col("landed_max").cast("string"),
+          lit(" — an interleaved id would shift landed placements; " +
+            "re-key the batch"))).cast("long"))
+        .otherwise(col("start_tok") + coalesce(col("landed_slots"), lit(0L)))
+    concatAndChunk(batch, ctxLen, sepTokens, bucketWidth)
+      .crossJoin(broadcast(off))
+      .withColumn("start_tok", startCol)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        ((col("start_tok") - pmod(col("start_tok"), ctx)) / ctx)
+          .cast("long").as("seq_id"),
+        pmod(col("start_tok"), ctx).as("seq_offset"))
+  }
+
   /** q127 — the packing report over the documents corpus: ctx = 512,
     * one separator slot, doc_id order. The mirror replays the prefix
     * sum as ONE global window cumsum — an independent formulation, so

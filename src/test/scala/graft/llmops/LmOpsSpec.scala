@@ -236,4 +236,39 @@ class LmOpsSpec extends SparkSpec {
       .orderBy("doc_id").select("start_tok").as[Long].collect()
     assert(noSep.toSeq === Seq(0L, 3L, 5L, 6L, 10L))
   }
+
+  test("concatAndChunkAppend: append == full rebuild when batch ids " +
+    "follow landed; an interleaved id fails loudly") {
+    import spark.implicits._
+    val landedDocs = Seq(
+      (0L, "a b c"), (2L, "d e"), (5L, "f")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (7L, "g h i j"), (11L, "k")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val landed = TextOps.concatAndChunk(landedDocs, ctxLen = 4,
+      sepTokens = 1, bucketWidth = 3L)
+    val appended = rows(TextOps.concatAndChunkAppend(batchDocs, landed,
+      ctxLen = 4, sepTokens = 1, bucketWidth = 3L))
+    val rebuilt = rows(TextOps.concatAndChunk(
+      landedDocs.unionByName(batchDocs), ctxLen = 4, sepTokens = 1,
+      bucketWidth = 3L)).filter(_._1 >= 7L)
+    assert(appended === rebuilt)
+    // empty landed: the append degrades to a plain full placement
+    val fresh = rows(TextOps.concatAndChunkAppend(batchDocs,
+      landed.filter(col("doc_id") < 0L), ctxLen = 4, sepTokens = 1,
+      bucketWidth = 3L))
+    assert(fresh === rows(TextOps.concatAndChunk(batchDocs, ctxLen = 4,
+      sepTokens = 1, bucketWidth = 3L)))
+    // interleaved id (3 < landed max 5) must throw, not silently shift
+    val e = intercept[Exception] {
+      TextOps.concatAndChunkAppend(
+        Seq((3L, "z z")).toDF("doc_id", "text"), landed,
+        ctxLen = 4, sepTokens = 1, bucketWidth = 3L).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("concatAndChunkAppend"), chain(e))
+  }
 }

@@ -737,6 +737,17 @@ object DriveVerify {
         .slopPhraseProbe(slopPairs, slopPosIdx, slop = 2, topN = 10).count()
       println(s"slop phrase probe: $n0 rows at slop=0, $n2 at slop=2")
       assert(n2 >= n0, "slop widening lost documents")
+      // packing ingest: landed placements are untouched, the batch
+      // lands at the landed total-slot offset
+      val landedPack = graft.llmops.TextOps.concatAndChunk(
+        corpus.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"),
+        ctxLen = 512).localCheckpoint()
+      val batchPack = graft.llmops.TextOps.concatAndChunkAppend(
+        corpus.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        landedPack, ctxLen = 512)
+      println(s"packing append: ${batchPack.count()} batch docs placed " +
+        s"after ${landedPack.count()} landed")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
