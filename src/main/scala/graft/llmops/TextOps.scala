@@ -332,24 +332,59 @@ object TextOps {
     */
   def collocations(corpus: DataFrame, minCount: Long = 5L,
       topK: Int = 100): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    // each count relation feeds several branches of this one plan tree
+    // each count relation feeds several branches of one plan tree
     // (both component joins + its total) — operator-internal
     // multi-consumer, so localCheckpoint per the materialization rule
     // (Retrieval.scala header); each lands vocab-/pair-bounded rows,
     // never corpus rows
+    val (uni0, bi00) = collocationCounts(corpus)
+    collocationsFromCounts(uni0.localCheckpoint(),
+      bi00.localCheckpoint(), minCount, topK)
+  }
+
+  /** The COUNT relations behind [[collocations]] — (unigrams (term,
+    * c_term), bigrams (gram, c_ab)) — exposed as the build side of the
+    * build/probe split for corpus stats: counts are ADDITIVE, so a
+    * landed pair of count relations ingests a document batch with
+    * [[mergeCounts]] (landed documents are never re-tokenized — the
+    * postingsAppend property for statistics), and any number of
+    * (minCount, topK) reports re-score the held counts without
+    * touching the corpus. Callers hold/persist these (the INDEX rule);
+    * the one-shot [[collocations]] localCheckpoints them internally.
+    */
+  def collocationCounts(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val toks = Dedup.tokens(col("text"))
     val uni = corpus
       .select(explode(graft.expressions.ElementCounts.elementCounts(
         graft.expressions.WordShingles.shingles(col("text"), 1)))
         .as(Seq("term", "tf")))
       .groupBy("term").agg(sum(col("tf")).as("c_term"))
-      .localCheckpoint()
     val bi0 = corpus.filter(size(toks) >= 2)
       .select(explode(graft.expressions.ElementCounts.elementCounts(
         graft.expressions.WordShingles.shingles(col("text"), 2)))
         .as(Seq("gram", "tf")))
       .groupBy("gram").agg(sum(col("tf")).as("c_ab"))
-      .localCheckpoint()
+    (uni, bi0)
+  }
+
+  /** Additive ingest of a count relation: counts(landed ∪ batch) ==
+    * mergeCounts(counts(landed), counts(batch)) for any key — one
+    * union + re-aggregate over two count-bounded relations, never the
+    * corpus. Works for both collocation relations (key = term/gram,
+    * cnt = c_term/c_ab) and any other additive count state.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame, keyCol: String,
+      cntCol: String): DataFrame =
+    a.unionByName(b).groupBy(keyCol)
+      .agg(sum(col(cntCol)).as(cntCol))
+
+  /** The scoring probe of the split: the [[collocations]] report from
+    * HELD count relations. Exact same integers as the one-shot by
+    * construction (the spec pins it, and the q126 gate covers the
+    * composed path through [[collocations]]).
+    */
+  def collocationsFromCounts(uni: DataFrame, bi0: DataFrame,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
     val bi = bi0.filter(col("c_ab") >= minCount)
     // totals are one slim aggregate each over the checkpointed count
     // relations (N_bi sums the PRE-floor pair counts — the floor

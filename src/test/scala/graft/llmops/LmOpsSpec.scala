@@ -237,6 +237,26 @@ class LmOpsSpec extends SparkSpec {
     assert(noSep.toSeq === Seq(0L, 3L, 5L, 6L, 10L))
   }
 
+  test("collocation counts split: merged landed+batch counts reproduce " +
+    "the one-shot report exactly") {
+    import spark.implicits._
+    val all = Seq((1L, "a b a b"), (2L, "c"), (3L, "a c"),
+      (4L, "b c a"), (5L, "c a")).toDF("doc_id", "text")
+    val landed = all.filter(col("doc_id") <= 3L)
+    val batch = all.filter(col("doc_id") > 3L)
+    val (lu, lb) = TextOps.collocationCounts(landed)
+    val (bu, bb) = TextOps.collocationCounts(batch)
+    // counts are additive: merge is a union + re-aggregate over the
+    // count relations — landed docs never re-tokenized
+    val mu = TextOps.mergeCounts(lu, bu, "term", "c_term").localCheckpoint()
+    val mb = TextOps.mergeCounts(lb, bb, "gram", "c_ab").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextOps.collocationsFromCounts(mu, mb, minCount = 1L,
+      topK = 10)) === rows(TextOps.collocations(all, minCount = 1L,
+      topK = 10)))
+  }
+
   test("concatAndChunkAppend: append == full rebuild when batch ids " +
     "follow landed; an interleaved id fails loudly") {
     import spark.implicits._
