@@ -2568,12 +2568,22 @@ object OracleSql {
     * repr, the q21 hyperplane trick), so e.g. k1+1 is bit-identical on
     * both sides. Rational ln-free idf: division-only IEEE, no libm.
     */
-  private def bm25ScoreCtes(qtName: String, suffix: String): String = {
+  /** The per-posting BM25 contribution with the ENGINE'S
+    * parenthesization — shared by the probe-time scoring CTEs and the
+    * q128 build-time impact quantization (the engine evaluates the
+    * same expression in [[graft.llmops.Retrieval.impactIndexWith]] and
+    * [[graft.llmops.Retrieval.bm25ScoreTerms]], which is what makes
+    * pre-quantized impacts ≡ direct scoring hash-exact).
+    */
+  private val bm25ContribSql: String = {
     val k1p1 = s"${1.2 + 1.0}"
-    val contrib =
-      "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
-        s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
-        " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
+    "(((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      s" * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE)" +
+      " + 1.2 * (0.25 + (0.75 * dl) / avgdl))))"
+  }
+
+  private def bm25ScoreCtes(qtName: String, suffix: String): String = {
+    val contrib = bm25ContribSql
     s"""scored$suffix AS (
        |  SELECT qid, did,
        |    CAST(floor($contrib * 1000000.0 + 0.5) AS BIGINT) AS pts
@@ -2636,6 +2646,106 @@ object OracleSql {
        |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
        |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** q128 — champion-list pruning mirror
+    * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
+    * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
+    * engine's impactIndex evaluates), pruned to each term's top 24 by
+    * (impact desc, did) — the window replayed verbatim — then the
+    * summed-micro probe. Pins the PRUNING semantics, not equivalence
+    * to full scoring (champion lists are lossy by design).
+    */
+  private val q128 =
+    s"""WITH $bm25BaseCtes,
+       |imp AS (
+       |  SELECT tok, did,
+       |    CAST(floor($bm25ContribSql * 1000000.0 + 0.5) AS BIGINT)
+       |      AS impact_micro
+       |  FROM postings JOIN dfre USING (tok), stats),
+       |pruned AS (
+       |  SELECT tok, did, impact_micro FROM (
+       |    SELECT tok, did, impact_micro, row_number() OVER
+       |      (PARTITION BY tok ORDER BY impact_micro DESC, did) AS prk
+       |    FROM imp)
+       |  WHERE prk <= 24),
+       |agg AS (
+       |  SELECT qid, did, sum(impact_micro) AS bm25_micro,
+       |    count(*) AS n_match
+       |  FROM qt JOIN pruned USING (tok) GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, bm25_micro, n_match, row_number() OVER
+       |    (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
+       |  FROM agg)
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+
+  /** q129 — query-likelihood (Dirichlet) mirror
+    * ([[graft.llmops.Retrieval.qQlDirichlet]]): the exact-integer
+    * score replayed in HUGEINT — smooth = (μ·cf·1e6) // |C| per term
+    * slot, per-slot factor ((tf·1e6 + smooth)·1e4) // (dl + μ), the
+    * 3-slot product, rank by (ql desc, did). Scores compared as
+    * VARCHAR (128-bit values don't survive the comparator's float
+    * path). Both `//`s are non-negative, matching Spark's `div`.
+    */
+  private val q129 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    s"""WITH $bm25BaseCtes,
+       |qd AS (
+       |  SELECT qid, list_sort(list_distinct($toks)) AS dt
+       |  FROM queries),
+       |qt3 AS (
+       |  SELECT qid, CAST(ti AS INT) AS ti,
+       |    dt[CAST(ti AS INT)] AS tok
+       |  FROM qd, range(1, 4) t(ti) WHERE ti <= len(dt)),
+       |cfre AS (
+       |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM postings GROUP BY tok),
+       |dlen AS (
+       |  SELECT DISTINCT did, CAST(dl AS BIGINT) AS dlen FROM postings),
+       |ctot AS (SELECT CAST(sum(dlen) AS BIGINT) AS c_tot FROM dlen),
+       |qcf AS (
+       |  SELECT qid, ti, tok,
+       |    (200::HUGEINT * coalesce(cf, 0) * 1000000) // c_tot AS smooth
+       |  FROM qt3 LEFT JOIN cfre USING (tok), ctot),
+       |cand AS (
+       |  SELECT DISTINCT qid, did FROM qt3 JOIN postings USING (tok)),
+       |grid AS (
+       |  SELECT c.qid, c.did, q.ti,
+       |    CAST(coalesce(p.tf, 0) AS HUGEINT) AS tf0, q.smooth, d.dlen
+       |  FROM cand c
+       |  JOIN qcf q ON q.qid = c.qid
+       |  LEFT JOIN postings p ON p.tok = q.tok AND p.did = c.did
+       |  JOIN dlen d ON d.did = c.did),
+       |fct AS (
+       |  SELECT qid, did, ti,
+       |    ((tf0 * 1000000 + smooth) * 10000) // (dlen + 200) AS fi,
+       |    CASE WHEN tf0 > 0 THEN 1 ELSE 0 END AS hit
+       |  FROM grid),
+       |piv AS (
+       |  SELECT qid, did,
+       |    max(CASE WHEN ti = 1 THEN fi END) AS f1,
+       |    max(CASE WHEN ti = 2 THEN fi END) AS f2,
+       |    max(CASE WHEN ti = 3 THEN fi END) AS f3,
+       |    sum(hit) AS n_match
+       |  FROM fct GROUP BY qid, did),
+       |scored AS (
+       |  SELECT qid, did,
+       |    f1 * coalesce(f2, CAST(1 AS HUGEINT))
+       |       * coalesce(f3, CAST(1 AS HUGEINT)) AS ql,
+       |    n_match
+       |  FROM piv),
+       |ranked AS (
+       |  SELECT qid, did, ql, n_match, row_number() OVER
+       |    (PARTITION BY qid ORDER BY ql DESC, did) AS rk
+       |  FROM scored)
+       |SELECT qid, did, CAST(ql AS VARCHAR) AS ql_scaled,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
   }
 
   /** q126 — collocation mirror ([[graft.llmops.TextOps.qCollocations]]):
@@ -3342,5 +3452,11 @@ object OracleSql {
     "q126_collocations" -> q126,
     // the mirror is the naive global-window cumsum; the engine runs
     // the two-level bucket prefix sum — hash match == two-level ≡ naive
-    "q127_sequence_packing" -> q127)
+    "q127_sequence_packing" -> q127,
+    // q128 probes a champion-list-pruned impact index; the mirror
+    // replays quantize → prune-window → probe verbatim
+    "q128_bm25_pruned" -> q128,
+    // q129 ranks by the exact-integer Dirichlet QL product; the
+    // mirror replays both divs and the product in HUGEINT
+    "q129_ql_dirichlet" -> q129)
 }

@@ -285,7 +285,15 @@ object SparkEntry {
     // placement via the distributed two-level prefix sum; the mirror
     // replays it as one naive global cumsum — hash match certifies
     // two-level == naive
-    "q127_sequence_packing" -> (TextOps.qSequencePacking _))
+    "q127_sequence_packing" -> (TextOps.qSequencePacking _),
+    // champion-list static pruning: per-term top-K impact postings
+    // (hard probe-volume ceiling at build time); the mirror replays
+    // quantize -> prune-window -> probe verbatim
+    "q128_bm25_pruned" -> (Retrieval.qBm25Pruned _),
+    // query-likelihood retrieval (Dirichlet smoothing) ranked by an
+    // exact-integer 3-slot product — the LM scoring family next to
+    // BM25, hash-exact end-to-end (scores surfaced as strings)
+    "q129_ql_dirichlet" -> (Retrieval.qQlDirichlet _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -1376,6 +1376,67 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** STATIC INDEX PRUNING over an [[impactIndex]] (champion lists —
+    * Carmel et al. 2001 SIGIR; "top docs" in Strohman & Croft's tiered
+    * architecture): keep only each term's `keepTop` highest-impact
+    * postings, ties on did. Unlike [[bm25ProbeMaxScore]] (lossless at
+    * probe time, full index retained) this trades bounded recall for a
+    * HARD per-term probe-volume ceiling decided at BUILD time: a probe
+    * over the pruned relation touches ≤ |q|·keepTop postings however
+    * skewed the term — the stopword fan-out cannot exist, because its
+    * postings were never kept. At 100 TB that ceiling is what lets a
+    * first-tier index live in memory (keepTop·|vocab| rows regardless
+    * of corpus size) with the full index as the second tier behind it.
+    *
+    * Deterministic on both engines: impacts are already exact integer
+    * micro-points, so "top keepTop by (impact_micro desc, did)" has no
+    * float ambiguity — q128 hash-gates the pruned probe against a
+    * DuckDB mirror that replays the pruning window verbatim. The
+    * rank-truncating filter sits DIRECTLY above the window, so the
+    * per-term sort specializes to WindowGroupLimit (each partition
+    * keeps a keepTop-sized heap instead of a full sort — the q114
+    * candidate-truncation lesson; PlanSpec pins it). Lossless-at-full-
+    * width certificate in RetrievalSpec: with keepTop ≥ max df the
+    * pruned probe is row-identical to [[impactProbe]] over the
+    * unpruned impacts.
+    *
+    * [[impactProbe]] consumes the pruned relation unchanged (df rides
+    * along, so its `maxDf` stopword ceiling still composes — the two
+    * cuts are independent). Epoch contract inherited from
+    * [[impactIndex]]: appends re-quantize, hence re-prune.
+    */
+  def prunedImpactIndex(impacts: DataFrame, keepTop: Int): DataFrame = {
+    require(keepTop > 0, s"need keepTop > 0; got $keepTop")
+    val w = Window.partitionBy("tok")
+      .orderBy(col("impact_micro").desc, col("did"))
+    impacts.withColumn("prk", row_number().over(w))
+      .filter(col("prk") <= keepTop)
+      .drop("prk")
+  }
+
+  /** q128 — the champion-list certificate: impacts quantized over the
+    * full corpus postings, pruned to each term's top 24 by
+    * [[prunedImpactIndex]], probed by the unchanged [[impactProbe]].
+    * The oracle replays quantize → prune-window → probe verbatim, so
+    * the hash pins the pruning semantics themselves (NOT equivalence
+    * to full scoring — pruning is lossy by design; the lossless-at-
+    * full-width case is RetrievalSpec's).
+    */
+  def qBm25Pruned(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val pruned = prunedImpactIndex(
+      impactIndex(postingsIndex(corpus)), keepTop = 24).persist()
+    impactProbe(queryTerms(queries), pruned, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Document DELETION from any of the per-doc indexes — the
     * maintenance operator every long-lived 100 TB index needs (data
     * takedowns, re-ingest of updated documents = delete + append).
@@ -1481,6 +1542,126 @@ object Retrieval {
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
     booleanProbe(required, excluded, postingsIndex(corpus), topN = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** The first-`m` INDEXED query-term relation (qid, ti, tok): ti is
+    * the 1-based position among the query's lexicographically sorted
+    * distinct tokens (the q124 deterministic-picks idiom). This is the
+    * input shape [[qlDirichletProbe]] needs — its exact-product score
+    * multiplies ONE factor per term slot, so terms must arrive with a
+    * stable slot index, not as a bag. m ≤ 3 is the probe's decimal
+    * width budget (see there), enforced here so an over-wide term
+    * relation can never be built in the first place.
+    */
+  def indexedQueryTerms(queries: DataFrame, m: Int): DataFrame = {
+    require(m >= 1 && m <= 3,
+      s"need 1 <= m <= 3 (qlDirichletProbe width budget); got $m")
+    val dt = array_sort(array_distinct(Dedup.tokens(col("text"))))
+    queries.select(col("qid"), posexplode(slice(dt, 1, m)))
+      .select(col("qid"), (col("pos") + lit(1)).as("ti"),
+        col("col").as("tok"))
+  }
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2001) — the language-modeling scoring
+    * family next to BM25: rank documents by
+    * Π_t (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) over the query's term
+    * slots, tf = 0 where the document lacks the term (that is the
+    * point of smoothing — absent terms cost, they don't zero).
+    *
+    * Determinism contract — the whole score is EXACT INTEGER
+    * arithmetic, no libm, no float division:
+    *   smooth_t  = (μ·cf_t·1e6) div |C|          (per-term, ≤ μ·1e6)
+    *   f_{t,d}   = ((tf·1e6 + smooth_t)·1e4) div (dl_d + μ)
+    *   ql        = Π_t f_{t,d}  as decimal(38,0)
+    * Width budget, corpus-size-INDEPENDENT: tf ≤ dl gives
+    * tf·1e10/(dl+μ) < 1e10 and smooth·1e4/(dl+μ) < 1e10, so
+    * f < 2e10 for ANY corpus, and m = 3 slots bound the product by
+    * 8e30 < 1e38 — which is why [[indexedQueryTerms]] hard-caps m at
+    * 3 (m = 4 would reach 1.6e41 and ANSI-throw). The two `div`s are
+    * the only quantization; both replay as DuckDB `//`, so q129
+    * hash-gates the ranking end-to-end (scores surfaced as STRINGS —
+    * 128-bit values don't survive the comparator's float path).
+    * Overflow anywhere is LOUD by construction: ANSI long/decimal
+    * arithmetic throws, it never wraps (the packPassageId rule).
+    *
+    * Scale shape: cf and |C| are one aggregation each over the
+    * postings (index invariants, the [[postingsInvariants]] pattern —
+    * compute once per index, reuse across batches); the candidate set
+    * is the DAAT-OR union of the query terms' posting lists; the
+    * scoring grid is |candidates|·m rows joined (tok, did) back to the
+    * postings for tf — the inherent LM cost of charging absent terms.
+    * `candidateMaxDf` bounds the union the way [[bm25Probe]]'s maxDf
+    * bounds scoring: stopword-grade terms still CHARGE every candidate
+    * (semantics intact) but no longer GENERATE candidates — the
+    * recall/fan-out dial for skewed vocabularies, default off.
+    */
+  def qlDirichletProbe(qTok: DataFrame, postings: DataFrame,
+      topN: Int, mu: Long = 200L, candidateMaxDf: Long = 0L): DataFrame = {
+    require(mu > 0, s"need mu > 0; got $mu")
+    val docLens = postings
+      .select(col("did"), col("dl").cast("long").as("dlen")).distinct()
+    val cf = postings.groupBy("tok")
+      .agg(sum(col("tf")).cast("long").as("cf"))
+    val cTot = docLens.agg(sum(col("dlen")).as("c_tot"))
+    // per-(query, slot) smoothing mass: bounded rows (query batch ×
+    // ≤3 slots), so the vocab-sized cf relation streams against the
+    // broadcast terms and the result re-broadcasts into the grid
+    val qcf = broadcast(broadcast(qTok)
+      .join(cf, Seq("tok"), "left")
+      .crossJoin(broadcast(cTot))
+      .select(col("qid"), col("ti"), col("tok"),
+        expr(s"($mu * coalesce(cf, 0L) * 1000000L) div c_tot")
+          .as("smooth")))
+    val candTerms =
+      if (candidateMaxDf <= 0L) qTok
+      else qTok.join(
+        postings.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= candidateMaxDf),
+        "tok").select("qid", "ti", "tok")
+    val cand = broadcast(candTerms).join(postings, "tok")
+      .select("qid", "did").distinct()
+    val grid = cand.join(qcf, "qid")
+      .join(postings.select(col("tok"), col("did"),
+        col("tf").cast("long").as("tf")), Seq("tok", "did"), "left")
+      .join(docLens, "did")
+      .select(col("qid"), col("did"), col("ti"),
+        coalesce(col("tf"), lit(0L)).as("tf0"), col("smooth"),
+        col("dlen"))
+      .withColumn("fi",
+        expr(s"((tf0 * 1000000L + smooth) * 10000L) div (dlen + $mu)"))
+    val one = lit(1L).cast("decimal(38,0)")
+    def slot(i: Int): Column =
+      max(when(col("ti") === i, col("fi"))).cast("decimal(38,0)")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("ql").desc, col("did"))
+    grid.groupBy("qid", "did")
+      .agg(slot(1).as("f1"), slot(2).as("f2"), slot(3).as("f3"),
+        sum(when(col("tf0") > 0L, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("ql",
+        col("f1") * coalesce(col("f2"), one) * coalesce(col("f3"), one))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col("qid"), col("did"), col("ql").cast("string")
+        .as("ql_scaled"), col("n_match"), col("rk"))
+  }
+
+  /** q129 — the query-likelihood certificate: the standard split,
+    * 3-slot indexed terms, μ = 200, top-10 by the exact-product
+    * Dirichlet score. The oracle replays every div and the product in
+    * HUGEINT, so the hash pins the LM ranking end-to-end.
+    */
+  def qQlDirichlet(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val postings = postingsIndex(corpus).persist()
+    qlDirichletProbe(indexedQueryTerms(queries, m = 3), postings,
+      topN = 10)
       .orderBy("qid", "rk")
   }
 }

@@ -648,6 +648,142 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("prunedImpactIndex: lossless at full width, hard per-term " +
+    "ceiling when narrow, kept set == driver top-K by (impact desc, " +
+    "did), and the build plan runs WindowGroupLimit") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val impacts = Retrieval.impactIndex(
+      Retrieval.postingsIndex(corpus)).localCheckpoint()
+    val qTok = Retrieval.queryTerms(queries).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro", "n_match", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // lossless-at-full-width certificate: keepTop >= max df keeps
+    // every posting, so the pruned probe IS the exact probe
+    val maxDf = impacts.agg(max("df")).head().getLong(0).toInt
+    val exact = rows(Retrieval.impactProbe(qTok, impacts, topN = 10))
+    assert(rows(Retrieval.impactProbe(qTok,
+      Retrieval.prunedImpactIndex(impacts, maxDf), topN = 10)) === exact)
+    assert(exact.nonEmpty)
+    // narrow pruning: hard per-term ceiling holds, the relation is a
+    // strict subset, and (on this dense-df corpus) the ranking moved
+    val keep = 3
+    val pruned = Retrieval.prunedImpactIndex(impacts, keep)
+      .localCheckpoint()
+    val perTok = pruned.groupBy("tok").count().agg(max("count"))
+      .head().getLong(0)
+    assert(perTok <= keep)
+    assert(pruned.count() < impacts.count())
+    assert(pruned.join(impacts,
+      Seq("tok", "did", "df", "impact_micro"), "left_anti").isEmpty)
+    assert(rows(Retrieval.impactProbe(qTok, pruned, topN = 10)) !== exact)
+    // kept dids per token == driver-side top-K by (impact desc, did)
+    val byTok = impacts.select("tok", "did", "impact_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val keptByTok = pruned.select("tok", "did").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    byTok.foreach { case (t, xs) =>
+      val want = xs.sortBy { case (_, did, imp) => (-imp, did) }
+        .take(keep).map(_._2).toSet
+      assert(keptByTok.getOrElse(t, Set.empty) === want, s"tok $t")
+    }
+    // the rank-truncating filter sits directly above the window, so
+    // the per-term sort specializes to WindowGroupLimit (heap, not a
+    // full per-partition sort) — the q114 candidate-truncation lesson
+    val p = Retrieval.prunedImpactIndex(impacts, keep)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("qlDirichletProbe == driver BigInt replication on the real " +
+    "corpus; unseen terms zero; candidateMaxDf cuts generation but " +
+    "still charges; indexedQueryTerms enforces the width budget") {
+    import spark.implicits._
+    val mu = 200L
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val dids = d.keys.filter(_ % 100 != 0).toSeq.sorted
+    val qids = d.keys.filter(_ % 100 == 0).toSeq.sorted
+    val tf = dids.map(did => did ->
+      toks(d(did)).groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }).toMap
+    val dl = dids.map(did => did -> toks(d(did)).size.toLong).toMap
+    val cf: Map[String, Long] = tf.values.toSeq.flatMap(_.toSeq)
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+    val cTot = dl.values.sum
+    val expected = qids.flatMap { qid =>
+      val slots = toks(d(qid)).distinct.sorted.take(3)
+      val cand = dids.filter(did => slots.exists(tf(did).contains))
+      val scored: Seq[(Long, BigInt, Long)] = cand.map { did =>
+        val ql = slots.map { t =>
+          val smooth = BigInt(mu) * BigInt(cf.getOrElse(t, 0L)) *
+            1000000 / cTot
+          (BigInt(tf(did).getOrElse(t, 0L)) * 1000000 + smooth) *
+            10000 / (dl(did) + mu)
+        }.product
+        val nMatch = slots.count(t => tf(did).getOrElse(t, 0L) > 0L)
+        (did, ql, nMatch.toLong)
+      }
+      scored.sortBy { case (did, ql, _) => (-ql, did) }.take(10)
+        .zipWithIndex.map { case ((did, ql, n), i) =>
+          (qid, did, ql.toString, n, i + 1) }
+    }.sortBy(_.toString)
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val got = Retrieval.qlDirichletProbe(
+      Retrieval.indexedQueryTerms(
+        docsDf.filter(isQuery)
+          .select(col("doc_id").as("qid"), col("text")), m = 3),
+      Retrieval.postingsIndex(docsDf.filter(!isQuery)
+        .select(col("doc_id").as("did"), col("text"))),
+      topN = 10, mu = mu)
+      .select("qid", "did", "ql_scaled", "n_match", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSeq.sortBy(_.toString)
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // unseen-in-collection term: cf = 0 and tf = 0 give a zero factor,
+    // so the whole product zeroes — the LM contract (smoothing charges
+    // absent-but-seen terms; truly unseen terms annihilate)
+    val crafted = Seq((1L, "a a b"), (2L, "a c")).toDF("did", "text")
+    val cpost = Retrieval.postingsIndex(crafted)
+    val qZ = Seq((7L, 1, "a"), (7L, 2, "zz")).toDF("qid", "ti", "tok")
+    val zRows = Retrieval.qlDirichletProbe(qZ, cpost, topN = 10)
+      .select("did", "ql_scaled").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(zRows.keySet === Set(1L, 2L))
+    assert(zRows.values.toSet === Set("0"))
+    // candidateMaxDf: 'a' (df 2) stops GENERATING candidates, so doc 2
+    // (matches only 'a') disappears; doc 1 still enters via 'b' and
+    // its score still CHARGES 'a' at the real tf — semantics intact
+    val qAB = Seq((7L, 1, "a"), (7L, 2, "b")).toDF("qid", "ti", "tok")
+    val open = Retrieval.qlDirichletProbe(qAB, cpost, topN = 10)
+      .select("did", "ql_scaled").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cut = Retrieval.qlDirichletProbe(qAB, cpost, topN = 10,
+      candidateMaxDf = 1L)
+      .select("did", "ql_scaled").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(open.keySet === Set(1L, 2L))
+    assert(cut.keySet === Set(1L))
+    assert(cut(1L) === open(1L))
+    // width budget is enforced at the term-relation boundary
+    val qdf = Seq((1L, "a b c d")).toDF("qid", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.indexedQueryTerms(qdf, m = 4)
+    }
+  }
+
   test("slopPhraseProbe: slop=0 == phraseProbe on the real corpus; " +
     "ordered (reversed pair never matches); monotone in slop") {
     import org.apache.spark.sql.functions._

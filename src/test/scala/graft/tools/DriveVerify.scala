@@ -748,6 +748,47 @@ object DriveVerify {
         landedPack, ctxLen = 512)
       println(s"packing append: ${batchPack.count()} batch docs placed " +
         s"after ${landedPack.count()} landed")
+      // champion-list pruning: the pruned index respects the per-term
+      // ceiling and the probe still answers every query that the full
+      // probe answers (pruning narrows postings, not the query set)
+      val dvImpacts = graft.llmops.Retrieval.impactIndex(
+        graft.llmops.Retrieval.postingsIndex(
+          corpus.filter(col("doc_id") % 100 =!= 0)
+            .select(col("doc_id").as("did"), col("text"))))
+        .localCheckpoint()
+      val dvPruned = graft.llmops.Retrieval
+        .prunedImpactIndex(dvImpacts, keepTop = 8).localCheckpoint()
+      val dvCeil = dvPruned.groupBy("tok").count()
+        .agg(max("count")).head().getLong(0)
+      assert(dvCeil <= 8L, s"champion list ceiling broken: $dvCeil")
+      val dvQTok = graft.llmops.Retrieval.queryTerms(
+        corpus.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("text")))
+        .localCheckpoint()
+      val fullQids = graft.llmops.Retrieval
+        .impactProbe(dvQTok, dvImpacts, topN = 5)
+        .select("qid").distinct().count()
+      val prunedQids = graft.llmops.Retrieval
+        .impactProbe(dvQTok, dvPruned, topN = 5)
+        .select("qid").distinct().count()
+      println(s"pruned impact probe: $prunedQids/$fullQids queries " +
+        s"answered, per-term ceiling $dvCeil <= 8")
+      assert(prunedQids == fullQids, "pruning lost whole queries")
+      // QL-Dirichlet: every returned score is a positive integer
+      // string (the exact-product contract) and ranks are dense
+      val dvQl = graft.llmops.Retrieval.qlDirichletProbe(
+        graft.llmops.Retrieval.indexedQueryTerms(
+          corpus.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"), col("text")), m = 3),
+        graft.llmops.Retrieval.postingsIndex(
+          corpus.filter(col("doc_id") % 100 =!= 0)
+            .select(col("doc_id").as("did"), col("text"))),
+        topN = 5).collect()
+      assert(dvQl.nonEmpty, "QL probe returned nothing")
+      assert(dvQl.forall(r => BigInt(r.getAs[String]("ql_scaled")) > 0),
+        "non-positive QL score on a matching candidate set")
+      println(s"QL-Dirichlet probe: ${dvQl.length} rows, sample " +
+        s"ql=${dvQl.head.getAs[String]("ql_scaled")}")
       spark.catalog.clearCache() // dedupCorpus's nearDupPairs persists
     }
     spark.stop()
