@@ -2539,13 +2539,14 @@ object OracleSql {
     * corpus stats, the original query-term relation `qt`) — shared by
     * q108/q109/q110/q111 so the gates can never rank differently.
     */
-  private def bm25BaseCtesWhere(corpusPred: String) = {
+  private def bm25BaseCtesWhere(corpusPred: String,
+      corpusText: String = "text") = {
     val toks = "string_split(regexp_replace(lower(text)," +
       " '\\s+', ' ', 'g'), ' ')"
     s"""queries AS (
        |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
        |corpus AS (
-       |  SELECT doc_id AS did, text FROM documents
+       |  SELECT doc_id AS did, $corpusText AS text FROM documents
        |  WHERE doc_id % 100 <> 0$corpusPred),
        |ct0 AS (SELECT did, $toks AS toks FROM corpus),
        |tokd AS (SELECT did, len(toks) AS dl0, unnest(toks) AS tok FROM ct0),
@@ -2609,6 +2610,23 @@ object OracleSql {
     */
   private val q125 =
     s"""WITH ${bm25BaseCtesWhere(" AND doc_id % 10 <> 3")},
+       |${bm25ScoreCtes("qt", "")}
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+
+  /** q130 — index-upsert mirror
+    * ([[graft.llmops.Retrieval.qBm25Upserted]]): the q108 statement
+    * REBUILT over the post-update corpus — the did ≡ 3 (mod 10)
+    * documents carry their appended `source` token via a CASE WHEN in
+    * the corpus CTE — while the engine upserts into a built index, so
+    * the hash match is the upsert ≡ rebuild certificate.
+    */
+  private val q130 =
+    s"""WITH ${bm25BaseCtesWhere("",
+        "CASE WHEN doc_id % 10 = 3 THEN text || ' ' || source" +
+          " ELSE text END")},
        |${bm25ScoreCtes("qt", "")}
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
        |  CAST(n_match AS BIGINT) AS n_match, rk
@@ -3458,5 +3476,8 @@ object OracleSql {
     "q128_bm25_pruned" -> q128,
     // q129 ranks by the exact-integer Dirichlet QL product; the
     // mirror replays both divs and the product in HUGEINT
-    "q129_ql_dirichlet" -> q129)
+    "q129_ql_dirichlet" -> q129,
+    // q130 upserts updated documents into a built index; the mirror
+    // rebuilds over the post-update corpus (upsert ≡ rebuild)
+    "q130_index_upsert" -> q130)
 }

@@ -293,7 +293,11 @@ object SparkEntry {
     // query-likelihood retrieval (Dirichlet smoothing) ranked by an
     // exact-integer 3-slot product — the LM scoring family next to
     // BM25, hash-exact end-to-end (scores surfaced as strings)
-    "q129_ql_dirichlet" -> (Retrieval.qQlDirichlet _))
+    "q129_ql_dirichlet" -> (Retrieval.qQlDirichlet _),
+    // index upsert (re-ingest of updated documents = delete + append,
+    // landed unchanged docs never re-tokenized); oracle rebuilds over
+    // the post-update corpus (upsert ≡ rebuild)
+    "q130_index_upsert" -> (Retrieval.qBm25Upserted _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -1462,6 +1462,54 @@ object Retrieval {
   def indexDelete(docIds: DataFrame, landed: DataFrame): DataFrame =
     landed.join(docIds.select("did").distinct(), Seq("did"), "left_anti")
 
+  /** Document UPSERT into any of the per-doc indexes — re-ingest of
+    * UPDATED documents, the third index lifecycle operation next to
+    * append (q110/q117/q121) and delete (q125). Because every index
+    * shape keys its rows by `did` and derives its probe-time
+    * invariants from the index itself (the [[indexDelete]] contract),
+    * upsert is exactly delete + append: drop the batch's ids with one
+    * slim anti-join, union the batch's freshly built rows. Landed
+    * UNCHANGED documents are never re-tokenized — the
+    * [[postingsAppend]] property, preserved under updates. `build` is
+    * the index constructor matching the landed shape
+    * ([[postingsIndex]] default; pass [[positionalIndex]] /
+    * `gramIndex(_, n)` for the other two — RetrievalSpec pins upsert ≡
+    * rebuild for both). Pre-quantized [[impactIndex]] state stays an
+    * epoch operation (upsert the postings, re-quantize), as with
+    * deletes. q130 certifies upsert-then-probe ≡ rebuild over the
+    * updated corpus through the q108 scoring statement.
+    */
+  def indexUpsert(batch: DataFrame, landed: DataFrame,
+      build: DataFrame => DataFrame = postingsIndex): DataFrame =
+    indexDelete(batch.select("did"), landed).unionByName(build(batch))
+
+  /** q130 — the index-upsert certificate: the full corpus index is
+    * built, then the did ≡ 3 (mod 10) documents arrive UPDATED (one
+    * trailing token appended — their `source` tag) and are
+    * [[indexUpsert]]ed; the grown index is probed. The oracle is the
+    * q108 statement REBUILT over the post-update corpus (a CASE WHEN
+    * in the corpus CTE), so the hash match certifies upsert ≡ rebuild:
+    * stale postings gone, new postings in, df/avgdl/n_docs all
+    * reflecting the update with no separate maintenance.
+    */
+  def qBm25Upserted(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"), col("source"))
+    val full = postingsIndex(corpus.select("did", "text"))
+    val updated = corpus.filter(pmod(col("did"), lit(10L)) === 3L)
+      .select(col("did"),
+        concat(col("text"), lit(" "), col("source")).as("text"))
+    val index = indexUpsert(updated, full).persist()
+    bm25Probe(queries, index, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** q125 — the index-delete certificate: the full corpus index is
     * built, the did ≡ 3 (mod 10) documents are [[indexDelete]]d, and
     * the survivors are probed. The oracle is the q108 statement over

@@ -633,6 +633,48 @@ class RetrievalSpec extends SparkSpec {
       key3(Retrieval.gramIndex(kept, n = 2)))
   }
 
+  test("indexUpsert == rebuild-on-updated-corpus for all three index " +
+    "shapes (the q130 certificate, locally)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"), col("source"))
+    val isUpd = pmod(col("did"), lit(10L)) === 3L
+    // the update appends one token (the doc's source tag), so stale
+    // postings MUST disappear and dl/df/avgdl must all shift
+    val updated = corpus.filter(isUpd)
+      .select(col("did"),
+        concat(col("text"), lit(" "), col("source")).as("text"))
+    val postCorpus = corpus.select(col("did"),
+      when(isUpd, concat(col("text"), lit(" "), col("source")))
+        .otherwise(col("text")).as("text"))
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val upserted = Retrieval.indexUpsert(updated,
+      Retrieval.postingsIndex(corpus.select("did", "text")))
+      .localCheckpoint()
+    val probed = rows(Retrieval.bm25Probe(queries, upserted, topN = 10))
+    assert(probed === rows(Retrieval.bm25Probe(queries,
+      Retrieval.postingsIndex(postCorpus).localCheckpoint(), topN = 10)))
+    assert(probed.nonEmpty)
+    // and the update is not a no-op: the upserted index differs from
+    // the pre-update one (stale rows actually replaced)
+    def key3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toString).toSet
+    assert(key3(upserted) !==
+      key3(Retrieval.postingsIndex(corpus.select("did", "text"))))
+    // positional and gram shapes: row-set equality with the rebuild
+    assert(key3(Retrieval.indexUpsert(updated,
+        Retrieval.positionalIndex(corpus.select("did", "text")),
+        Retrieval.positionalIndex)) ===
+      key3(Retrieval.positionalIndex(postCorpus)))
+    assert(key3(Retrieval.indexUpsert(updated,
+        Retrieval.gramIndex(corpus.select("did", "text"), n = 2),
+        Retrieval.gramIndex(_, n = 2))) ===
+      key3(Retrieval.gramIndex(postCorpus, n = 2)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()
