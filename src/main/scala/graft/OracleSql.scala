@@ -2633,6 +2633,75 @@ object OracleSql {
        |FROM ranked WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** q131 — BM25F mirror ([[graft.llmops.Retrieval.qBm25F]]): field
+    * slices (title = first 6 tokens, body = rest), per-field
+    * length-normalized tfs, the two-operand weighted sum, ONE
+    * saturation over the combined evidence, document-level rational
+    * idf — every double literal interpolated from the same Scala
+    * expressions the engine evaluates, parenthesization replayed
+    * verbatim, contributions micro-rounded then summed as integers.
+    */
+  private val q131 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val oneMinusBt = s"${1.0 - 0.5}"
+    val oneMinusBb = s"${1.0 - 0.75}"
+    val idf = "((n_docs - CAST(df AS DOUBLE) + 0.5)" +
+      " / (CAST(df AS DOUBLE) + 0.5))"
+    val tNorm = s"(CAST(tf_t AS DOUBLE) / ($oneMinusBt" +
+      " + ((0.5 * tl) / avg_tl)))"
+    val bNorm = s"(CAST(tf_b AS DOUBLE) / ($oneMinusBb" +
+      " + ((0.75 * bl) / avg_bl)))"
+    val wtf = s"((2.0 * $tNorm) + (1.0 * $bNorm))"
+    s"""WITH queries AS (
+       |  SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+       |corpus AS (
+       |  SELECT doc_id AS did, text FROM documents
+       |  WHERE doc_id % 100 <> 0),
+       |ct0 AS (SELECT did, $toks AS toks FROM corpus),
+       |flds AS (SELECT did, list_slice(toks, 1, 6) AS ttoks,
+       |    list_slice(toks, 7, len(toks)) AS btoks
+       |  FROM ct0),
+       |fp0 AS (
+       |  SELECT did, tl, bl, is_title, tok, count(*) AS tf FROM (
+       |    SELECT did, len(ttoks) AS tl, len(btoks) AS bl,
+       |      1 AS is_title, unnest(ttoks) AS tok FROM flds
+       |    UNION ALL
+       |    SELECT did, len(ttoks) AS tl, len(btoks) AS bl,
+       |      0 AS is_title, unnest(btoks) AS tok FROM flds)
+       |  GROUP BY did, tl, bl, is_title, tok),
+       |fielded AS (
+       |  SELECT did, tok,
+       |    coalesce(max(CASE WHEN is_title = 1 THEN tf END), 0) AS tf_t,
+       |    coalesce(max(CASE WHEN is_title = 0 THEN tf END), 0) AS tf_b,
+       |    max(tl) AS tl, max(bl) AS bl
+       |  FROM fp0 GROUP BY did, tok),
+       |docs AS (SELECT DISTINCT did, tl, bl FROM fielded),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(tl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tl,
+       |    CAST(sum(bl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bl
+       |  FROM docs),
+       |dfre AS (SELECT tok, count(*) AS df FROM fielded GROUP BY tok),
+       |qt AS (SELECT qid, unnest(list_distinct($toks)) AS tok
+       |  FROM queries),
+       |scored AS (
+       |  SELECT qid, did,
+       |    CAST(floor(($idf * ($wtf / (1.2 + $wtf))) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS pts
+       |  FROM qt JOIN dfre USING (tok) JOIN fielded USING (tok), stats),
+       |agg AS (
+       |  SELECT qid, did, sum(pts) AS bm25f_micro, count(*) AS n_match
+       |  FROM scored GROUP BY qid, did),
+       |ranked AS (
+       |  SELECT qid, did, bm25f_micro, n_match, row_number() OVER
+       |    (PARTITION BY qid ORDER BY bm25f_micro DESC, did) AS rk
+       |  FROM agg)
+       |SELECT qid, did, CAST(bm25f_micro AS BIGINT) AS bm25f_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   private val q108 =
     s"""WITH $bm25Ctes
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
@@ -3479,5 +3548,8 @@ object OracleSql {
     "q129_ql_dirichlet" -> q129,
     // q130 upserts updated documents into a built index; the mirror
     // rebuilds over the post-update corpus (upsert ≡ rebuild)
-    "q130_index_upsert" -> q130)
+    "q130_index_upsert" -> q130,
+    // q131 scores weighted fields with one combined saturation; the
+    // mirror replays slices, normalizations and rounding verbatim
+    "q131_bm25f" -> q131)
 }

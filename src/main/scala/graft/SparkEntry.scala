@@ -297,7 +297,11 @@ object SparkEntry {
     // index upsert (re-ingest of updated documents = delete + append,
     // landed unchanged docs never re-tokenized); oracle rebuilds over
     // the post-update corpus (upsert ≡ rebuild)
-    "q130_index_upsert" -> (Retrieval.qBm25Upserted _))
+    "q130_index_upsert" -> (Retrieval.qBm25Upserted _),
+    // BM25F multi-field scoring: per-field length normalization,
+    // weighted evidence, ONE saturation per term (what separates
+    // BM25F from summing per-field BM25 scores)
+    "q131_bm25f" -> (Retrieval.qBm25F _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

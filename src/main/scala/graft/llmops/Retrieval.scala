@@ -1695,6 +1695,135 @@ object Retrieval {
         .as("ql_scaled"), col("n_match"), col("rk"))
   }
 
+  /** The FIELDED postings index for BM25F (Robertson, Zaragoza &
+    * Taylor, CIKM 2004 — the weighted-field scoring every
+    * multi-field search stack runs): one row per (document, term)
+    * carrying BOTH fields' term frequencies and lengths. Fields are
+    * derived deterministically from the text — title = the first
+    * `titleLen` tokens, body = the rest — because the corpus has one
+    * text column; a real deployment passes genuinely separate columns
+    * through the same shape. Per-doc independent by construction, so
+    * the whole index lifecycle composes for free: [[postingsAppend]]'s
+    * property (landed docs never re-tokenized), [[indexDelete]],
+    * [[indexUpsert]] all apply verbatim to this relation.
+    *
+    * Scale shape: the two field slices and both ElementCounts kernels
+    * run in ONE map stage over the corpus scan (no shuffle until the
+    * (did, tok) merge, which carries pre-combined counts); the merge
+    * aggregation is the only exchange and it is keyed by the same
+    * (did, tok) the probe's scoring aggregate needs.
+    */
+  def bm25fIndex(corpus: DataFrame, titleLen: Int = 6): DataFrame = {
+    require(titleLen >= 1, s"need titleLen >= 1; got $titleLen")
+    val toks = Dedup.tokens(col("text"))
+    val tt = slice(toks, 1, titleLen)
+    val bt = slice(toks, lit(titleLen + 1),
+      greatest(size(toks) - titleLen, lit(0)))
+    val fields = corpus.select(col("did"),
+      tt.as("ttoks"), bt.as("btoks"))
+    val tPost = fields.select(col("did"),
+      size(col("ttoks")).cast("long").as("tl"),
+      size(col("btoks")).cast("long").as("bl"),
+      lit(1).as("is_title"),
+      explode(graft.expressions.ElementCounts.elementCounts(col("ttoks")))
+        .as(Seq("tok", "tf")))
+    val bPost = fields.filter(size(col("btoks")) > 0)
+      .select(col("did"),
+        size(col("ttoks")).cast("long").as("tl"),
+        size(col("btoks")).cast("long").as("bl"),
+        lit(0).as("is_title"),
+        explode(graft.expressions.ElementCounts.elementCounts(col("btoks")))
+          .as(Seq("tok", "tf")))
+    tPost.unionByName(bPost)
+      .groupBy("did", "tok")
+      // at most ONE row per (did, tok, field), so max() is an exact
+      // pivot, never an order-sensitive float accumulation
+      .agg(coalesce(max(when(col("is_title") === 1, col("tf"))), lit(0L))
+          .cast("long").as("tf_t"),
+        coalesce(max(when(col("is_title") === 0, col("tf"))), lit(0L))
+          .cast("long").as("tf_b"),
+        first(col("tl")).as("tl"), first(col("bl")).as("bl"))
+  }
+
+  /** BM25F probe over a prebuilt [[bm25fIndex]] — the simple-BM25F
+    * scoring form: per field, tf is length-normalized by that FIELD'S
+    * length against the corpus field average (tf̃_f = tf_f /
+    * (1 − b_f + b_f·len_f/avglen_f)); the weighted sum
+    * wtf = w_title·tf̃_title + w_body·tf̃_body feeds ONE saturation
+    * idf·wtf/(k1 + wtf) — term saturation applies to the COMBINED
+    * evidence, which is exactly what separates BM25F from naively
+    * summing per-field BM25 scores (a term in both fields saturates
+    * once, not twice). idf is document-level (the term in ANY field)
+    * in the q108 rational ln-free form.
+    *
+    * Determinism contract: the two-field weighted sum is a FIXED
+    * two-operand expression (never an aggregation over field rows, so
+    * no accumulation-order ambiguity); every step is IEEE +,−,×,÷ with
+    * the mirror replaying the engine's parenthesization; per-(q,d,t)
+    * contributions round to integer micro-points and sum exactly —
+    * q131 hash-gates the ranking end-to-end.
+    *
+    * Scale shape: identical to [[bm25Probe]] — df and the per-field
+    * averages are one aggregation each over the index (invariants OF
+    * the index, recomputed on append); scoring streams the index
+    * against broadcast query terms; the field arithmetic adds zero
+    * joins because the fielded index carries both tfs on one row.
+    */
+  def bm25fProbe(queries: DataFrame, fielded: DataFrame, topN: Int,
+      k1: Double = 1.2, wTitle: Double = 2.0, wBody: Double = 1.0,
+      bTitle: Double = 0.5, bBody: Double = 0.75): DataFrame = {
+    val qTok = queryTerms(queries)
+    val docs = fielded.select("did", "tl", "bl").distinct()
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("tl")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_tl"),
+      (sum(col("bl")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bl"))
+    val df0 = fielded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfD = col("df").cast("double")
+    val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val tNorm = col("tf_t").cast("double") /
+      (lit(1.0 - bTitle) + (lit(bTitle) * col("tl")) / col("avg_tl"))
+    val bNorm = col("tf_b").cast("double") /
+      (lit(1.0 - bBody) + (lit(bBody) * col("bl")) / col("avg_bl"))
+    val wtf = lit(wTitle) * tNorm + lit(wBody) * bNorm
+    val pts = floor(idf * (wtf / (lit(k1) + wtf)) * lit(1000000.0) +
+      lit(0.5)).cast("long")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25f_micro").desc, col("did"))
+    val qTerms = broadcast(broadcast(qTok).join(df0, "tok"))
+    qTerms.join(fielded, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("did"), pts.as("pts"))
+      .groupBy("qid", "did")
+      .agg(sum(col("pts")).as("bm25f_micro"),
+        count(lit(1)).as("n_match"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+  }
+
+  /** q131 — the BM25F report over the standard split: title = first 6
+    * tokens, body = the rest; title weighted 2×, per-field b of
+    * 0.5/0.75, one combined saturation per term. The oracle replays
+    * the field slices, both normalizations, the two-operand weighted
+    * sum, and the micro rounding verbatim, so the fused integer
+    * scores gate hash-exact.
+    */
+  def qBm25F(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = bm25fIndex(corpus, titleLen = 6).persist()
+    bm25fProbe(queries, index, topN = 10)
+      .select(col("qid"), col("did"), col("bm25f_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** q129 — the query-likelihood certificate: the standard split,
     * 3-slot indexed terms, μ = 200, top-10 by the exact-product
     * Dirichlet score. The oracle replays every div and the product in

@@ -675,6 +675,37 @@ class RetrievalSpec extends SparkSpec {
       key3(Retrieval.gramIndex(postCorpus, n = 2)))
   }
 
+  test("bm25f: title evidence outranks body evidence at equal length, " +
+    "and the fielded index composes with the lifecycle ops") {
+    import spark.implicits._
+    // two docs, identical length and identical token multiset — the
+    // only difference is WHERE the query term sits (title = first 6
+    // tokens). BM25F with wTitle > wBody must rank the title hit first.
+    val corpus = Seq(
+      (1L, "term a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j term"),
+      (3L, "x y z x y z x y z x y")).toDF("did", "text")
+    val queries = Seq((100L, "term")).toDF("qid", "text")
+    val idx = Retrieval.bm25fIndex(corpus, titleLen = 6).localCheckpoint()
+    val run = Retrieval.bm25fProbe(queries, idx, topN = 10)
+      .orderBy("rk").collect()
+    assert(run.map(_.getLong(1)).toSeq === Seq(1L, 2L),
+      s"title hit must outrank body hit: ${run.mkString(", ")}")
+    assert(run(0).getLong(2) > run(1).getLong(2))
+    // the fielded index is per-doc, so upsert ≡ rebuild holds for it
+    // exactly as for the other three shapes (the q130 contract)
+    val updated = Seq((2L, "term term a b c d e f g h i")).toDF("did", "text")
+    val post = Seq(
+      (1L, "term a b c d e f g h i j"),
+      (2L, "term term a b c d e f g h i"),
+      (3L, "x y z x y z x y z x y")).toDF("did", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toString).toSet
+    assert(key(Retrieval.indexUpsert(updated, idx,
+        Retrieval.bm25fIndex(_, titleLen = 6))) ===
+      key(Retrieval.bm25fIndex(post, titleLen = 6)))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()
