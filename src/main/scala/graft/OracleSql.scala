@@ -2702,6 +2702,95 @@ object OracleSql {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** q132 — MMR diversification mirror
+    * ([[graft.llmops.Retrieval.qMmrDiversify]]): the 5-round greedy
+    * trace UNROLLED as a CTE chain (pen → score → pick → selall → rem
+    * per round, generated by the same loop bound the engine iterates),
+    * candidates and pairwise similarities from the unrolled round-6
+    * cosine, every objective an exact integer (7·rel − 3·maxsim) with
+    * did tie-breaks — so the pick ORDER hash-gates, not just the set.
+    */
+  private val q132 = {
+    val k = 5
+    val cos = cosineSql("ce", "qe", 64)
+    val simCos = cosineSql("ea", "eb", 64)
+    val base =
+      s"""qv AS (
+         |  SELECT d.doc_id AS qid, e.embedding AS qe
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE d.doc_id % 100 = 0),
+         |cv AS (
+         |  SELECT d.doc_id AS did, e.embedding AS ce
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE d.doc_id % 100 <> 0),
+         |cos AS (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
+         |crank AS (
+         |  SELECT qid, did, cos6, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos6 DESC, did) AS rk
+         |  FROM cos),
+         |cand AS (
+         |  SELECT qid, did,
+         |    CAST(floor(cos6 * 1000000.0 + 0.5) AS BIGINT) AS rel_micro
+         |  FROM crank WHERE rk <= 12),
+         |candv AS (
+         |  SELECT c.qid, c.did, e.embedding AS emb
+         |  FROM cand c JOIN embeddings e ON c.did = e.vec_id),
+         |sims AS (
+         |  SELECT x.qid, x.did_a, y.did_b,
+         |    CAST(floor(round($simCos, 6) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS sim_micro
+         |  FROM (SELECT qid, did AS did_a, emb AS ea FROM candv) x
+         |  JOIN (SELECT qid AS qid_y, did AS did_b, emb AS eb FROM candv) y
+         |    ON x.qid = y.qid_y AND x.did_a <> y.did_b),
+         |rem1 AS (SELECT qid, did, rel_micro FROM cand)""".stripMargin
+    val steps = (1 to k).map { j =>
+      val score =
+        if (j == 1)
+          s"""score1 AS (
+             |  SELECT qid, did, rel_micro,
+             |    (7 * rel_micro) - (3 * 0) AS mmr
+             |  FROM rem1)""".stripMargin
+        else
+          s"""pen$j AS (
+             |  SELECT s.qid, s.did_a AS did, max(s.sim_micro) AS pen
+             |  FROM sims s JOIN selall${j - 1} p
+             |    ON p.qid = s.qid AND p.did = s.did_b
+             |  GROUP BY s.qid, s.did_a),
+             |score$j AS (
+             |  SELECT r.qid, r.did, r.rel_micro,
+             |    (7 * r.rel_micro) - (3 * coalesce(p.pen, 0)) AS mmr
+             |  FROM rem$j r LEFT JOIN pen$j p
+             |    ON p.qid = r.qid AND p.did = r.did)""".stripMargin
+      val pick =
+        s"""pick$j AS (
+           |  SELECT qid, did, rel_micro, mmr, $j AS pick FROM (
+           |    SELECT qid, did, rel_micro, mmr, row_number() OVER
+           |      (PARTITION BY qid ORDER BY mmr DESC, did) AS rn
+           |    FROM score$j)
+           |  WHERE rn = 1)""".stripMargin
+      val selall =
+        if (j == 1) "selall1 AS (SELECT * FROM pick1)"
+        else
+          s"""selall$j AS (
+             |  SELECT * FROM selall${j - 1}
+             |  UNION ALL SELECT * FROM pick$j)""".stripMargin
+      val rem =
+        if (j == k) ""
+        else
+          s""",
+             |rem${j + 1} AS (
+             |  SELECT r.qid, r.did, r.rel_micro
+             |  FROM rem$j r ANTI JOIN pick$j p
+             |    ON p.qid = r.qid AND p.did = r.did)""".stripMargin
+      s"$score,\n$pick,\n$selall$rem"
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT qid, did, rel_micro, CAST(mmr AS BIGINT) AS mmr_pts, pick
+       |FROM selall$k
+       |ORDER BY qid, pick""".stripMargin
+  }
+
   private val q108 =
     s"""WITH $bm25Ctes
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
@@ -3551,5 +3640,8 @@ object OracleSql {
     "q130_index_upsert" -> q130,
     // q131 scores weighted fields with one combined saturation; the
     // mirror replays slices, normalizations and rounding verbatim
-    "q131_bm25f" -> q131)
+    "q131_bm25f" -> q131,
+    // q132 re-ranks greedily for diversity; the mirror unrolls the
+    // identical 5-round integer greedy trace as a CTE chain
+    "q132_mmr_diversify" -> q132)
 }

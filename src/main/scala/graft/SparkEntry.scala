@@ -301,7 +301,11 @@ object SparkEntry {
     // BM25F multi-field scoring: per-field length normalization,
     // weighted evidence, ONE saturation per term (what separates
     // BM25F from summing per-field BM25 scores)
-    "q131_bm25f" -> (Retrieval.qBm25F _))
+    "q131_bm25f" -> (Retrieval.qBm25F _),
+    // MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim picks
+    // in exact integer arithmetic; the oracle unrolls the same greedy
+    // trace, so the pick ORDER hash-gates
+    "q132_mmr_diversify" -> (Retrieval.qMmrDiversify _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -885,6 +885,117 @@ object Retrieval {
       .orderBy("qid", "fused_rank")
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity pass between retrieval and
+    * consumption: greedily pick `k` results where each pick maximizes
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * final list trades raw relevance for coverage (the RAG
+    * context-selection and diverse-training-sample shape; near-dup
+    * candidates can't crowd the list).
+    *
+    * Determinism contract: relevance and pairwise similarity arrive as
+    * exact integer micro-units (the [[rrfPoints]] contract — the q132
+    * gate feeds round-6 cosines through the floor(x·1e6 + 0.5) idiom),
+    * λ is the rational lamNum/(lamNum+lamDen) carried as TWO integer
+    * weights (7/3 ≡ λ = 0.7), so every greedy objective is an exact
+    * integer and ties break on did — the whole greedy trace replays
+    * engine-independently (the oracle unrolls the same k rounds).
+    *
+    * Inputs: `cand` = (qid, did, rel_micro); `sims` = (qid, did_a,
+    * did_b, sim_micro) over candidate pairs of the same query (both
+    * directions — the gate's self-join emits them naturally). The
+    * first pick has no selected set, so its penalty is 0 and the
+    * argmax is pure relevance — the standard MMR initialization,
+    * uniform here via coalesce.
+    *
+    * Scale shape: MMR is inherently sequential in k, but every round
+    * touches only RANK-BOUNDED relations — candidates are queries ×
+    * topC rows (from a top-k retrieval/ANN probe, never the corpus),
+    * sims at most queries × topC² slim integer rows, and each round is
+    * one broadcast-scale join + windowed argmax. k rounds of driver
+    * iteration over bounded relations is the q96/q97 cadence;
+    * localCheckpoint severs the per-round lineage (selected and
+    * remaining are each consumed by TWO branches of the next round —
+    * the file's materialization rule).
+    */
+  def mmrRerank(cand: DataFrame, sims: DataFrame, k: Int,
+      lamNum: Long = 7L, lamDen: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 50, s"need 1 <= k <= 50 greedy rounds; got $k")
+    require(lamNum > 0 && lamDen >= 0,
+      s"need lamNum > 0, lamDen >= 0; got $lamNum/$lamDen")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("mmr_pts").desc, col("did"))
+    var sel = cand.select(col("qid"), col("did"), col("rel_micro"),
+        (lit(lamNum) * col("rel_micro")).as("mmr_pts"),
+        lit(0).as("pick"))
+      .filter(lit(false)).localCheckpoint()
+    var rem = cand.localCheckpoint()
+    for (j <- 1 to k) {
+      val pen = sims
+        .join(sel.select(col("qid"), col("did").as("did_b")),
+          Seq("qid", "did_b"))
+        .groupBy(col("qid"), col("did_a"))
+        .agg(max(col("sim_micro")).as("pen"))
+        .select(col("qid"), col("did_a").as("did"), col("pen"))
+      val pick = rem.join(pen, Seq("qid", "did"), "left")
+        .select(col("qid"), col("did"), col("rel_micro"),
+          (lit(lamNum) * col("rel_micro") -
+            lit(lamDen) * coalesce(col("pen"), lit(0L))).as("mmr_pts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("did"), col("rel_micro"),
+          col("mmr_pts"), lit(j).as("pick"))
+      sel = sel.unionByName(pick).localCheckpoint()
+      rem = rem.join(pick.select("qid", "did"), Seq("qid", "did"),
+        "left_anti").localCheckpoint()
+    }
+    sel
+  }
+
+  /** q132 — the MMR certificate: candidates are each query's top-12
+    * corpus vectors by round-6 cosine (the q19 contract) with
+    * relevance micro-quantized; pairwise candidate similarities come
+    * from the same cosine; 5 greedy rounds at λ = 7/3 (0.7). The
+    * oracle unrolls the identical greedy trace as a 5-step CTE chain —
+    * every objective an exact integer — so the PICK ORDER itself
+    * hash-gates, not just the final set.
+    */
+  def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = emb(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val qv = d.filter(isQuery)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("qid"), col("embedding").as("qe"))
+    val cv = d.filter(!isQuery)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("did"), col("embedding").as("ce"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos6").desc, col("did"))
+    // feeds the sims self-join AND the rerank loop (multi-consumer)
+    val cand = cv.crossJoin(broadcast(qv))
+      .select(col("qid"), col("did"),
+        round(Similarity.cosine(col("ce"), col("qe")), 6).as("cos6"))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= 12)
+      .select(col("qid"), col("did"),
+        floor(col("cos6") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("rel_micro"))
+      .localCheckpoint()
+    val candV = cand.join(cv, "did").select(col("qid"), col("did"), col("ce"))
+    val xs = candV.select(col("qid"), col("did").as("did_a"),
+      col("ce").as("ea"))
+    val ys = candV.select(col("qid").as("qid_y"), col("did").as("did_b"),
+      col("ce").as("eb"))
+    // consumed once per greedy round — materialize the pair cosines
+    val sims = xs.join(ys,
+        col("qid") === col("qid_y") && col("did_a") =!= col("did_b"))
+      .select(col("qid"), col("did_a"), col("did_b"),
+        floor(round(Similarity.cosine(col("ea"), col("eb")), 6) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+      .localCheckpoint()
+    mmrRerank(cand, sims, k = 5).orderBy("qid", "pick")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/retriever
     * training-pair shape): per query, the `k` HIGHEST-scoring
     * documents that are NOT relevant — lexically confusable with the

@@ -706,6 +706,36 @@ class RetrievalSpec extends SparkSpec {
       key(Retrieval.bm25fIndex(post, titleLen = 6)))
   }
 
+  test("mmrRerank: diversity demotes the near-duplicate runner-up; " +
+    "lamDen=0 degenerates to relevance order; short lists stay short") {
+    import spark.implicits._
+    // candidates: A(rel 100) and B(rel 99) are near-identical
+    // (sim 0.95e6); C(rel 80) is unrelated. Pure relevance picks
+    // A,B,C — MMR at 7/3 must pick A, then C (B's penalty
+    // 3·950000 dwarfs its 7·19 relevance edge), then B.
+    val cand = Seq((1L, 10L, 100L), (1L, 11L, 99L), (1L, 12L, 80L))
+      .toDF("qid", "did", "rel_micro")
+    val sims = Seq(
+      (1L, 10L, 11L, 950000L), (1L, 11L, 10L, 950000L),
+      (1L, 10L, 12L, 10000L), (1L, 12L, 10L, 10000L),
+      (1L, 11L, 12L, 10000L), (1L, 12L, 11L, 10000L))
+      .toDF("qid", "did_a", "did_b", "sim_micro")
+    val run = Retrieval.mmrRerank(cand, sims, k = 3)
+      .orderBy("pick").collect()
+    assert(run.map(_.getLong(1)).toSeq === Seq(10L, 12L, 11L),
+      s"expected the diverse pick order A,C,B: ${run.mkString(", ")}")
+    // lamDen = 0: no penalty — pure relevance order A,B,C
+    val pure = Retrieval.mmrRerank(cand, sims, k = 3, lamDen = 0L)
+      .orderBy("pick").collect()
+    assert(pure.map(_.getLong(1)).toSeq === Seq(10L, 11L, 12L))
+    // k beyond the candidate count: the list is candidate-sized,
+    // each doc picked exactly once
+    val short = Retrieval.mmrRerank(cand, sims, k = 5)
+      .collect()
+    assert(short.length === 3)
+    assert(short.map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -680,6 +680,8 @@ object DriveVerify {
         .Retrieval.qBm25Upserted(spark, sf).count()} rows")
       println(s"bm25f weighted-field retrieval: ${graft.llmops
         .Retrieval.qBm25F(spark, sf).count()} rows")
+      println(s"mmr diversified rerank: ${graft.llmops
+        .Retrieval.qMmrDiversify(spark, sf).count()} rows")
       // streaming gram maintenance: same 2-file replay shape
       val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
       corpus.select("doc_id", "text").repartition(2)
