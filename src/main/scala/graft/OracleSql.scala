@@ -3643,5 +3643,9 @@ object OracleSql {
     "q131_bm25f" -> q131,
     // q132 re-ranks greedily for diversity; the mirror unrolls the
     // identical 5-round integer greedy trace as a CTE chain
-    "q132_mmr_diversify" -> q132)
+    "q132_mmr_diversify" -> q132,
+    // q133 probes 3 did-disjoint shards with shared global invariants
+    // and re-ranks the gathered top-ks; the oracle IS the q108
+    // single-index statement (scatter-gather ≡ global probe)
+    "q133_bm25_sharded" -> q108)
 }

@@ -305,7 +305,11 @@ object SparkEntry {
     // MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim picks
     // in exact integer arithmetic; the oracle unrolls the same greedy
     // trace, so the pick ORDER hash-gates
-    "q132_mmr_diversify" -> (Retrieval.qMmrDiversify _))
+    "q132_mmr_diversify" -> (Retrieval.qMmrDiversify _),
+    // scatter-gather sharded serving: did-disjoint shards probed with
+    // SHARED global invariants, gathered top-ks re-ranked; oracle IS
+    // the q108 statement (the topology is score-lossless)
+    "q133_bm25_sharded" -> (Retrieval.qBm25Sharded _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

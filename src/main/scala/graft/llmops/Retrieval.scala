@@ -1645,6 +1645,73 @@ object Retrieval {
       .orderBy("qid", "rk")
   }
 
+  /** SCATTER-GATHER sharded retrieval — the serving topology of every
+    * distributed search engine (document-partitioned shards, one
+    * broker): each shard holds a did-disjoint slice of the postings,
+    * every shard answers the query batch with its LOCAL top-k, and the
+    * broker re-ranks the union. Correctness argument, and what q133
+    * certifies: BM25 scores are per-document once the index invariants
+    * (df, avgdl, n_docs) are fixed, so scoring a shard with the GLOBAL
+    * invariants yields exactly the global scores; the global top-k is
+    * contained in the union of shard top-ks (each global winner is in
+    * some shard, where at most k−1 others can outrank it); hence
+    * gather + re-rank ≡ single-index probe, row for row. Passing
+    * LOCAL per-shard invariants instead would break this — that is the
+    * real-world sharded-idf bug this operator's seam makes impossible
+    * to write (the invariants are an argument, computed once, shared).
+    *
+    * Scale shape: this is the 100 TB layout where the full postings
+    * exceed one machine — shards are `pmod(did, nShards)` slices here
+    * (any did-disjoint partition works, e.g. one bucketed table per
+    * shard); each shard probe is the unchanged [[bm25ScoreTerms]]
+    * (broadcast query terms, shard-local postings scan); the gather
+    * stage shuffles only nShards × queries × topN slim rows and
+    * re-ranks with the identical (score desc, did) window. Invariant
+    * maintenance composes with the lifecycle ops: append/delete/upsert
+    * touch one shard's rows, the shared invariants recompute from the
+    * shard union ([[postingsInvariants]] over a UNION of shard
+    * relations — one aggregation, as always).
+    */
+  def bm25ShardedProbe(queries: DataFrame, shards: Seq[DataFrame],
+      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(shards.nonEmpty, "need at least one postings shard")
+    val qTok = queryTerms(queries)
+    val all = shards.reduce(_.unionByName(_))
+    val (df0, stats) = postingsInvariants(all)
+    val local = shards.map { sh =>
+      bm25ScoreTerms(qTok, sh, df0, stats, topN, k1, b)
+        .select("qid", "did", "bm25_micro", "n_match")
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("bm25_micro").desc, col("did"))
+    local.reduce(_.unionByName(_))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+  }
+
+  /** q133 — the scatter-gather certificate: the corpus postings split
+    * into 3 did-disjoint shards, probed shard-locally with the SHARED
+    * global invariants, gathered and re-ranked. The oracle IS the q108
+    * statement VERBATIM (single-index full scoring), so the hash match
+    * certifies gather + re-rank ≡ one global probe — the
+    * document-partitioned serving topology is score-lossless.
+    */
+  def qBm25Sharded(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = postingsIndex(corpus).persist()
+    val shards = (0L until 3L).map(s =>
+      index.filter(pmod(col("did"), lit(3L)) === s))
+    bm25ShardedProbe(queries, shards, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** BOOLEAN retrieval over a [[postingsIndex]] — the query-language
     * operator ranked scoring cannot express: documents matching ALL
     * `required` terms and NONE of the `excluded` terms (AND + NOT),

@@ -736,6 +736,39 @@ class RetrievalSpec extends SparkSpec {
     assert(short.map(_.getLong(1)).toSet === Set(10L, 11L, 12L))
   }
 
+  test("bm25ShardedProbe: shard count is invisible (1 == 3 == 5), and " +
+    "per-shard LOCAL invariants would diverge (the bug the seam blocks)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = d.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      .select(col("doc_id").as("did"), col("text"))
+    val index = Retrieval.postingsIndex(corpus).localCheckpoint()
+    def shards(n: Long) =
+      (0L until n).map(s => index.filter(pmod(col("did"), lit(n)) === s))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "did", "bm25_micro", "n_match", "rk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val one = rows(Retrieval.bm25ShardedProbe(queries, shards(1), 10))
+    assert(one.nonEmpty)
+    assert(rows(Retrieval.bm25ShardedProbe(queries, shards(3), 10)) === one)
+    assert(rows(Retrieval.bm25ShardedProbe(queries, shards(5), 10)) === one)
+    // the classic sharded-idf bug: each shard scoring with its OWN
+    // invariants produces different scores — the shared-invariant
+    // seam is what makes the topology lossless
+    val qTok = Retrieval.queryTerms(queries)
+    val localScores = shards(3).map(sh =>
+        Retrieval.bm25ProbeTerms(qTok, sh.localCheckpoint(), 10)
+          .select("qid", "did", "bm25_micro"))
+      .reduce(_.unionByName(_))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val globalScores = one.map(r => Seq(r(0), r(1), r(2)))
+      .sortBy(_.toString)
+    assert(localScores !== globalScores,
+      "per-shard local invariants coincided with global scores — " +
+        "the divergence fixture has lost its teeth")
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()
