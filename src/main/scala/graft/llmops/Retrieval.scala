@@ -1677,7 +1677,14 @@ object Retrieval {
     require(shards.nonEmpty, "need at least one postings shard")
     val qTok = queryTerms(queries)
     val all = shards.reduce(_.unionByName(_))
-    val (df0, stats) = postingsInvariants(all)
+    // the shared invariants are consumed by EVERY shard branch of one
+    // plan tree — unmaterialized, each branch re-runs the full
+    // postings aggregations (measured 2× the whole operator at 100×);
+    // localCheckpoint per the file's materialization rule (df is
+    // vocab-sized, stats is one row — both bounded)
+    val (df0p, statsP) = postingsInvariants(all)
+    val df0 = df0p.localCheckpoint()
+    val stats = statsP.localCheckpoint()
     val local = shards.map { sh =>
       bm25ScoreTerms(qTok, sh, df0, stats, topN, k1, b)
         .select("qid", "did", "bm25_micro", "n_match")
