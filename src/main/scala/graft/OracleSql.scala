@@ -2791,6 +2791,67 @@ object OracleSql {
        |ORDER BY qid, pick""".stripMargin
   }
 
+  /** q134 — min–max weighted fusion mirror
+    * ([[graft.llmops.Retrieval.qMinMaxFusion]]): BM25 top-20 micro
+    * scores and round-6 cosine micro top-20, each min–max normalized
+    * per query with integer `//` (the min-shift keeps numerators
+    * non-negative, where `//` matches the engine's div), weighted
+    * 3/2, summed, ranked. All-integer, so fused scores, flags and
+    * ranks replay exactly.
+    */
+  private val q134 = {
+    val cos = cosineSql("ce", "qe", 64)
+    s"""WITH $bm25Ctes,
+       |term AS (
+       |  SELECT qid, did, CAST(bm25_micro AS BIGINT) AS score
+       |  FROM ranked WHERE rk <= 20),
+       |qv AS (
+       |  SELECT q.qid, e.embedding AS qe
+       |  FROM queries q JOIN embeddings e ON q.qid = e.vec_id),
+       |cv AS (
+       |  SELECT c.did, e.embedding AS ce
+       |  FROM corpus c JOIN embeddings e ON c.did = e.vec_id),
+       |cos AS (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
+       |vrank AS (
+       |  SELECT qid, did, cos6, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos6 DESC, did) AS rk
+       |  FROM cos),
+       |vec AS (
+       |  SELECT qid, did,
+       |    CAST(floor(cos6 * 1000000.0 + 0.5) AS BIGINT) AS score
+       |  FROM vrank WHERE rk <= 20),
+       |text AS (
+       |  SELECT t.qid, t.did,
+       |    3 * (CASE WHEN x.mx = x.mn THEN 1000000
+       |      ELSE ((t.score - x.mn) * 1000000) // (x.mx - x.mn) END)
+       |      AS pts,
+       |    1 AS in_term, 0 AS in_vec
+       |  FROM term t JOIN (
+       |    SELECT qid, min(score) AS mn, max(score) AS mx
+       |    FROM term GROUP BY qid) x ON t.qid = x.qid
+       |  UNION ALL
+       |  SELECT v.qid, v.did,
+       |    2 * (CASE WHEN y.mx = y.mn THEN 1000000
+       |      ELSE ((v.score - y.mn) * 1000000) // (y.mx - y.mn) END)
+       |      AS pts,
+       |    0 AS in_term, 1 AS in_vec
+       |  FROM vec v JOIN (
+       |    SELECT qid, min(score) AS mn, max(score) AS mx
+       |    FROM vec GROUP BY qid) y ON v.qid = y.qid),
+       |fused AS (
+       |  SELECT qid, did, sum(pts) AS fused_pts,
+       |    max(in_term) AS in_term, max(in_vec) AS in_vec
+       |  FROM text GROUP BY qid, did),
+       |franked AS (
+       |  SELECT qid, did, fused_pts, in_term, in_vec, row_number() OVER
+       |    (PARTITION BY qid ORDER BY fused_pts DESC, did) AS fused_rank
+       |  FROM fused)
+       |SELECT qid, did, CAST(fused_pts AS BIGINT) AS fused_pts,
+       |  in_term, in_vec, fused_rank
+       |FROM franked WHERE fused_rank <= 10
+       |ORDER BY qid, fused_rank""".stripMargin
+  }
+
   private val q108 =
     s"""WITH $bm25Ctes
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
@@ -3647,5 +3708,8 @@ object OracleSql {
     // q133 probes 3 did-disjoint shards with shared global invariants
     // and re-ranks the gathered top-ks; the oracle IS the q108
     // single-index statement (scatter-gather ≡ global probe)
-    "q133_bm25_sharded" -> q108)
+    "q133_bm25_sharded" -> q108,
+    // q134 fuses min–max normalized weighted channels (CombSUM); the
+    // mirror replays both normalizations and the integer weighted sum
+    "q134_minmax_fusion" -> q134)
 }

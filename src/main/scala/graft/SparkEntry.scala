@@ -309,7 +309,10 @@ object SparkEntry {
     // scatter-gather sharded serving: did-disjoint shards probed with
     // SHARED global invariants, gathered top-ks re-ranked; oracle IS
     // the q108 statement (the topology is score-lossless)
-    "q133_bm25_sharded" -> (Retrieval.qBm25Sharded _))
+    "q133_bm25_sharded" -> (Retrieval.qBm25Sharded _),
+    // min–max normalized weighted fusion (CombSUM): the score-based
+    // fusion baseline next to rank-based RRF, exact-integer end-to-end
+    "q134_minmax_fusion" -> (Retrieval.qMinMaxFusion _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

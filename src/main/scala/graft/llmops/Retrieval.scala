@@ -167,6 +167,97 @@ object Retrieval {
       .filter(col("fused_rank") <= topK)
   }
 
+  /** Min–max normalized WEIGHTED fusion (CombSUM over calibrated
+    * scores — Fox & Shaw 1994; the score-based fusion baseline next to
+    * the rank-based [[rrfFuse]]): each channel's raw scores are mapped
+    * per query to [0, 1e6] by integer min–max normalization
+    * (norm = ((s − min)·1e6) div (max − min); a constant channel maps
+    * to 1e6 — every doc is its max), then fused = Σ wᵢ·normᵢ with
+    * integer weights, absent channels contributing 0 (the CombSUM
+    * convention). Everything is exact integer arithmetic on both
+    * engines (the [[rrfPoints]] contract — the div replays as DuckDB
+    * `//` on non-negatives), so q134 hash-gates fused scores, flags
+    * and ranks end-to-end. Use this over RRF when channel scores are
+    * meaningful within a query and their RANGE carries signal; use
+    * RRF when scales are incomparable and only ranks are trusted.
+    *
+    * Channels are (name, relation, weight) with (qid, did, score)
+    * rows, score any long (micro-units — negatives are fine: the
+    * min-shift makes every div numerator non-negative, where `div`
+    * and `//` agree). Scale shape is
+    * [[rrfFuse]]'s: per-channel extrema are one slim (qid, min, max)
+    * aggregation over top-k-bounded inputs; fusion shuffles at most
+    * Σ topNChannel slim rows per query.
+    */
+  def minMaxFuse(channels: Seq[(String, DataFrame, Long)],
+      topK: Int): DataFrame = {
+    require(channels.nonEmpty, "minMaxFuse needs at least one channel")
+    require(channels.map(_._1).distinct.size == channels.size,
+      s"channel names must be unique; got ${channels.map(_._1)}")
+    require(channels.forall(_._3 > 0L),
+      s"weights must be positive; got ${channels.map(_._3)}")
+    def microDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val marked = channels.zipWithIndex.map { case ((_, ch, wgt), i) =>
+      val ext = ch.groupBy("qid")
+        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      val normed = when(col("mx") === col("mn"), lit(1000000L))
+        .otherwise(microDiv((col("score") - col("mn")) * lit(1000000L),
+          col("mx") - col("mn")))
+      val cols = Seq(col("qid"), col("did"),
+        (lit(wgt) * normed).as("pts")) ++
+        channels.indices.map(j =>
+          lit(if (j == i) 1 else 0).as(s"in_${channels(j)._1}"))
+      ch.join(ext, "qid").select(cols: _*)
+    }
+    val flagAggs = channels.map { case (n, _, _) =>
+      max(col(s"in_$n")).as(s"in_$n")
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("fused_pts").desc, col("did"))
+    marked.reduce(_.unionByName(_))
+      .groupBy("qid", "did")
+      .agg(sum(col("pts")).as("fused_pts"), flagAggs: _*)
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
+
+  /** q134 — the min–max fusion report over the q107 split: the BM25
+    * top-20 (micro scores) weighted 3 against the vector top-20
+    * (round-6 cosine micro) weighted 2, fused to a per-query top-10.
+    * The oracle replays both channels, both normalizations and the
+    * weighted sum as integers, so the fused ranking gates hash-exact.
+    */
+  def qMinMaxFusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = emb(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val term = bm25Channel(queries, corpus, topN = 20)
+      .select(col("qid"), col("did"), col("bm25_micro").as("score"))
+    val qv = queries.join(e, col("qid") === col("vec_id"))
+      .select(col("qid"), col("embedding").as("qe"))
+    val cv = corpus.join(e, col("did") === col("vec_id"))
+      .select(col("did"), col("embedding").as("ce"))
+    val wV = Window.partitionBy("qid")
+      .orderBy(col("cos6").desc, col("did"))
+    val vec = cv.crossJoin(broadcast(qv))
+      .select(col("qid"), col("did"),
+        round(Similarity.cosine(col("ce"), col("qe")), 6).as("cos6"))
+      .withColumn("rk", row_number().over(wV))
+      .filter(col("rk") <= 20)
+      .select(col("qid"), col("did"),
+        floor(col("cos6") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("score"))
+    minMaxFuse(Seq(("term", term, 3L), ("vec", vec, 2L)), topK = 10)
+      .select(col("qid"), col("did"), col("fused_pts"),
+        col("in_term"), col("in_vec"), col("fused_rank"))
+      .orderBy("qid", "fused_rank")
+  }
+
   /** The postings index of a corpus: one pre-combined (did, dl, tok,
     * tf) row per (document, term) — the relation every term-retrieval
     * probe consumes, and the ONE-OFF tokenization cost of the corpus.

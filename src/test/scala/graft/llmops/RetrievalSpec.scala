@@ -769,6 +769,35 @@ class RetrievalSpec extends SparkSpec {
         "the divergence fixture has lost its teeth")
   }
 
+  test("minMaxFuse: hand-computed normalization, weights, constant " +
+    "channel, absent-doc zero, and negative-score shift") {
+    import spark.implicits._
+    // channel a: scores 0/50/100 -> norms 0 / 500000 / 1000000
+    val a = Seq((1L, 10L, 0L), (1L, 11L, 50L), (1L, 12L, 100L))
+      .toDF("qid", "did", "score")
+    // channel b: CONSTANT scores -> every doc norms to 1000000;
+    // doc 12 is absent (contributes 0 from b); doc 13 only in b
+    val b = Seq((1L, 10L, 7L), (1L, 11L, 7L), (1L, 13L, 7L))
+      .toDF("qid", "did", "score")
+    val fused = Retrieval.minMaxFuse(
+        Seq(("a", a, 3L), ("b", b, 2L)), topK = 10)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    // (fused_pts, in_a, in_b, fused_rank) keyed by did
+    assert(fused(10L) === ((3L * 0L + 2L * 1000000L, 1, 1, 3)))
+    assert(fused(11L) === ((3L * 500000L + 2L * 1000000L, 1, 1, 1)))
+    assert(fused(12L) === ((3L * 1000000L, 1, 0, 2)))
+    assert(fused(13L) === ((2L * 1000000L, 0, 1, 4)))
+    // negative scores: the min-shift normalizes -100/-50/0 exactly
+    // like 0/50/100
+    val neg = Seq((1L, 10L, -100L), (1L, 11L, -50L), (1L, 12L, 0L))
+      .toDF("qid", "did", "score")
+    val nf = Retrieval.minMaxFuse(Seq(("a", neg, 1L)), topK = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(nf === Map(10L -> 0L, 11L -> 500000L, 12L -> 1000000L))
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

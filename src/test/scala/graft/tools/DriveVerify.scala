@@ -684,6 +684,8 @@ object DriveVerify {
         .Retrieval.qMmrDiversify(spark, sf).count()} rows")
       println(s"scatter-gather sharded bm25: ${graft.llmops
         .Retrieval.qBm25Sharded(spark, sf).count()} rows")
+      println(s"min-max weighted fusion: ${graft.llmops
+        .Retrieval.qMinMaxFusion(spark, sf).count()} rows")
       // streaming gram maintenance: same 2-file replay shape
       val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
       corpus.select("doc_id", "text").repartition(2)
