@@ -310,6 +310,44 @@ object StreamOps {
     spark.read.parquet(s"$statePath/gram_index")
       .select("did", "pos", "gram")
 
+  /** Streaming FIELDED-index maintenance — the streaming face of the
+    * BM25F lifecycle (q131): fielded rows are per-doc independent (the
+    * [[postingsIndexSink]] contract, field-split), so each micro-batch
+    * of (doc_id, text) indexes ONLY itself and lands as an
+    * overwrite-whole per-batch parquet dir — the shared
+    * replay-idempotent file-state pattern. `titleLen` is the index's
+    * fixed field split. [[readFieldedIndex]] hands the grown index
+    * straight to [[graft.llmops.Retrieval.bm25fProbe]], whose
+    * invariants (df and BOTH field averages) derive from the index and
+    * therefore self-correct as batches land; StreamOpsSpec pins
+    * probe-equality with a fresh full
+    * [[graft.llmops.Retrieval.bm25fIndex]] build across a multi-batch
+    * replay (the q131 path, streamed).
+    */
+  def fieldedIndexSink(docs: DataFrame, statePath: String,
+      titleLen: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.llmops.Retrieval.bm25fIndex(
+              batch.select(col("doc_id").as("did"), col("text")),
+              titleLen)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/fielded/batch_id=$batchId")
+        }
+        ()
+    }
+  }
+
+  /** The grown fielded index, shaped for
+    * [[graft.llmops.Retrieval.bm25fProbe]]. */
+  def readFieldedIndex(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/fielded")
+      .select("did", "tok", "tf_t", "tf_b", "tl", "bl")
+
   /** The grown IVF assignment and its quantizer, shaped for
     * [[graft.llmops.Similarity.knnJoinIndexed]]. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,

@@ -525,6 +525,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("fieldedIndexSink: grown index == fresh full build; bm25f probe agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fieldsink")
+    try {
+      import graft.llmops.Retrieval
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.fieldedIndexSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/state", titleLen = 6)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      in.addData(base.take(200).toSeq)
+      q.processAllAvailable()
+      in.addData(base.drop(200).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val grown = StreamOps.readFieldedIndex(spark, s"$dir/state")
+      val all = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").as("did"), col("text"))
+      val full = Retrieval.bm25fIndex(all, titleLen = 6)
+      assert(grown.count() === full.count())
+      val queries = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val pGrown = rows(Retrieval.bm25fProbe(queries, grown, topN = 5))
+      assert(pGrown === rows(Retrieval.bm25fProbe(queries, full, topN = 5)))
+      assert(pGrown.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("spanDedupSink: landed spans win, in-batch first occurrence, index deltas accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_spandedup")
