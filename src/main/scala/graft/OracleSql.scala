@@ -2893,6 +2893,58 @@ object OracleSql {
     * summed-micro probe. Pins the PRUNING semantics, not equivalence
     * to full scoring (champion lists are lossy by design).
     */
+  /** q135 — tiered-serving mirror
+    * ([[graft.llmops.Retrieval.qBm25Tiered]]): the q128 quantize →
+    * prune fragments, tier-1 scoring over the pruned relation, the
+    * per-query fill count (HAVING count = topN), and the
+    * fallback arm scored over the FULL impacts for underfull queries —
+    * the complete broker CASE replayed even where (as on this dense
+    * corpus) the fallback stays dormant.
+    */
+  private val q135 =
+    s"""WITH $bm25BaseCtes,
+       |imp AS (
+       |  SELECT tok, did,
+       |    CAST(floor($bm25ContribSql * 1000000.0 + 0.5) AS BIGINT)
+       |      AS impact_micro
+       |  FROM postings JOIN dfre USING (tok), stats),
+       |pruned AS (
+       |  SELECT tok, did, impact_micro FROM (
+       |    SELECT tok, did, impact_micro, row_number() OVER
+       |      (PARTITION BY tok ORDER BY impact_micro DESC, did) AS prk
+       |    FROM imp)
+       |  WHERE prk <= 24),
+       |t1agg AS (
+       |  SELECT qid, did, sum(impact_micro) AS bm25_micro,
+       |    count(*) AS n_match
+       |  FROM qt JOIN pruned USING (tok) GROUP BY qid, did),
+       |t1 AS (
+       |  SELECT qid, did, bm25_micro, n_match, rk FROM (
+       |    SELECT qid, did, bm25_micro, n_match, row_number() OVER
+       |      (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
+       |    FROM t1agg)
+       |  WHERE rk <= 10),
+       |okq AS (SELECT qid FROM t1 GROUP BY qid HAVING count(*) = 10),
+       |kept AS (
+       |  SELECT qid, did, bm25_micro, n_match, rk, 1 AS tier
+       |  FROM t1 JOIN okq USING (qid)),
+       |fbq AS (SELECT DISTINCT qid FROM qt ANTI JOIN okq USING (qid)),
+       |fallagg AS (
+       |  SELECT qid, did, sum(impact_micro) AS bm25_micro,
+       |    count(*) AS n_match
+       |  FROM qt JOIN fbq USING (qid) JOIN imp USING (tok)
+       |  GROUP BY qid, did),
+       |fall AS (
+       |  SELECT qid, did, bm25_micro, n_match, rk, 2 AS tier FROM (
+       |    SELECT qid, did, bm25_micro, n_match, row_number() OVER
+       |      (PARTITION BY qid ORDER BY bm25_micro DESC, did) AS rk
+       |    FROM fallagg)
+       |  WHERE rk <= 10)
+       |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
+       |  CAST(n_match AS BIGINT) AS n_match, rk, tier
+       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM fall)
+       |ORDER BY qid, rk""".stripMargin
+
   private val q128 =
     s"""WITH $bm25BaseCtes,
        |imp AS (
@@ -3711,5 +3763,8 @@ object OracleSql {
     "q133_bm25_sharded" -> q108,
     // q134 fuses min–max normalized weighted channels (CombSUM); the
     // mirror replays both normalizations and the integer weighted sum
-    "q134_minmax_fusion" -> q134)
+    "q134_minmax_fusion" -> q134,
+    // q135 serves from the champion tier with per-query fallback to
+    // the full impacts; the mirror replays the whole broker CASE
+    "q135_bm25_tiered" -> q135)
 }

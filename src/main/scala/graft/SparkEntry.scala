@@ -312,7 +312,11 @@ object SparkEntry {
     "q133_bm25_sharded" -> (Retrieval.qBm25Sharded _),
     // min–max normalized weighted fusion (CombSUM): the score-based
     // fusion baseline next to rank-based RRF, exact-integer end-to-end
-    "q134_minmax_fusion" -> (Retrieval.qMinMaxFusion _))
+    "q134_minmax_fusion" -> (Retrieval.qMinMaxFusion _),
+    // tiered serving: champion-list first tier, per-query fallback to
+    // the full impact index when underfull (tier column pins WHICH
+    // tier answered); the mirror replays the whole broker CASE
+    "q135_bm25_tiered" -> (Retrieval.qBm25Tiered _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -1616,6 +1616,69 @@ object Retrieval {
       .drop("prk")
   }
 
+  /** TIERED retrieval over a champion-list first tier (Strohman &
+    * Croft's tiered architecture — the broker logic that makes
+    * [[prunedImpactIndex]] production-safe): answer every query from
+    * the pruned tier; a query whose tier-1 list is UNDERFULL (fewer
+    * than topN results — the pruned postings could not fill the page)
+    * falls back to the full impact index. The answered-vs-fallback
+    * split is driver-visible (`tier` column: 1 = champion list,
+    * 2 = full index), and the fallback branch is skipped entirely when
+    * every query fills from tier 1 (the [[bm25ProbeMaxScore]]
+    * driver-guard pattern). Note what this does and does not promise:
+    * a FULL tier-1 page is served as-is — champion lists are lossy by
+    * design (q128's contract) and underfullness is the only
+    * SELF-EVIDENT miss; the lossless-pruning alternative is
+    * [[bm25ProbeMaxScore]], which keeps the full index hot. At 100 TB
+    * the pruned tier is keepTop·|vocab| rows (memory-resident,
+    * corpus-size-independent) and absorbs the entire query stream
+    * minus the underfull tail — exactly the first-tier economics the
+    * champion-list build buys.
+    */
+  def tieredImpactProbe(qTok: DataFrame, impacts: DataFrame,
+      pruned: DataFrame, topN: Int): DataFrame = {
+    // consumed by the fill-count aggregate AND the kept-rows join
+    val tier1 = impactProbe(qTok, pruned, topN).localCheckpoint()
+    val okQ = tier1.groupBy("qid").agg(count(lit(1)).as("n"))
+      .filter(col("n") === topN).select("qid")
+      .localCheckpoint() // kept-rows semi-join AND the fallback anti-join
+    val kept = tier1.join(broadcast(okQ), "qid")
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"), lit(1).as("tier"))
+    val fbQ = qTok.select("qid").distinct()
+      .join(okQ, Seq("qid"), "left_anti")
+      .localCheckpoint()
+    if (fbQ.isEmpty) kept
+    else kept.unionByName(
+      impactProbe(qTok.join(broadcast(fbQ), "qid"), impacts, topN)
+        .select(col("qid"), col("did"), col("bm25_micro"),
+          col("n_match"), col("rk"), lit(2).as("tier")))
+  }
+
+  /** q135 — the tiered-serving certificate: impacts quantized over the
+    * full corpus postings, champion-pruned to top 24 per term (the
+    * q128 width), served through [[tieredImpactProbe]]. The oracle
+    * replays tier-1 scoring, the per-query fill count, and the
+    * fallback CASE — on the dense gate corpus every query fills from
+    * tier 1 (the mirror proves the fallback stays dormant by replaying
+    * the same condition); the underfull→fallback path is pinned by
+    * RetrievalSpec on a fixture built to starve tier 1.
+    */
+  def qBm25Tiered(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val impacts = impactIndex(postingsIndex(corpus)).persist()
+    val pruned = prunedImpactIndex(impacts, keepTop = 24).persist()
+    tieredImpactProbe(queryTerms(queries), impacts, pruned, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"), col("tier"))
+      .orderBy("qid", "rk")
+  }
+
   /** q128 — the champion-list certificate: impacts quantized over the
     * full corpus postings, pruned to each term's top 24 by
     * [[prunedImpactIndex]], probed by the unchanged [[impactProbe]].

@@ -798,6 +798,38 @@ class RetrievalSpec extends SparkSpec {
     assert(nf === Map(10L -> 0L, 11L -> 500000L, 12L -> 1000000L))
   }
 
+  test("tieredImpactProbe: full tier-1 pages serve from the champion " +
+    "list; underfull queries fall back to the full index") {
+    import spark.implicits._
+    // keepTop = 1, topN = 3. Query A's three terms each champion a
+    // DIFFERENT doc (tier 1 fills); query B's single term appears in
+    // three docs but its champion list keeps one (underfull -> tier 2).
+    val corpus = Seq(
+      (1L, "aa bb cc"), (2L, "aa dd"), (3L, "aa ee"), (4L, "zz"))
+      .toDF("did", "text")
+    val queries = Seq((100L, "bb dd ee"), (200L, "aa"))
+      .toDF("qid", "text")
+    val impacts = Retrieval.impactIndex(
+      Retrieval.postingsIndex(corpus)).localCheckpoint()
+    val pruned = Retrieval.prunedImpactIndex(impacts, keepTop = 1)
+      .localCheckpoint()
+    val qTok = Retrieval.queryTerms(queries)
+    val out = Retrieval.tieredImpactProbe(qTok, impacts, pruned,
+      topN = 3).collect()
+    val a = out.filter(_.getLong(0) == 100L)
+    val b = out.filter(_.getLong(0) == 200L)
+    assert(a.length === 3 && a.forall(_.getInt(5) === 1),
+      s"query A must fill from tier 1: ${a.mkString(", ")}")
+    assert(b.length === 3 && b.forall(_.getInt(5) === 2),
+      s"query B must fall back to tier 2: ${b.mkString(", ")}")
+    // the fallback rows ARE the full-index probe's rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Retrieval.impactProbe(
+        qTok.filter(col("qid") === 200L), impacts, topN = 3)) ===
+      b.map(_.toSeq.dropRight(1)).sortBy(_.toString).toSeq)
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -686,6 +686,9 @@ object DriveVerify {
         .Retrieval.qBm25Sharded(spark, sf).count()} rows")
       println(s"min-max weighted fusion: ${graft.llmops
         .Retrieval.qMinMaxFusion(spark, sf).count()} rows")
+      val tiered = graft.llmops.Retrieval.qBm25Tiered(spark, sf)
+      println(s"tiered champion serving: ${tiered.count()} rows, " +
+        s"tier-2 fallbacks: ${tiered.filter(col("tier") === 2).count()}")
       // streaming gram maintenance: same 2-file replay shape
       val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
       corpus.select("doc_id", "text").repartition(2)
