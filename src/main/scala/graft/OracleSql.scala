@@ -2852,6 +2852,49 @@ object OracleSql {
        |ORDER BY qid, fused_rank""".stripMargin
   }
 
+  /** q136 — rank-biased-overlap mirror
+    * ([[graft.llmops.Retrieval.qRboRuns]]): the q108 BM25 top-10 and
+    * the q107 term-overlap top-10 rebuilt from the shared base CTEs,
+    * then every depth term replayed as
+    * (1e6·overlap_d) // (d · (1 << d)) — integer-exact at p = 1/2 —
+    * summed per query, plus overlap@k and agreement@k.
+    */
+  private val q136 =
+    s"""WITH $bm25Ctes,
+       |runa AS (SELECT qid, did, rk FROM ranked WHERE rk <= 10),
+       |ctd AS (SELECT did, unnest(list_distinct(toks)) AS tok FROM ct0),
+       |ovl AS (
+       |  SELECT qid, did, count(*) AS overlap
+       |  FROM qt JOIN ctd USING (tok) GROUP BY qid, did),
+       |runb AS (
+       |  SELECT qid, did, rk FROM (
+       |    SELECT qid, did, row_number() OVER
+       |      (PARTITION BY qid ORDER BY overlap DESC, did) AS rk
+       |    FROM ovl)
+       |  WHERE rk <= 10),
+       |joined AS (
+       |  SELECT a.qid, greatest(a.rk, b.rk) AS mx
+       |  FROM runa a JOIN runb b ON a.qid = b.qid AND a.did = b.did),
+       |depths AS (
+       |  SELECT qid, unnest(range(1, 11)) AS d
+       |  FROM (SELECT DISTINCT qid FROM runa)),
+       |ovd AS (
+       |  SELECT dp.qid, dp.d,
+       |    sum(CASE WHEN j.mx <= dp.d THEN 1 ELSE 0 END) AS overlap
+       |  FROM depths dp LEFT JOIN joined j ON j.qid = dp.qid
+       |  GROUP BY dp.qid, dp.d),
+       |terms AS (
+       |  SELECT qid, d, overlap,
+       |    (1000000 * overlap) // (d * (CAST(1 AS BIGINT) << d)) AS term
+       |  FROM ovd)
+       |SELECT qid, CAST(sum(term) AS BIGINT) AS rbo_micro,
+       |  CAST(max(CASE WHEN d = 10 THEN overlap END) AS BIGINT)
+       |    AS overlap_k,
+       |  CAST((1000000 * max(CASE WHEN d = 10 THEN overlap END)) // 10
+       |    AS BIGINT) AS agree_micro
+       |FROM terms GROUP BY qid
+       |ORDER BY qid""".stripMargin
+
   private val q108 =
     s"""WITH $bm25Ctes
        |SELECT qid, did, CAST(bm25_micro AS BIGINT) AS bm25_micro,
@@ -3766,5 +3809,8 @@ object OracleSql {
     "q134_minmax_fusion" -> q134,
     // q135 serves from the champion tier with per-query fallback to
     // the full impacts; the mirror replays the whole broker CASE
-    "q135_bm25_tiered" -> q135)
+    "q135_bm25_tiered" -> q135,
+    // q136 compares two runs by rank-biased overlap at p = 1/2; the
+    // mirror replays each depth term with // and <<
+    "q136_rbo_runs" -> q136)
 }

@@ -316,7 +316,10 @@ object SparkEntry {
     // tiered serving: champion-list first tier, per-query fallback to
     // the full impact index when underfull (tier column pins WHICH
     // tier answered); the mirror replays the whole broker CASE
-    "q135_bm25_tiered" -> (Retrieval.qBm25Tiered _))
+    "q135_bm25_tiered" -> (Retrieval.qBm25Tiered _),
+    // rank-biased overlap at p = 1/2 (exact 2^-d weights): the
+    // run-comparison metric — top-weighted agreement of two rankers
+    "q136_rbo_runs" -> (Retrieval.qRboRuns _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

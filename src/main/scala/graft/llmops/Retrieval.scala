@@ -1237,6 +1237,81 @@ object Retrieval {
           col("n_rel")).as("recall_micro"))
   }
 
+  /** Rank-biased overlap between two ranked runs (Webber, Moffat &
+    * Zobel, TOIS 2010) at persistence p = 1/2, truncated at depth `k`
+    * — the run-COMPARISON metric next to [[retrievalMetrics]]'s
+    * run-vs-relevance metrics: how much do two systems' rankings agree,
+    * weighted toward the top (depth d contributes A_d = overlap@d / d
+    * with geometric weight p^d). Regression-testing a ranker change,
+    * comparing a pruned tier against the full index, or diffing two
+    * scoring functions are all this one number per query.
+    *
+    * p is FIXED at 1/2, deliberately: (1−p)·p^(d−1) = 2^−d is exact in
+    * integers, so each depth's term is ((1e6·overlap_d) div (d·2^d))
+    * and the score is an exact integer sum — any other p would
+    * re-import float powers (the q108 ln lesson, geometrically). Each
+    * term truncates independently (error < k microunits, bounded and
+    * engine-identical). Also reported: overlap@k and agreement@k =
+    * (1e6·overlap_k) div k (the set-overlap share at full depth).
+    *
+    * Scale shape: both runs are top-k-bounded relations (queries × k
+    * rows); the join, the depth expansion (queries × k rows) and the
+    * two aggregations never touch anything corpus-sized. Query ids
+    * come from runA (the reference run — a query absent there is
+    * absent from the report; one absent only from runB scores 0).
+    */
+  def rankedOverlap(runA: DataFrame, runB: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 30, s"need 1 <= k <= 30 (2^k divisor); got $k")
+    def microDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val a = runA.filter(col("rk") <= k)
+      .select(col("qid"), col("did"), col("rk").cast("long").as("rka"))
+    val b = runB.filter(col("rk") <= k)
+      .select(col("qid").as("qid_b"), col("did").as("did_b"),
+        col("rk").cast("long").as("rkb"))
+    val joined = a.join(b,
+        col("qid") === col("qid_b") && col("did") === col("did_b"))
+      .select(col("qid"), greatest(col("rka"), col("rkb")).as("mx"))
+    val depths = runA.select("qid").distinct()
+      .select(col("qid"), explode(sequence(lit(1), lit(k))).as("d"))
+    val pow2d = expr("shiftleft(cast(1 as bigint), d)")
+    val ov = depths.join(joined, Seq("qid"), "left")
+      .groupBy("qid", "d")
+      .agg(sum(when(col("mx") <= col("d"), lit(1L)).otherwise(lit(0L)))
+        .as("overlap"))
+    ov.select(col("qid"), col("d"), col("overlap"),
+        microDiv(lit(1000000L) * col("overlap"),
+          col("d").cast("long") * pow2d).as("term"))
+      .groupBy("qid")
+      .agg(sum(col("term")).as("rbo_micro"),
+        max(when(col("d") === k, col("overlap"))).as("overlap_k"))
+      .select(col("qid"), col("rbo_micro"), col("overlap_k"),
+        microDiv(lit(1000000L) * col("overlap_k"), lit(k.toLong))
+          .as("agree_micro"))
+  }
+
+  /** q136 — the run-agreement report: the q108 BM25 top-10 compared
+    * against the q107 term-overlap top-10 (two lexical scoring
+    * functions over the same corpus — exactly the ranker-diff this
+    * metric exists for). The oracle replays both runs and every
+    * depth term with `//` and `<<`, so the per-query RBO gates
+    * hash-exact.
+    */
+  def qRboRuns(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"))
+    val runA = bm25Channel(queries, corpus, topN = 10)
+      .select("qid", "did", "rk")
+    val runB = termChannel(queries, corpus, topN = 10)
+      .select("qid", "did", "rk")
+    rankedOverlap(runA, runB, k = 10).orderBy("qid")
+  }
+
   /** q109 — the metrics report over the q108 BM25 run: relevance =
     * corpus documents sharing the query document's `source` (the
     * label every synthetic-corpus doc carries), so the gate certifies

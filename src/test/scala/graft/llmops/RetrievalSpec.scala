@@ -830,6 +830,35 @@ class RetrievalSpec extends SparkSpec {
       b.map(_.toSeq.dropRight(1)).sortBy(_.toString).toSeq)
   }
 
+  test("rankedOverlap: hand-computed RBO at p=1/2 — identical, " +
+    "disjoint, and same-set-reversed runs") {
+    import spark.implicits._
+    def run(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("qid", "did", "rk")
+    val a3 = run((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    // identical at k=3: terms 1e6/2, 2e6/8, 3e6/24 -> 875000
+    val same = Retrieval.rankedOverlap(a3, a3, k = 3).collect()
+    assert(same.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((875000L, 3L, 1000000L)))
+    // reversed order, same set: overlaps 0,1,3 -> 0 + 125000 + 125000
+    val rev = run((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3))
+    val r = Retrieval.rankedOverlap(a3, rev, k = 3).collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq === Seq((250000L, 3L, 1000000L)))
+    // top-weighting: same set but scrambled order scores well below
+    // identical, while full-depth agreement stays 1.0
+    assert(r.head.getLong(1) < same.head.getLong(1))
+    // disjoint runs: everything zero, and the query still reports
+    val b3 = run((1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3))
+    val z = Retrieval.rankedOverlap(a3, b3, k = 3).collect()
+    assert(z.map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq === Seq((0L, 0L, 0L)))
+    // identical at k=10 truncates to 999022 (sum of 1e6 div 2^d)
+    val a10 = run((1 to 10).map(i => (1L, 100L + i, i)): _*)
+    val s10 = Retrieval.rankedOverlap(a10, a10, k = 10).collect()
+    assert(s10.head.getLong(1) === 999022L)
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()

@@ -689,6 +689,9 @@ object DriveVerify {
       val tiered = graft.llmops.Retrieval.qBm25Tiered(spark, sf)
       println(s"tiered champion serving: ${tiered.count()} rows, " +
         s"tier-2 fallbacks: ${tiered.filter(col("tier") === 2).count()}")
+      val rbo = graft.llmops.Retrieval.qRboRuns(spark, sf)
+        .agg(avg(col("rbo_micro"))).collect()(0).getDouble(0)
+      println(f"rbo(bm25, term-overlap) mean: $rbo%.0f micro")
       // streaming gram maintenance: same 2-file replay shape
       val grDir = java.nio.file.Files.createTempDirectory("graft_dv_gram")
       corpus.select("doc_id", "text").repartition(2)
