@@ -2709,6 +2709,11 @@ object OracleSql {
     * candidates and pairwise similarities from the unrolled round-6
     * cosine, every objective an exact integer (7·rel − 3·maxsim) with
     * did tie-breaks — so the pick ORDER hash-gates, not just the set.
+    * Every CTE of the chain is MATERIALIZED: inlined, each round
+    * re-expands the unrolled-cosine CTEs once per reference
+    * (pen2..pen5 each pull sims → candv → cand → cos) and the
+    * statement OOM'd a 500 MB oracle_stress limit at 20 s;
+    * materialized it runs in 0.5 s.
     */
   private val q132 = {
     val k = 5
@@ -2723,62 +2728,62 @@ object OracleSql {
          |  SELECT d.doc_id AS did, e.embedding AS ce
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          |  WHERE d.doc_id % 100 <> 0),
-         |cos AS (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
-         |crank AS (
+         |cos AS MATERIALIZED (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
+         |crank AS MATERIALIZED (
          |  SELECT qid, did, cos6, row_number() OVER
          |    (PARTITION BY qid ORDER BY cos6 DESC, did) AS rk
          |  FROM cos),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT qid, did,
          |    CAST(floor(cos6 * 1000000.0 + 0.5) AS BIGINT) AS rel_micro
          |  FROM crank WHERE rk <= 12),
-         |candv AS (
+         |candv AS MATERIALIZED (
          |  SELECT c.qid, c.did, e.embedding AS emb
          |  FROM cand c JOIN embeddings e ON c.did = e.vec_id),
-         |sims AS (
+         |sims AS MATERIALIZED (
          |  SELECT x.qid, x.did_a, y.did_b,
          |    CAST(floor(round($simCos, 6) * 1000000.0 + 0.5) AS BIGINT)
          |      AS sim_micro
          |  FROM (SELECT qid, did AS did_a, emb AS ea FROM candv) x
          |  JOIN (SELECT qid AS qid_y, did AS did_b, emb AS eb FROM candv) y
          |    ON x.qid = y.qid_y AND x.did_a <> y.did_b),
-         |rem1 AS (SELECT qid, did, rel_micro FROM cand)""".stripMargin
+         |rem1 AS MATERIALIZED (SELECT qid, did, rel_micro FROM cand)""".stripMargin
     val steps = (1 to k).map { j =>
       val score =
         if (j == 1)
-          s"""score1 AS (
+          s"""score1 AS MATERIALIZED (
              |  SELECT qid, did, rel_micro,
              |    (7 * rel_micro) - (3 * 0) AS mmr
              |  FROM rem1)""".stripMargin
         else
-          s"""pen$j AS (
+          s"""pen$j AS MATERIALIZED (
              |  SELECT s.qid, s.did_a AS did, max(s.sim_micro) AS pen
              |  FROM sims s JOIN selall${j - 1} p
              |    ON p.qid = s.qid AND p.did = s.did_b
              |  GROUP BY s.qid, s.did_a),
-             |score$j AS (
+             |score$j AS MATERIALIZED (
              |  SELECT r.qid, r.did, r.rel_micro,
              |    (7 * r.rel_micro) - (3 * coalesce(p.pen, 0)) AS mmr
              |  FROM rem$j r LEFT JOIN pen$j p
              |    ON p.qid = r.qid AND p.did = r.did)""".stripMargin
       val pick =
-        s"""pick$j AS (
+        s"""pick$j AS MATERIALIZED (
            |  SELECT qid, did, rel_micro, mmr, $j AS pick FROM (
            |    SELECT qid, did, rel_micro, mmr, row_number() OVER
            |      (PARTITION BY qid ORDER BY mmr DESC, did) AS rn
            |    FROM score$j)
            |  WHERE rn = 1)""".stripMargin
       val selall =
-        if (j == 1) "selall1 AS (SELECT * FROM pick1)"
+        if (j == 1) "selall1 AS MATERIALIZED (SELECT * FROM pick1)"
         else
-          s"""selall$j AS (
+          s"""selall$j AS MATERIALIZED (
              |  SELECT * FROM selall${j - 1}
              |  UNION ALL SELECT * FROM pick$j)""".stripMargin
       val rem =
         if (j == k) ""
         else
           s""",
-             |rem${j + 1} AS (
+             |rem${j + 1} AS MATERIALIZED (
              |  SELECT r.qid, r.did, r.rel_micro
              |  FROM rem$j r ANTI JOIN pick$j p
              |    ON p.qid = r.qid AND p.did = r.did)""".stripMargin
@@ -2802,7 +2807,7 @@ object OracleSql {
   private val q134 = {
     val cos = cosineSql("ce", "qe", 64)
     s"""WITH $bm25Ctes,
-       |term AS (
+       |term AS MATERIALIZED (
        |  SELECT qid, did, CAST(bm25_micro AS BIGINT) AS score
        |  FROM ranked WHERE rk <= 20),
        |qv AS (
@@ -2811,12 +2816,12 @@ object OracleSql {
        |cv AS (
        |  SELECT c.did, e.embedding AS ce
        |  FROM corpus c JOIN embeddings e ON c.did = e.vec_id),
-       |cos AS (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
+       |cos AS MATERIALIZED (SELECT qid, did, round($cos, 6) AS cos6 FROM cv, qv),
        |vrank AS (
        |  SELECT qid, did, cos6, row_number() OVER
        |    (PARTITION BY qid ORDER BY cos6 DESC, did) AS rk
        |  FROM cos),
-       |vec AS (
+       |vec AS MATERIALIZED (
        |  SELECT qid, did,
        |    CAST(floor(cos6 * 1000000.0 + 0.5) AS BIGINT) AS score
        |  FROM vrank WHERE rk <= 20),
