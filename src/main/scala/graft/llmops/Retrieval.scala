@@ -208,7 +208,10 @@ object Retrieval {
         (lit(wgt) * normed).as("pts")) ++
         channels.indices.map(j =>
           lit(if (j == i) 1 else 0).as(s"in_${channels(j)._1}"))
-      ch.join(ext, "qid").select(cols: _*)
+      // extrema are ONE slim row per query — broadcast, so the channel
+      // relation never shuffles for a per-query scalar join (PlanSpec
+      // pins no SortMergeJoin in the q134 plan)
+      ch.join(broadcast(ext), "qid").select(cols: _*)
     }
     val flagAggs = channels.map { case (n, _, _) =>
       max(col(s"in_$n")).as(s"in_$n")

@@ -557,6 +557,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q131: the fielded probe keeps the q108 shape — broadcast " +
+    "probes, no sort-merge, no cartesian beyond the stats scalar") {
+    val p = plan(graft.llmops.Retrieval.qBm25F(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the one-row stats relation arrives by broadcast nested loop
+    // (a scalar crossJoin), never a real cartesian over data
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q133: every shard probe broadcasts the query terms; the " +
+    "gather re-rank is rank-limited (WindowGroupLimit)") {
+    val p = plan(graft.llmops.Retrieval.qBm25Sharded(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the broker's final top-k specializes to a partial window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q134: fusion channels aggregate map-side partial; extrema " +
+    "joins broadcast") {
+    val p = plan(graft.llmops.Retrieval.qMinMaxFusion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine in the fuse
+  }
+
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
     // the tde fixture is never cache()d by any suite, so the cache
     // manager cannot substitute an InMemoryRelation for the scan
