@@ -2124,11 +2124,16 @@ object Retrieval {
     * property (landed docs never re-tokenized), [[indexDelete]],
     * [[indexUpsert]] all apply verbatim to this relation.
     *
-    * Scale shape: the two field slices and both ElementCounts kernels
-    * run in ONE map stage over the corpus scan (no shuffle until the
-    * (did, tok) merge, which carries pre-combined counts); the merge
-    * aggregation is the only exchange and it is keyed by the same
-    * (did, tok) the probe's scoring aggregate needs.
+    * Scale shape: the whole build is ONE MAP STAGE — both field
+    * slices, both ElementCounts kernels, and the two-field pivot run
+    * per document with zero exchanges: the per-field count maps merge
+    * via `map_zip_with` (full-outer on the token key, absent side 0)
+    * INSIDE the row, so no (did, tok) regroup shuffle ever exists.
+    * The first cut of this operator pivoted by union + groupBy(did,
+    * tok) instead — a full index-sized exchange that postingsIndex
+    * never pays — and measured 3× the family's build cost at sf1
+    * (36.7 s vs ~11 s); the map-side merge removed it (PlanSpec pins
+    * the exchange-free build).
     */
   def bm25fIndex(corpus: DataFrame, titleLen: Int = 6): DataFrame = {
     require(titleLen >= 1, s"need titleLen >= 1; got $titleLen")
@@ -2136,30 +2141,20 @@ object Retrieval {
     val tt = slice(toks, 1, titleLen)
     val bt = slice(toks, lit(titleLen + 1),
       greatest(size(toks) - titleLen, lit(0)))
-    val fields = corpus.select(col("did"),
-      tt.as("ttoks"), bt.as("btoks"))
-    val tPost = fields.select(col("did"),
-      size(col("ttoks")).cast("long").as("tl"),
-      size(col("btoks")).cast("long").as("bl"),
-      lit(1).as("is_title"),
-      explode(graft.expressions.ElementCounts.elementCounts(col("ttoks")))
-        .as(Seq("tok", "tf")))
-    val bPost = fields.filter(size(col("btoks")) > 0)
-      .select(col("did"),
-        size(col("ttoks")).cast("long").as("tl"),
-        size(col("btoks")).cast("long").as("bl"),
-        lit(0).as("is_title"),
-        explode(graft.expressions.ElementCounts.elementCounts(col("btoks")))
-          .as(Seq("tok", "tf")))
-    tPost.unionByName(bPost)
-      .groupBy("did", "tok")
-      // at most ONE row per (did, tok, field), so max() is an exact
-      // pivot, never an order-sensitive float accumulation
-      .agg(coalesce(max(when(col("is_title") === 1, col("tf"))), lit(0L))
-          .cast("long").as("tf_t"),
-        coalesce(max(when(col("is_title") === 0, col("tf"))), lit(0L))
-          .cast("long").as("tf_b"),
-        first(col("tl")).as("tl"), first(col("bl")).as("bl"))
+    // elementCounts IS a map already (tok → tf) — zip the two field
+    // maps full-outer on the token key, absent side 0
+    def cmap(arr: Column): Column =
+      graft.expressions.ElementCounts.elementCounts(arr)
+    val merged = map_zip_with(cmap(tt), cmap(bt), (_, vt, vb) =>
+      struct(coalesce(vt, lit(0L)).cast("long").as("tf_t"),
+        coalesce(vb, lit(0L)).cast("long").as("tf_b")))
+    corpus.select(col("did"),
+        size(tt).cast("long").as("tl"),
+        size(bt).cast("long").as("bl"),
+        explode(merged).as(Seq("tok", "tfs")))
+      .select(col("did"), col("tok"),
+        col("tfs.tf_t").as("tf_t"), col("tfs.tf_b").as("tf_b"),
+        col("tl"), col("bl"))
   }
 
   /** BM25F probe over a prebuilt [[bm25fIndex]] — the simple-BM25F

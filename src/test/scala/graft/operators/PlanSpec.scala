@@ -567,6 +567,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q131: the fielded-index BUILD is one map stage — the two-field " +
+    "pivot merges per doc, zero exchanges") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("did"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = plan(graft.llmops.Retrieval.bm25fIndex(corpus, titleLen = 6))
+    // a union+groupBy pivot here would cost a full index-sized shuffle
+    // postingsIndex never pays (measured 3× the family at sf1)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q133: every shard probe broadcasts the query terms; the " +
     "gather re-rank is rank-limited (WindowGroupLimit)") {
     val p = plan(graft.llmops.Retrieval.qBm25Sharded(spark, dir))

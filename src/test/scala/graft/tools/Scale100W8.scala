@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   * 63.4 s — the rebuild re-tokenizes the 90% of documents the upsert
   * never touches (the q125 lesson, update-shaped; both numbers move
   * ±20% with ambient load, the GAP is the signal). bm25f
-  * build+materialize 8.3 s for 21.5M fielded rows (one-off; both
-  * fields' tfs ride one row, so the index is postings-SIZED, not 2×);
-  * bm25fProbe 22.6 s per 100-query batch — bm25ProbeTerms-class, the
-  * field arithmetic adds zero joins. Sharded probe (4 shards) 51.0 s
+  * build+materialize 8-16 s across runs for 21.5M fielded rows
+  * (one-off; both fields' tfs ride one row, so the index is
+  * postings-SIZED, not 2× — and since the map_zip_with rewrite the
+  * build is ONE MAP STAGE, zero exchanges, PlanSpec-pinned: the
+  * first union+groupBy cut paid a full index-sized pivot shuffle and
+  * measured 36.7 s at the sf1 gate vs ~11.8 s now, q108-class);
+  * bm25fProbe 22-32 s per 100-query batch — bm25ProbeTerms-class,
+  * the field arithmetic adds zero joins. Sharded probe (4 shards) 51.0 s
   * vs single-relation 47.8 s per batch: ~7% gather overhead (4 window
   * re-ranks + a slim union) AFTER localCheckpointing the shared
   * invariants — unmaterialized, every shard branch re-ran the full
