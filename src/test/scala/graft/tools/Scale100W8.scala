@@ -43,7 +43,15 @@ import org.apache.spark.sql.functions._
   * at all. mmrRerank k=10 over 20k candidates / 4M sims: 23.9 s,
   * ~2.4 s per greedy round — flat in k, bounded by the per-round join
   * against the held sims (rank-bounded relations throughout; nothing
-  * corpus-shaped).
+  * corpus-shaped). Tiered serving (q135 at volume): champion pruning
+  * keeps 2.4M of 21.5M impact rows (keepTop=24 × ~100k vocab) and
+  * the tiered broker answers the 100-query batch in 3.6 s vs 64.5 s
+  * for the exact probe over the full index — ~18× from the per-term
+  * probe-volume ceiling, with per-query losslessness self-evidence
+  * (every query filled from tier 1 on this corpus; underfull ones
+  * would have fallen back). minMaxFuse of the exact+champion runs
+  * 1.4 s and rankedOverlap(exact, champion) 0.8 s — run-sized, as
+  * the operators' contracts require (nothing corpus-shaped).
   *
   * Run: SPARK_GRAFT_CPUS=32 sbt 'Test/runMain graft.tools.Scale100W8'
   */
@@ -125,6 +133,44 @@ object Scale100W8 {
     onBig("bm25ProbeTerms 100 queries, single relation (reference)") {
       graft.llmops.Retrieval.bm25ProbeTerms(qTok, postings, topN = 10)
     }
+
+    // ---- tiered serving (q135 at volume): champion tier over the
+    // 100k-term vocabulary — keepTop bounds the probe to
+    // |q|·keepTop postings however skewed the terms ----
+    val impacts = graft.llmops.Retrieval.impactIndex(postings).persist()
+    time("impact quantization 100x (one-off, per epoch)") {
+      println(s"  ${impacts.count()} impact rows")
+    }
+    val champ = graft.llmops.Retrieval
+      .prunedImpactIndex(impacts, keepTop = 24).persist()
+    time("champion pruning keepTop=24 (one-off)") {
+      println(s"  ${champ.count()} champion rows")
+    }
+    onBig("tieredImpactProbe 100 queries (tier-1 + fallback broker)") {
+      graft.llmops.Retrieval.tieredImpactProbe(qTok, impacts, champ,
+        topN = 10)
+    }
+
+    // ---- min-max fusion + RBO (q134/q136 at volume): both consume
+    // rank-bounded runs, so their cost must be run-sized, never
+    // corpus-sized — fuse/compare the exact and champion probes ----
+    val runExact = graft.llmops.Retrieval
+      .impactProbe(qTok, impacts, topN = 20).localCheckpoint()
+    val runChamp = graft.llmops.Retrieval
+      .impactProbe(qTok, champ, topN = 20).localCheckpoint()
+    onBig("minMaxFuse exact(3) + champion(2) runs") {
+      graft.llmops.Retrieval.minMaxFuse(Seq(
+        ("exact", runExact.select(col("qid"), col("did"),
+          col("bm25_micro").as("score")), 3L),
+        ("champ", runChamp.select(col("qid"), col("did"),
+          col("bm25_micro").as("score")), 2L)), topK = 10)
+    }
+    onBig("rankedOverlap(exact, champion) k=10") {
+      graft.llmops.Retrieval.rankedOverlap(
+        runExact.select("qid", "did", "rk"),
+        runChamp.select("qid", "did", "rk"), k = 10)
+    }
+    impacts.unpersist(); champ.unpersist()
 
     // ---- MMR at volume (q132 at 16× the gate's candidate pool):
     // 100 queries × 200 candidates, 4M sim rows, k = 10 rounds ----
