@@ -859,6 +859,44 @@ class RetrievalSpec extends SparkSpec {
     assert(s10.head.getLong(1) === 999022L)
   }
 
+  test("bm25fIndex: one row per (doc, term) with both fields' tfs — " +
+    "a both-fields term pivots onto a single row (one saturation)") {
+    import spark.implicits._
+    // "x" appears twice in the title and once in the body; "y" only in
+    // the body; title = first 6 tokens
+    val corpus = Seq((1L, "x a x b c d x y z")).toDF("did", "text")
+    val rows = Retrieval.bm25fIndex(corpus, titleLen = 6)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // (tf_t, tf_b, tl, bl): x = 2 title + 1 body ON ONE ROW — the
+    // property that makes BM25F saturate combined evidence once
+    assert(rows("x") === ((2L, 1L, 6L, 3L)))
+    assert(rows("y") === ((0L, 1L, 6L, 3L)))
+    assert(rows("a") === ((1L, 0L, 6L, 3L)))
+    assert(rows.size === 9 - 2) // 9 tokens, x deduped across fields +
+                                // one in-title dup: distinct terms = 7
+    // a short doc: everything in the title, bl = 0 and no body terms
+    val short = Seq((2L, "p q")).toDF("did", "text")
+    val sr = Retrieval.bm25fIndex(short, titleLen = 6)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(sr("p") === ((1L, 0L, 2L, 0L)) && sr.size === 2)
+  }
+
+  test("rankedOverlap: a query absent from runB scores zero; a query " +
+    "absent from runA is absent from the report (the documented contract)") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("qid", "did", "rk")
+    val b = Seq((1L, 10L, 1), (3L, 30L, 1)).toDF("qid", "did", "rk")
+    val out = Retrieval.rankedOverlap(a, b, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet === Set(1L, 2L)) // qid 3 (B-only) absent
+    assert(out(2L) === 0L)             // qid 2 (A-only) scores 0
+    assert(out(1L) > 0L)
+  }
+
   test("q107 plan: no cartesian term stage, rank pushdown in windows") {
     val df = Retrieval.qHybridRrf(spark, dir)
     df.collect()
