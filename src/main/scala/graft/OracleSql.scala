@@ -36,6 +36,43 @@ object OracleSql {
     s"CASE WHEN $den > 0 THEN ${dotSql(a, b, dim)} / $den ELSE 0.0 END"
   }
 
+  /** Flat-embedding CTE: the embeddings table with every dimension
+    * extracted ONCE into a plain DOUBLE column x1..x`dim`, plus the
+    * per-row L2 norm. Bit-identical to inlining [[cosineSql]] — the
+    * same `CAST(embedding[j] AS DOUBLE)` per element, the same
+    * left-associated fold, one deterministic sqrt — but downstream
+    * pair stages then multiply flat columns instead of re-extracting
+    * 64-wide list children on join outputs. The list-re-extraction
+    * form is what fragmented DuckDB's allocator into ~60k memory maps
+    * (vm.max_map_count 65,530) under the driver's single-process
+    * 32-thread sequential harness and cost q90's r12 row; the flat
+    * form stays in the low thousands (`tools/oracle_stress.py --seq`
+    * replays the driver profile and gates this).
+    */
+  private def flatEmbCte(name: String, dim: Int): String = {
+    val extract = (1 to dim)
+      .map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j").mkString(", ")
+    val nrm = s"sqrt(${sumL((1 to dim).map(j => s"x$j * x$j"))})"
+    s"""$name AS MATERIALIZED (
+       |  SELECT *, $nrm AS nrm FROM (
+       |    SELECT vec_id, $extract FROM embeddings) flat_inner)""".stripMargin
+  }
+
+  /** Σ a.xj·b.xj over [[flatEmbCte]] aliases — same terms and order as
+    * [[dotSql]] after each side's one-time DOUBLE cast.
+    */
+  private def flatDotSql(a: String, b: String, dim: Int): String =
+    sumL((1 to dim).map(j => s"$a.x$j * $b.x$j"))
+
+  /** [[cosineSql]] over [[flatEmbCte]] aliases: numerator term-identical,
+    * denominator the same two sqrts (precomputed per row) multiplied in
+    * the same order.
+    */
+  private def flatCosSql(a: String, b: String, dim: Int): String = {
+    val den = s"($a.nrm * $b.nrm)"
+    s"CASE WHEN $den > 0 THEN ${flatDotSql(a, b, dim)} / $den ELSE 0.0 END"
+  }
+
   /** Haversine separation in degrees, mirroring Astro.angSepDeg term by
     * term (same literal D2R, same operation order, same radicand clamp
     * — see AngularSeparation.compute's near-antipodal note).
@@ -1679,26 +1716,32 @@ object OracleSql {
   }
 
   /** q85 — the SemDeDup-shape semantic dedup: identical IVF assignment
-    * CTE as q27 (every-97th seeds, round-6 tie-stable argmax), then
-    * per-cell exhaustive pairs and the greedy min-id representative.
+    * semantics as q27 (every-97th seeds, round-6 tie-stable argmax),
+    * then per-cell exhaustive pairs and the greedy min-id
+    * representative. Allocator-lean form (round 13): [[flatEmbCte]]
+    * flat columns everywhere, `assign` MATERIALIZED and slim
+    * (vec_id, seed_id) with the flat rows joined back by unique
+    * vec_id only where a cosine is computed.
     */
   private val q85 = {
-    val cosSeed = cosineSql("e.embedding", "seeds.semb", 64)
-    val cosAB = cosineSql("a.embedding", "b.embedding", 64)
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    val cosSeed = flatCosSql("e", "s", 64)
+    val cosAB = flatCosSql("ea", "eb", 64)
+    s"""WITH ${flatEmbCte("ef", 64)},
        |seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS semb FROM e
+       |  SELECT * EXCLUDE (vec_id), vec_id AS seed_id FROM ef
        |  WHERE vec_id % 97 = 0),
-       |assign AS (
-       |  SELECT vec_id, embedding, seed_id FROM (
-       |    SELECT e.vec_id, e.embedding, seeds.seed_id,
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, seed_id FROM (
+       |    SELECT e.vec_id, s.seed_id,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round($cosSeed, 6) DESC, seed_id) AS rk
-       |    FROM e, seeds) t WHERE rk = 1),
+       |        ORDER BY round($cosSeed, 6) DESC, s.seed_id) AS rk
+       |    FROM ef e, seeds s) t WHERE rk = 1),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS vec_id,
        |    round($cosAB, 6) AS cos_sim
        |  FROM assign a JOIN assign b USING (seed_id)
+       |  JOIN ef ea ON ea.vec_id = a.vec_id
+       |  JOIN ef eb ON eb.vec_id = b.vec_id
        |  WHERE a.vec_id < b.vec_id)
        |SELECT vec_id, min(id_a) AS canonical_id, count(*) AS n_dups
        |FROM pairs WHERE cos_sim >= 0.25
@@ -2010,35 +2053,36 @@ object OracleSql {
     * ([[graft.llmops.Curation.semanticDecontaminate]]).
     *
     * Memory-lean form (round 12): the ranking windows sort SLIM
-    * (vec_id, seed_id, cosine) rows — the 64-double embedding arrays
-    * join back by unique vec_id only AFTER the rank filters, so the
-    * per-thread sort working set carries ids, not vectors (at 32
-    * DuckDB threads the embedding-carrying form OOM'd a 500MB limit —
-    * the q61 thread-scaled-working-set class; this form runs in ~1 s
-    * there).
+    * (vec_id, seed_id, cosine) rows — the embedding data joins back by
+    * unique vec_id only AFTER the rank filters. Allocator-lean form
+    * (round 13): [[flatEmbCte]] flat columns end to end — the r12 form
+    * still re-extracted 64-wide lists inside the cross-join cosines,
+    * which alone could saturate the map table in the driver's
+    * single-process 32-thread pass (the r12 q90 loss; gated by
+    * `tools/oracle_stress.py --seq`).
     */
   private val q90 = {
-    val cosT = cosineSql("tr.embedding", "seeds.semb", 64)
-    val cosE = cosineSql("ev.embedding", "seeds.semb", 64)
-    val cosTE = cosineSql("t2.embedding", "e2.embedding", 64)
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7),
-       |ev AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 7),
+    val cosT = flatCosSql("t", "s", 64)
+    val cosE = flatCosSql("v", "s", 64)
+    val cosTE = flatCosSql("t2", "e2", 64)
+    s"""WITH ${flatEmbCte("ef", 64)},
+       |tr AS (SELECT * FROM ef WHERE vec_id % 10 <> 7),
+       |ev AS (SELECT * FROM ef WHERE vec_id % 10 = 7),
        |seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS semb FROM tr
+       |  SELECT * EXCLUDE (vec_id), vec_id AS seed_id FROM tr
        |  WHERE vec_id % 97 = 0),
        |assign_t AS MATERIALIZED (
        |  SELECT vec_id AS train_id, seed_id FROM (
-       |    SELECT tr.vec_id, seeds.seed_id,
-       |      row_number() OVER (PARTITION BY tr.vec_id
-       |        ORDER BY round($cosT, 6) DESC, seed_id) AS rk
-       |    FROM tr, seeds) t WHERE rk = 1),
+       |    SELECT t.vec_id, s.seed_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY round($cosT, 6) DESC, s.seed_id) AS rk
+       |    FROM tr t, seeds s) z WHERE rk = 1),
        |probe_e AS MATERIALIZED (
        |  SELECT vec_id AS eval_id, seed_id FROM (
-       |    SELECT ev.vec_id, seeds.seed_id,
-       |      row_number() OVER (PARTITION BY ev.vec_id
-       |        ORDER BY round($cosE, 6) DESC, seed_id) AS rk
-       |    FROM ev, seeds) t WHERE rk <= 2),
+       |    SELECT v.vec_id, s.seed_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosE, 6) DESC, s.seed_id) AS rk
+       |    FROM ev v, seeds s) z WHERE rk <= 2),
        |pairs AS (
        |  SELECT a.train_id, p.eval_id, round($cosTE, 6) AS cos_sim
        |  FROM assign_t a JOIN probe_e p USING (seed_id)
