@@ -67,8 +67,28 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  /** Gate-scale input spread: the driver's sf0.1 documents parquet is
+    * ONE row group, so every index build's tokenization would run on
+    * one core (tools/ProfileQ108's finding: isolated build 1.4 s
+    * serial vs 0.22 s spread). A bare conditional repartition here was
+    * measured NET-NEGATIVE in round 12 — nothing materialized the
+    * exchange, so each consumer branch (query split, corpus split,
+    * df/stats/scoring) re-ran the text shuffle. The fix is to persist
+    * the spread read: the exchange materializes exactly once per gate
+    * (~5 MB cached; Bench/Verify clearCache between queries per the
+    * file's materialization rule) and every downstream tokenization
+    * runs at full parallelism. When the input already scans as ≥half
+    * the cores' splits — every real deployment — this is the identity
+    * read: no shuffle, no cache. Row order is free to change; every
+    * gate output is order-insensitive (exact-integer scores, per-row
+    * round-6 cosines, total ORDER BY).
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions * 2 >= target) raw
+    else raw.repartition(target).persist()
+  }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -406,10 +426,14 @@ object Retrieval {
     *
     * When it wins: skewed idf mass (real corpora) — the essential
     * terms' posting lists bound the scored volume and the rest of the
-    * corpus is never touched. On the dense gate vocabulary every doc
-    * matches an essential term, so candidates ≈ corpus and it
-    * degrades to ~full scoring plus slim bound arithmetic — the
-    * documented dense-universe profile, with correctness intact.
+    * corpus is never touched. On a dense vocabulary every doc matches
+    * an essential term, so candidates ≈ corpus and pruning buys
+    * nothing; since round 13 a bound-viability PRE-CHECK (one slim
+    * aggregation over the query terms' df) detects that collapse per
+    * query and routes collapsed queries straight to the exact fallback
+    * pass, so the dense degenerate pays full scoring ONCE instead of
+    * candidate machinery + full scoring — correctness identical on
+    * both routes.
     * Since round 12 the exact-scoring stages (candidates AND the
     * fallback) read PRE-QUANTIZED impacts ([[impactIndexWith]], fed
     * this probe's own df/stats) — identical integers by construction,
@@ -437,13 +461,51 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("tok"), col("df"),
         (floor(idf * lit(k1 + 1.0) * lit(1000000.0)) + lit(1L))
-          .cast("long").as("ub_micro"))
+          .cast("long").as("ub_micro"),
+        // n_docs rides the checkpoint so the viability pre-check below
+        // never re-aggregates the postings for one scalar
+        col("n_docs"))
       .localCheckpoint())
     val wT = Window.partitionBy("qid")
       .orderBy(col("ub_micro").desc, col("tok"))
     val rankedTerms = qTerms.withColumn("trm_rank",
       row_number().over(wT))
+    // bound-viability pre-check: one slim aggregation over the query
+    // terms' df detects BOUND COLLAPSE before any candidate machinery
+    // runs. When the essential terms' summed df reaches n_docs, their
+    // posting lists can cover the whole corpus — candidates ≈ corpus,
+    // so pruning buys nothing and the certificate machinery is pure
+    // overhead paid BEFORE the fallback decision (the r12 dense-gate
+    // profile: 66–81 s at sf1, an order above its family). Such
+    // queries are routed off the pruning path here: they build no
+    // candidates, never certify, and land in the existing fbQ fallback
+    // — ONE exact scoring pass over the shared impacts, never a double
+    // pass. ess_df < n_docs keeps every genuinely sparse query
+    // (Scale100W4's regime: ess_df ≈ 8k vs 500k docs) on the pruning
+    // path with bit-identical behavior to the pre-check-free form;
+    // losslessness never depended on the routing, only costs do
+    // (RetrievalSpec pins exact-probe equality in both regimes).
+    val viableQ = rankedTerms.filter(col("trm_rank") <= essential)
+      .groupBy("qid").agg(sum(col("df")).as("ess_df"),
+        first(col("n_docs")).as("n_docs"))
+      .filter(col("ess_df") < col("n_docs"))
+      .select("qid")
+      .localCheckpoint() // drives the route guard AND the ess filter
+    // exact-score candidates come from PRE-QUANTIZED impacts (see the
+    // candidate stage below) — built here because BOTH routes consume
+    // them; localCheckpoint: candidate scoring and the fallback probe
+    val impacts = impactIndexWith(postings, df0, stats, k1, b)
+      .localCheckpoint()
+    // driver-side route guard (the fbQ.isEmpty idiom, moved BEFORE the
+    // machinery): when the pre-check certifies no query, every stage
+    // below would run against empty broadcasts yet still SCAN the
+    // postings/impacts (an empty broadcast side does not short-circuit
+    // the probe side) — skip straight to the one exact scoring pass
+    if (viableQ.isEmpty)
+      return impactProbe(qTok, impacts, topN)
+        .select("qid", "did", "bm25_micro", "n_match", "rk")
     val ess = rankedTerms.filter(col("trm_rank") <= essential)
+      .join(broadcast(viableQ), "qid")
       .select("qid", "tok")
     val bq = rankedTerms.groupBy("qid")
       .agg(sum(when(col("trm_rank") > essential, col("ub_micro"))
@@ -451,15 +513,12 @@ object Retrieval {
     val cand = broadcast(ess).join(postings, "tok")
       .select("qid", "did").distinct()
       .localCheckpoint() // consumed by candDids AND the scoring join
-    // exact-score candidates only, from PRE-QUANTIZED impacts: the
-    // integers are identical to inline scoring by construction
-    // (impactIndexWith shares this probe's df0/stats), so losslessness
-    // and the gate hash are untouched while the scoring join sheds the
-    // stats crossJoin and all per-row floating point (the q123 trade,
-    // applied to the pruning path: 97 s → see SURVEY at 10×-sf0.1).
-    // localCheckpoint: candidate scoring AND the fallback probe read it
-    val impacts = impactIndexWith(postings, df0, stats, k1, b)
-      .localCheckpoint()
+    // candidate scoring reads the pre-quantized impacts: the integers
+    // are identical to inline scoring by construction (impactIndexWith
+    // shares this probe's df0/stats), so losslessness and the gate
+    // hash are untouched while the scoring join sheds the stats
+    // crossJoin and all per-row floating point (the q123 trade,
+    // applied to the pruning path: 97 s → see SURVEY at 10×-sf0.1)
     val wS = Window.partitionBy("qid")
       .orderBy(col("bm25_micro").desc, col("did"))
     // the candidate DOC set (distinct dids) is bounded by the
@@ -524,11 +583,13 @@ object Retrieval {
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
     val index = postingsIndex(corpus).persist()
-    // essential = 40 on this dense tiny-vocab corpus: enough term mass
-    // that the bound certifies and no query pays the fallback double
-    // pass (essential = 2 forces fallback for every query here —
-    // measured 14 s vs 5.9 s at sf0.1); the sparse prune regime is
-    // spec- and soak-covered
+    // on this dense tiny-vocab corpus the essential terms' df mass
+    // covers the corpus for every query, so the round-13 bound-
+    // viability pre-check routes the whole batch straight to the
+    // single exact fallback pass — the candidate machinery never runs
+    // here (it runs, and wins, in the sparse Scale100W4 regime); the
+    // hash is route-independent because both paths score the same
+    // pre-quantized impacts
     bm25ProbeMaxScore(queryTerms(queries), index, topN = 10,
         essential = 40)
       .orderBy("qid", "rk")

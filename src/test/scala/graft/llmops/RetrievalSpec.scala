@@ -263,8 +263,10 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25ProbeMaxScore(qt, idx, topN = 5,
         essential = 1)) ===
       rows(Retrieval.bm25ProbeTerms(qt, idx, topN = 5)))
-    // adversarial: every doc identical → bound can't separate → the
-    // operator must fall back (or certify) and still match exactly
+    // adversarial: every doc identical → bound can't separate; the
+    // round-13 viability pre-check sees ess_df (50) ≥ n_docs (50) and
+    // routes the query straight to the exact fallback — the result
+    // must still match full scoring exactly
     val dense = (0 until 50).map(i => (i.toLong, "a b c d"))
       .toDF("did", "text")
     val qd = Seq((0L, "a b c")).toDF("qid", "text")
@@ -273,6 +275,15 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25ProbeMaxScore(qtD, idxD, topN = 7,
         essential = 1)) ===
       rows(Retrieval.bm25ProbeTerms(qtD, idxD, topN = 7)))
+    // mixed batch: qid 0's essential term is rare (viable → prune
+    // path), qid 1's is the universal stopword (ess_df = n_docs →
+    // pre-check routes it to the fallback) — the union of the two
+    // routes must equal full scoring for BOTH queries
+    val qm = Seq((0L, "r3 c9"), (1L, "c0 c1")).toDF("qid", "text")
+    val qtM = Retrieval.queryTerms(qm)
+    assert(rows(Retrieval.bm25ProbeMaxScore(qtM, idx, topN = 5,
+        essential = 1)) ===
+      rows(Retrieval.bm25ProbeTerms(qtM, idx, topN = 5)))
     spark.catalog.clearCache()
   }
 
@@ -903,7 +914,7 @@ class RetrievalSpec extends SparkSpec {
     // final adaptive plan only (toString appends "== Initial Plan ==",
     // which would double-count every node)
     val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+      .split("(?m)^\\+- == Initial Plan ==$")(0)
     // the vector channel's broadcast of the QUERY side is the ONE
     // intended nested-loop stage; the term channel must stay an
     // equi-join, and the rank filters must specialize the window sorts

@@ -69,7 +69,7 @@ class BucketingSpec extends SparkSpec {
       val probe = Retrieval.bm25Probe(queries, bucketed, topN = 10)
       probe.collect()
       val p = probe.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+        .split("(?m)^\\+- == Initial Plan ==$").head
       // ZERO Exchange on tok anywhere in the probe: the df aggregation
       // rides the bucket layout and the scoring join is a broadcast
       // probe — the corpus-sized postings relation is never shuffled on
@@ -85,7 +85,7 @@ class BucketingSpec extends SparkSpec {
       val raw = Retrieval.bm25Probe(queries, postings, topN = 10)
       raw.collect()
       val pRaw = raw.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+        .split("(?m)^\\+- == Initial Plan ==$").head
       assert(pRaw.contains("hashpartitioning(tok"), pRaw)
       // and the layout changes the plan only, never the answer
       def rows(df: org.apache.spark.sql.DataFrame) =
@@ -120,7 +120,7 @@ class BucketingSpec extends SparkSpec {
       val probe = Retrieval.gramProbe(phrases, bucketed, topN = 10)
       probe.collect()
       val p = probe.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+        .split("(?m)^\\+- == Initial Plan ==$").head
       val gramExchanges = p.linesIterator.filter(l =>
         l.contains("Exchange hashpartitioning") && l.contains("gram"))
       assert(gramExchanges.isEmpty,
@@ -131,7 +131,7 @@ class BucketingSpec extends SparkSpec {
       val raw = Retrieval.gramProbe(phrases, grams, topN = 10)
       raw.collect()
       val pRaw = raw.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
+        .split("(?m)^\\+- == Initial Plan ==$").head
       assert(pRaw.linesIterator.exists(l =>
         l.contains("Exchange hashpartitioning") && l.contains("gram")),
         pRaw)

@@ -87,7 +87,7 @@ class PlanSpec extends SparkSpec {
       // one hash exchange feeds window (+ the q38 aggregation reuses it:
       // hashpartitioning(user_id) satisfies clustering on (user, session));
       // count in the AQE final plan only (the dump repeats the initial)
-      val finalPlan = p.split("== Initial Plan ==").head
+      val finalPlan = finalPlanOf(p)
       val hashEx = "Exchange hashpartitioning".r
         .findAllMatchIn(finalPlan).length
       assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n$p")
@@ -139,7 +139,7 @@ class PlanSpec extends SparkSpec {
 
   test("q40: explicit-values pivot is the two-level pivotfirst plan") {
     val p = plan(graft.operators.EventQueries.q40PivotEventMatrix(spark, dir))
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     // pre-agg on (user, type) then pivotfirst on user: exactly two hash
     // exchanges, and no separate distinct-values job (explicit list)
     assert("Exchange hashpartitioning".r.findAllMatchIn(finalPlan).length === 2,
@@ -214,7 +214,7 @@ class PlanSpec extends SparkSpec {
 
   test("q66: streaks = dedup exchange + ONE shared user-key exchange") {
     val p = plan(EventQueries.q66Streaks(spark, dir))
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     // exchange 1: the distinct, partial-deduped map-side, keyed
     // (user, day); exchange 2: the window re-key on user, which both
     // downstream aggregations then reuse (clustering satisfied) — a
@@ -253,7 +253,7 @@ class PlanSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val p = plan(CoreQueries.q64RevenueCycle(spark, dir))
-      val finalPlan = p.split("== Initial Plan ==").head
+      val finalPlan = finalPlanOf(p)
       // the fact-fact edge shuffles: a sort-merge/shuffled-hash join
       // whose keys are the orderkeys — never a broadcast of orders
       val orderkeyJoin = finalPlan.linesIterator.find(l =>
@@ -313,7 +313,7 @@ class PlanSpec extends SparkSpec {
     // tree the consuming aggregates appear ABOVE the filter.
     // (Catalyst goes further and folds the cut into the candidate
     // join's condition — dropped pairs never materialize at all)
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     val lines = finalPlan.linesIterator.toVector
     val fIdx = lines.indexWhere(l =>
       l.contains("bit_count") && l.contains("<="))
@@ -415,7 +415,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     // the corpus side joins probes on seed_id — an equi-join; the only
     // nested-loop is the broadcast seeds crossJoin (k-row build side)
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     assert(!finalPlan.contains("CartesianProduct"), p)
   }
 
@@ -445,7 +445,7 @@ class PlanSpec extends SparkSpec {
 
   test("q115: the phrase semi-join sits below the (did, gram) aggregate") {
     val p = plan(graft.llmops.Retrieval.qPhraseSearch(spark, dir))
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     val lines = finalPlan.linesIterator.toVector
     // the broadcast semi-join against the phrase set is the prune that
     // turns the occurrence aggregation's shuffle from corpus-gram-sized
@@ -468,7 +468,7 @@ class PlanSpec extends SparkSpec {
         graft.llmops.Retrieval.qProximityIndexed(spark, dir))) {
       val p = plan(df)
       spark.catalog.clearCache()
-      val finalPlan = p.split("== Initial Plan ==").head
+      val finalPlan = finalPlanOf(p)
       // the phrase/pair batch is bounded by contract and broadcasts
       // STATICALLY into the positions relation (hint-driven — holds
       // even when a concurrent suite floors the auto-broadcast
@@ -487,7 +487,7 @@ class PlanSpec extends SparkSpec {
   test("q119: the IVF vector channel keeps the q98 probe shape inside the fusion") {
     val p = plan(graft.llmops.Retrieval.qHybridRrfIvf(spark, dir))
     spark.catalog.clearCache()
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     // candidates come from the seed_id equi-join (never all-pairs: the
     // only nested-loop stages are the broadcast seed crossJoins), and
     // both the probe rank and the channel top-k truncate partial-mode
@@ -502,7 +502,7 @@ class PlanSpec extends SparkSpec {
         graft.llmops.Retrieval.qSnippetsGramIndexed(spark, dir))) {
       val p = plan(df)
       spark.catalog.clearCache()
-      val finalPlan = p.split("== Initial Plan ==").head
+      val finalPlan = finalPlanOf(p)
       val lines = finalPlan.linesIterator.toVector
       // same contract as the q115 one-shot: the broadcast LeftSemi
       // against the phrase set prunes the index BEFORE the (did, gram)
@@ -523,7 +523,7 @@ class PlanSpec extends SparkSpec {
     "sum — no index-wide aggregates, no sort-merge") {
     val p = plan(graft.llmops.Retrieval.qBm25Impact(spark, dir))
     spark.catalog.clearCache()
-    val finalPlan = p.split("== Initial Plan ==").head
+    val finalPlan = finalPlanOf(p)
     // the probe side must never re-derive df/stats from the index: the
     // only aggregates allowed above the persisted impacts are the
     // per-(qid, did) score sum and the window rank

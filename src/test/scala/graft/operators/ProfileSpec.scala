@@ -45,7 +45,7 @@ class ProfileSpec extends SparkSpec {
     val df = Profile.q106TableProfile(spark, "/root/testdata/sf0.001")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+      .split("(?m)^\\+- == Initial Plan ==$").head
     val reads = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(reads.size === Profile.Q106Cols.size, p)
