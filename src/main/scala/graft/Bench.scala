@@ -111,10 +111,34 @@ object Bench {
     var calibPar = Vector.empty[Double]
     calibratePar() // discarded: JIT/scheduler warm-up, so the recorded
     // spread reflects ambient contention rather than first-call compile
+    // MID-REP canary: a 0.1× calibration sample every ~25 queries.
+    // Head-of-rep canaries were blind to contention that arrived
+    // MID-rep twice running (the r11/r12 driver artifacts read idle at
+    // the head while a q38–q76-sized block ran 8–28× hot) — the inline
+    // series labels any contended window inside the artifact itself,
+    // and it is emitted at the END of the JSON line so a tail-truncated
+    // capture still carries it. Cost: ~0.09 s × (queries/25) × reps.
+    def calibrateMid(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 40000000L) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        h ^= h >>> 29
+        i += 1
+      }
+      if (h == 42L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    var midCanary = Vector.empty[(Int, Int, Double)] // (rep, qIdx, s)
+    var repNo = 0
+    var qIdx = 0
     // interleaved: outer loop over reps, inner over queries (see scaladoc)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; name <- ("" +: names)) if (name.isEmpty) {
+      repNo += 1
+      qIdx = 0
       // one canary sample of each kind at the head of each rep —
       // contention DURING the run shows up as calibration spread, not
       // just a hot start
@@ -138,6 +162,9 @@ object Bench {
       // queries aren't taxed by cache eviction / GC pressure (untimed)
       spark.catalog.clearCache()
       times(name) = times(name) :+ dt
+      qIdx += 1
+      if (qIdx % 25 == 0) midCanary = midCanary :+
+        ((repNo, qIdx, calibrateMid()))
     }
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = names.map { name =>
@@ -157,7 +184,16 @@ object Bench {
     val calibSpread = round3(calib.max / calib.min)
     val calibParS = round3(calibPar.min)
     val calibParSpread = round3(calibPar.max / calibPar.min)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"sf":"$sfDir"}""")
+    // [[rep, queryIndex, seconds], ...] — 0.1× calibration samples taken
+    // inline every 25 queries; spread over the series labels contended
+    // windows mid-rep (kept LAST in the line so tail truncation
+    // preserves it)
+    val midJson = midCanary
+      .map { case (r, q, s) => s"[$r,$q,${round3(s)}]" }
+      .mkString("[", ",", "]")
+    val midSpread = if (midCanary.isEmpty) -1.0
+      else round3(midCanary.map(_._3).max / midCanary.map(_._3).min)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"sf":"$sfDir","canary_mid_spread":$midSpread,"canary_mid_series":$midJson}""")
     spark.stop()
   }
 }

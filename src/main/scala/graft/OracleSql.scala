@@ -2977,6 +2977,68 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Unrolled Feistel rounds for
+    * [[graft.llmops.TextOps.epochShuffleKey]], as a CTE chain (one CTE
+    * per round — inlining would nest the round expression
+    * exponentially). Round keys come from the SAME
+    * `TextOps.epochShuffleRoundKeys` Scala values the engine embeds as
+    * literals, so the two sides cannot drift; all arithmetic is
+    * non-negative BIGINT below 2^62 (`//`/`%`/xor/`>>` match Spark's
+    * subtract-pmod div, pmod, bitwiseXOR and shiftright exactly).
+    * Returns (CTE text chained from `src`, final-table name, key
+    * expression over that table's columns).
+    */
+  private def feistelCtes(src: String, idCol: String, epoch: Long,
+      pfx: String): (String, String, String) = {
+    val keys = graft.llmops.TextOps.epochShuffleRoundKeys(epoch)
+    val half = 1L << 31
+    val cte0 =
+      s"""${pfx}0 AS (
+         |  SELECT *, $idCol // $half AS ${pfx}_l0,
+         |    $idCol % $half AS ${pfx}_r0
+         |  FROM $src)""".stripMargin
+    val rounds = keys.zipWithIndex.map { case (k, i) =>
+      val n = i + 1
+      s"""${pfx}$n AS (
+         |  SELECT *, ${pfx}_r$i AS ${pfx}_l$n,
+         |    xor(${pfx}_l$i, xor(${pfx}_m$n, ${pfx}_m$n >> 15))
+         |      AS ${pfx}_r$n
+         |  FROM (SELECT *,
+         |    (${pfx}_r$i * 1103515245 + $k) % $half AS ${pfx}_m$n
+         |    FROM ${pfx}$i) ${pfx}_t$n)""".stripMargin
+    }
+    ((cte0 +: rounds).mkString(",\n"), s"${pfx}4",
+      s"(${pfx}_l4 * $half + ${pfx}_r4)")
+  }
+
+  /** q137 — training-order shuffle mirror
+    * ([[graft.llmops.TextOps.qEpochShuffle]]): the q127 naive packing
+    * cumsum yields the distinct seq_ids, then the epoch-1 and epoch-2
+    * Feistel chains replay [[feistelCtes]] back to back.
+    */
+  private val q137 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val (e1Ctes, e1Tbl, e1Key) = feistelCtes("ids", "seq_id", 1L, "e1")
+    val (e2Ctes, _, e2Key) = feistelCtes(e1Tbl, "seq_id", 2L, "e2")
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM c),
+       |ids AS (
+       |  SELECT DISTINCT CAST(start_tok // 512 AS BIGINT) AS seq_id
+       |  FROM s),
+       |$e1Ctes,
+       |$e2Ctes
+       |SELECT seq_id, $e1Key AS shuffle_key_e1, $e2Key AS shuffle_key_e2
+       |FROM e24 ORDER BY shuffle_key_e1""".stripMargin
+  }
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -3861,5 +3923,6 @@ object OracleSql {
     "q135_bm25_tiered" -> q135,
     // q136 compares two runs by rank-biased overlap at p = 1/2; the
     // mirror replays each depth term with // and <<
-    "q136_rbo_runs" -> q136)
+    "q136_rbo_runs" -> q136,
+    "q137_epoch_shuffle" -> q137)
 }

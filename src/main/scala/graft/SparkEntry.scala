@@ -319,7 +319,10 @@ object SparkEntry {
     "q135_bm25_tiered" -> (Retrieval.qBm25Tiered _),
     // rank-biased overlap at p = 1/2 (exact 2^-d weights): the
     // run-comparison metric — top-weighted agreement of two rankers
-    "q136_rbo_runs" -> (Retrieval.qRboRuns _))
+    "q136_rbo_runs" -> (Retrieval.qRboRuns _),
+    // epoch-keyed deterministic training-order shuffle: bijective
+    // Feistel key per (epoch, seq_id) — two epochs' keys in one gate
+    "q137_epoch_shuffle" -> (TextOps.qEpochShuffle _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** q30 — stratified quota sample: the top `quota` documents per
     * (lang, source) stratum by token count, deterministic tie-break on

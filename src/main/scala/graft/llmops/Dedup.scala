@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Normalized word tokens of the text. */
   def tokens(text: Column): Column =

@@ -286,7 +286,8 @@ object Multimodal {
     * near-duplicate image pairs at the standard Hamming ≤ 10 band.
     */
   def qImageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val d = GateInputs.spread(
+        spark.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"), tokenRaster(col("text")).as("px"),
         size(graft.expressions.WordShingles.shingles(col("text"), 1))
           .as("ntok"))

@@ -67,28 +67,10 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Gate-scale input spread: the driver's sf0.1 documents parquet is
-    * ONE row group, so every index build's tokenization would run on
-    * one core (tools/ProfileQ108's finding: isolated build 1.4 s
-    * serial vs 0.22 s spread). A bare conditional repartition here was
-    * measured NET-NEGATIVE in round 12 — nothing materialized the
-    * exchange, so each consumer branch (query split, corpus split,
-    * df/stats/scoring) re-ran the text shuffle. The fix is to persist
-    * the spread read: the exchange materializes exactly once per gate
-    * (~5 MB cached; Bench/Verify clearCache between queries per the
-    * file's materialization rule) and every downstream tokenization
-    * runs at full parallelism. When the input already scans as ≥half
-    * the cores' splits — every real deployment — this is the identity
-    * read: no shuffle, no cache. Row order is free to change; every
-    * gate output is order-insensitive (exact-integer scores, per-row
-    * round-6 cosines, total ORDER BY).
-    */
-  private def docs(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/documents.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions * 2 >= target) raw
-    else raw.repartition(target).persist()
-  }
+  // spread-read: see [[GateInputs.spread]] (one-row-group gate parquet
+  // would serialize every index build's tokenization otherwise)
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -1299,6 +1281,54 @@ object Retrieval {
           .as("mrr_micro"),
         microDiv(lit(1000000L) * coalesce(col("n_hits"), lit(0L)),
           col("n_rel")).as("recall_micro"))
+  }
+
+  /** nDCG@k (Järvelin & Kekäläinen, TOIS 2002) — the graded ranked-run
+    * metric [[retrievalMetrics]] deliberately omits from the HASH gate
+    * (DCG's log2 is libm-drift-prone across engines, the q108 ln
+    * lesson), shipped as a library operator because ranked-run
+    * evaluation without nDCG is incomplete for retrieval users. Spec-
+    * pinned against a driver-side replication to 1e-12 instead of
+    * oracle-gated; its DriveVerify line exercises it end-to-end.
+    *
+    * Inputs: `run` = (qid, did, rk); `rel` = (qid, did[, grade]) — a
+    * missing grade column means binary relevance (gain 1.0). Output
+    * per query (qid from rel, the [[retrievalMetrics]] convention):
+    * n_rel, dcg, idcg and ndcg = dcg/idcg, with dcg = Σ gain_i /
+    * log2(rank_i + 1) over relevant hits at rank ≤ k, and idcg the
+    * same sum over the IDEAL ordering (grades descending) truncated
+    * at k.
+    *
+    * Scale shape: the DCG side is the retrievalMetrics equi-join (run
+    * is queries × k rows); the IDCG side ranks the relevance relation
+    * per query — a window over (qid, grade) on a slim relation whose
+    * size is the relevance judgments, never the corpus.
+    */
+  def ndcg(run: DataFrame, rel: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val graded =
+      if (rel.columns.contains("grade"))
+        rel.select(col("qid"), col("did"), col("grade").cast("double"))
+      else rel.select(col("qid"), col("did"), lit(1.0).as("grade"))
+    def gainAt(rank: Column): Column = col("grade") / log(2.0, rank + 1)
+    val wI = Window.partitionBy("qid")
+      .orderBy(col("grade").desc, col("did"))
+    val ideal = graded
+      .withColumn("irk", row_number().over(wI))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("irk") <= k, gainAt(col("irk")))
+          .otherwise(lit(0.0))).as("idcg"))
+    val dcg = run.filter(col("rk") <= k)
+      .join(graded, Seq("qid", "did"))
+      .groupBy("qid")
+      .agg(sum(gainAt(col("rk").cast("long"))).as("dcg"))
+    ideal.join(dcg, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        when(col("idcg") > 0.0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
   }
 
   /** Rank-biased overlap between two ranked runs (Webber, Moffat &

@@ -152,8 +152,9 @@ object TextOps {
 
   // ---- queries over the `documents` table ----
 
+  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Per-document text statistics (flagship text-analysis query). */
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
@@ -527,6 +528,86 @@ object TextOps {
     concatAndChunk(docs(spark, dir).select("doc_id", "text"),
       ctxLen = 512, sepTokens = 1)
       .orderBy("doc_id")
+
+  /** Feistel round keys for [[epochShuffleKey]]: four 31-bit constants
+    * derived from the epoch on the DRIVER (Weyl-step mixing of two
+    * classic odd constants), so the per-row expression sees literals
+    * and the DuckDB mirror is generated from the SAME Scala values —
+    * the two engines never perform the key derivation independently.
+    */
+  def epochShuffleRoundKeys(epoch: Long): Seq[Long] = {
+    require(epoch >= 0 && epoch < (1L << 31),
+      s"epoch must be in [0, 2^31); got $epoch")
+    (1 to 4).map(r => (epoch * 2654435761L + r * 1013904223L) % (1L << 31))
+  }
+
+  /** The epoch-keyed BIJECTIVE integer hash behind [[epochShuffle]]:
+    * a 4-round Feistel network over 31-bit halves — bijective on
+    * [0, 2^62) for ANY round function (each round (L,R) → (R, L⊕F(R))
+    * is invertible by construction), so distinct ids can never collide
+    * and the induced order is a true permutation. Every intermediate
+    * stays below 2^61 + 2^31 (R·1103515245 < 2^61; xor/shift of 31-bit
+    * values stay 31-bit), so Spark Long and DuckDB BIGINT compute
+    * IDENTICAL values — no unsigned wrap to emulate, no overflow for
+    * DuckDB to throw on. Ids outside [0, 2^62) fail loudly row-level
+    * (the packPassageId precedent: the offending value lives in the
+    * data).
+    */
+  def epochShuffleKey(id: Column, epoch: Long): Column = {
+    val half = lit(1L << 31)
+    val checked = when(id < 0L || id >= (1L << 62), raise_error(concat(
+        lit("epochShuffleKey: id "), id.cast("string"),
+        lit(" outside [0, 2^62) — the Feistel domain"))).cast("long"))
+      .otherwise(id.cast("long"))
+    var l: Column = ((checked - pmod(checked, half)) / half).cast("long")
+    var r: Column = pmod(checked, half)
+    for (k <- epochShuffleRoundKeys(epoch)) {
+      val m = pmod(r * lit(1103515245L) + lit(k), half)
+      val f = m.bitwiseXOR(shiftright(m, 15))
+      val nr = l.bitwiseXOR(f)
+      l = r
+      r = nr
+    }
+    l * half + r
+  }
+
+  /** Global deterministic training-order shuffle — the dataloader
+    * counterpart of [[concatAndChunk]]'s layout: epoch-keyed
+    * pseudorandom permutation of packed sequences (or any integer-
+    * keyed rows). Each row gets `shuffle_key` = [[epochShuffleKey]]
+    * (injective per epoch, so the key order IS a permutation with no
+    * tie-break needed) and the output is returned in key order.
+    *
+    * Scale shape: one map stage to key, ONE range exchange to sort —
+    * zero driver state, no window over the global order, nothing
+    * corpus-sized on any single task. Different epochs use different
+    * round keys → decorrelated orders (spec-pinned: mean normalized
+    * rank displacement between consecutive epochs on a 4096-id fixture
+    * is within 10% of the n/3 random-permutation expectation);
+    * the same epoch always replays the identical order (resumable
+    * training — the property torn-down dataloader state can't give).
+    */
+  def epochShuffle(seqs: DataFrame, epoch: Long,
+      idCol: String = "seq_id"): DataFrame =
+    seqs.withColumn("shuffle_key", epochShuffleKey(col(idCol), epoch))
+      .orderBy("shuffle_key")
+
+  /** q137 — the training-order shuffle report: q127's packed sequences
+    * (distinct seq_id) shuffled for epochs 1 and 2. The mirror replays
+    * the Feistel rounds from the same driver-derived literal keys, so
+    * both epochs' keys gate hash-exact; the two-epoch output makes the
+    * decorrelation inspectable in the gate itself.
+    */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = concatAndChunk(docs(spark, dir).select("doc_id", "text"),
+      ctxLen = 512, sepTokens = 1)
+      .select("seq_id").distinct()
+    epochShuffle(seqs, epoch = 1L)
+      .withColumn("shuffle_key_e2", epochShuffleKey(col("seq_id"), 2L))
+      .select(col("seq_id"), col("shuffle_key").as("shuffle_key_e1"),
+        col("shuffle_key_e2"))
+      .orderBy("shuffle_key_e1")
+  }
 
   /** q126 — the collocation report over the documents corpus:
     * pairs seen ≥ 5 times, top-100 by lift (desc, then pair). The

@@ -291,4 +291,48 @@ class LmOpsSpec extends SparkSpec {
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
     assert(chain(e).contains("concatAndChunkAppend"), chain(e))
   }
+
+  test("epochShuffle: keys injective, same epoch replays, consecutive " +
+    "epochs decorrelate at the random-permutation displacement") {
+    import spark.implicits._
+    // injectivity: the Feistel is bijective on [0, 2^62) by
+    // construction (each round is invertible); pin it empirically on
+    // 65536 consecutive ids — any collision would break the
+    // no-tie-break permutation contract
+    val ids = spark.range(65536L).toDF("seq_id")
+    val keyed = ids.select(
+      TextOps.epochShuffleKey(col("seq_id"), 1L).as("k"))
+    assert(keyed.distinct().count() === 65536L)
+    // determinism: the same epoch always replays the identical order
+    val o1 = TextOps.epochShuffle(ids.limit(4096), epoch = 5L)
+      .select("seq_id").collect().map(_.getLong(0)).toSeq
+    val o2 = TextOps.epochShuffle(ids.limit(4096), epoch = 5L)
+      .select("seq_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 === o2)
+    // decorrelation: mean |rank_e1 - rank_e2| over 4096 ids must sit
+    // within 10% of n/3, the expectation for two INDEPENDENT uniform
+    // permutations (measured: 1370.3 for epochs 1→2, 1377.1 for 2→3;
+    // n/3 = 1365.3) — a lazy key that only rotated or reflected the
+    // order would land near 0 or n/2 and fail loudly
+    val n = 4096
+    def ranks(epoch: Long): Map[Long, Int] =
+      TextOps.epochShuffle(ids.limit(n), epoch).select("seq_id")
+        .collect().map(_.getLong(0)).zipWithIndex.toMap
+    for ((e1, e2) <- Seq((1L, 2L), (2L, 3L))) {
+      val r1 = ranks(e1)
+      val r2 = ranks(e2)
+      val meanDisp = r1.keys.toSeq
+        .map(d => math.abs(r1(d) - r2(d)).toDouble).sum / n
+      assert(meanDisp > n / 3.0 * 0.9 && meanDisp < n / 3.0 * 1.1,
+        s"epochs $e1->$e2: mean displacement $meanDisp vs n/3 = ${n / 3.0}")
+    }
+    // domain guard: ids outside [0, 2^62) fail loudly row-level
+    val bad = intercept[Exception] {
+      Seq(-1L).toDF("seq_id")
+        .select(TextOps.epochShuffleKey(col("seq_id"), 1L)).collect()
+    }
+    def chain2(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain2(t.getCause)
+    assert(chain2(bad).contains("epochShuffleKey"), chain2(bad))
+  }
 }

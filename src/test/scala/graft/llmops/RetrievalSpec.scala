@@ -191,6 +191,62 @@ class RetrievalSpec extends SparkSpec {
       (3L, 2L, 1L, 1L, 1000000L, 500000L)))
   }
 
+  test("ndcg: driver-replicated graded + binary values to 1e-12, " +
+    "truncation at k, all-miss and over-k-ideal cases") {
+    import spark.implicits._
+    def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+    // q1 graded: rel grades 10->3, 11->2, 12->1; run hits 11@rk2 (gain
+    //   2/log2(3)), 10@rk3 (3/log2(4)); ideal = 3/log2(2) + 2/log2(3)
+    //   + 1/log2(4) at k=3
+    // q2: rel {20} grade 2, run misses -> dcg 0, ndcg 0
+    // q3: rel {30:1, 31:2, 32:1} with k=2 -> ideal truncates to the
+    //   TOP-2 grades (2,1); run hits 30@rk1 (1/log2(2)) and 31@rk4
+    //   (outside k — must NOT count)
+    val run = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 10L, 3),
+      (2L, 98L, 1),
+      (3L, 30L, 1), (3L, 96L, 2), (3L, 97L, 3), (3L, 31L, 4))
+      .toDF("qid", "did", "rk")
+    val rel = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0),
+      (2L, 20L, 2.0),
+      (3L, 30L, 1.0), (3L, 31L, 2.0), (3L, 32L, 1.0))
+      .toDF("qid", "did", "grade")
+    def check(k: Int, want: Map[Long, (Long, Double, Double)]): Unit = {
+      val got = Retrieval.ndcg(run, rel, k).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+      assert(got.keySet === want.keySet)
+      for ((q, (nRel, dcg, idcg)) <- want) {
+        val (gn, gd, gi, gndcg) = got(q)
+        assert(gn === nRel, s"q$q n_rel")
+        assert(math.abs(gd - dcg) < 1e-12, s"q$q dcg: $gd vs $dcg")
+        assert(math.abs(gi - idcg) < 1e-12, s"q$q idcg: $gi vs $idcg")
+        val wantN = if (idcg > 0) dcg / idcg else 0.0
+        assert(math.abs(gndcg - wantN) < 1e-12, s"q$q ndcg")
+      }
+    }
+    check(3, Map(
+      1L -> ((3L, 2.0 / lg2(3) + 3.0 / lg2(4),
+        3.0 / lg2(2) + 2.0 / lg2(3) + 1.0 / lg2(4))),
+      2L -> ((1L, 0.0, 2.0 / lg2(2))),
+      3L -> ((3L, 1.0 / lg2(2),
+        2.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4)))))
+    check(2, Map(
+      1L -> ((3L, 2.0 / lg2(3), 3.0 / lg2(2) + 2.0 / lg2(3))),
+      2L -> ((1L, 0.0, 2.0 / lg2(2))),
+      3L -> ((3L, 1.0 / lg2(2), 2.0 / lg2(2) + 1.0 / lg2(3)))))
+    // binary form (no grade column): gains are 1.0
+    val relBin = rel.select("qid", "did")
+    val gotBin = Retrieval.ndcg(run, relBin, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val wantQ1 = (1.0 / lg2(3) + 1.0 / lg2(4)) /
+      (1.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4))
+    assert(math.abs(gotBin(1L) - wantQ1) < 1e-12)
+    assert(gotBin(2L) === 0.0)
+  }
+
   test("prfExpand: fbTerms=0 degenerates to the plain probe; " +
     "expansion terms are new and capped") {
     val d = spark.read.parquet(s"$dir/documents.parquet")

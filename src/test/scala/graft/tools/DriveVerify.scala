@@ -617,6 +617,16 @@ object DriveVerify {
         println(s"ann recall@5 (ivf vs brute): mean recall_micro = " +
           s"${m.agg(avg(col("recall_micro"))).first().getDouble(0).toLong}" +
           s" over ${m.count()} queries")
+        // nDCG over the same run/relevance pair: binary grades, so
+        // ndcg must sit in (0, 1] when recall > 0, exactly 0 on misses
+        val nd = Retrieval.ndcg(runR, rel, k = 5)
+        val ndRows = nd.collect()
+        assert(ndRows.forall { r =>
+          val v = r.getAs[Double]("ndcg"); v >= 0.0 && v <= 1.0
+        }, "ndcg outside [0,1]")
+        println(s"ann ndcg@5 (ivf vs brute): mean = " +
+          f"${nd.agg(avg(col("ndcg"))).first().getDouble(0)}%.4f" +
+          s" over ${ndRows.length} queries")
         spark.catalog.clearCache()
       }
       // streaming postings maintenance: 2-file replay through the sink
@@ -738,6 +748,19 @@ object DriveVerify {
         r.getAs[Long]("seq_offset") < 512L), "offset outside ctx")
       println(s"sequence packing: ${packed.length} docs into " +
         s"${packed.last.getAs[Long]("seq_id") + 1} sequences")
+      // epoch shuffle over the packed sequences: a permutation (no key
+      // collisions), epoch-deterministic, different across epochs
+      val seqIds = spark.range(packed.last.getAs[Long]("seq_id") + 1)
+        .toDF("seq_id")
+      val ep1 = graft.llmops.TextOps.epochShuffle(seqIds, epoch = 1L)
+        .select("seq_id").collect().map(_.getLong(0)).toSeq
+      val ep2 = graft.llmops.TextOps.epochShuffle(seqIds, epoch = 2L)
+        .select("seq_id").collect().map(_.getLong(0)).toSeq
+      assert(ep1.sorted == ep2.sorted, "epoch orders are permutations")
+      assert(ep1 != ep2, "epochs must decorrelate")
+      println(s"epoch shuffle: ${ep1.length} sequences, epoch-1 head " +
+        s"${ep1.take(5).mkString(",")} vs epoch-2 head " +
+        s"${ep2.take(5).mkString(",")}")
       // ordered sloppy phrase over the held positions: slop widening
       // can only add documents
       val slopPosIdx = graft.llmops.Retrieval.positionalIndex(
