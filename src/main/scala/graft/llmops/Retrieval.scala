@@ -184,9 +184,16 @@ object Retrieval {
     * RRF when scales are incomparable and only ranks are trusted.
     *
     * Channels are (name, relation, weight) with (qid, did, score)
-    * rows, score any long (micro-units — negatives are fine: the
-    * min-shift makes every div numerator non-negative, where `div`
-    * and `//` agree). Scale shape is
+    * rows in micro-units; negatives are fine (the min-shift makes
+    * every div numerator non-negative, where `div` and `//` agree).
+    * BOUND: a channel's per-query spread (max − min) must stay below
+    * 9e9 — the normalization numerator is spread·1e6, and beyond 2^53
+    * the double division behind the exact-multiple div idiom stops
+    * being exact (and past 9.2e12 the Long product overflows
+    * outright). Micro-unit scores from this file's probes are orders
+    * of magnitude inside the bound; a spread that crosses it fails
+    * LOUDLY row-level at the extrema join rather than silently
+    * mis-normalizing. Scale shape is
     * [[rrfFuse]]'s: per-channel extrema are one slim (qid, min, max)
     * aggregation over top-k-bounded inputs; fusion shuffles at most
     * Σ topNChannel slim rows per query.
@@ -203,6 +210,14 @@ object Retrieval {
     val marked = channels.zipWithIndex.map { case ((_, ch, wgt), i) =>
       val ext = ch.groupBy("qid")
         .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+        // spread bound (scaladoc): beyond 9e9 the spread·1e6 numerator
+        // leaves the 2^53 exact-double range — fail loudly, per query
+        .withColumn("mx", when(col("mx") - col("mn") > 9000000000L,
+          raise_error(concat(lit("minMaxFuse: per-query score spread "),
+            (col("mx") - col("mn")).cast("string"),
+            lit(" exceeds the 9e9 exact-arithmetic bound — rescale " +
+              "the channel's micro-units"))).cast("long"))
+          .otherwise(col("mx")))
       val normed = when(col("mx") === col("mn"), lit(1000000L))
         .otherwise(microDiv((col("score") - col("mn")) * lit(1000000L),
           col("mx") - col("mn")))

@@ -323,6 +323,16 @@ object StreamOps {
     * probe-equality with a fresh full
     * [[graft.llmops.Retrieval.bm25fIndex]] build across a multi-batch
     * replay (the q131 path, streamed).
+    *
+    * APPEND-ONLY / NO-REDELIVERY CONTRACT (same as every index sink in
+    * this file): each doc_id must arrive in exactly one batch. A
+    * doc_id re-delivered (updated) in a LATER batch lands in its own
+    * batch dir, so [[readFieldedIndex]] would return duplicate did
+    * rows — silently inflating df and both field-length averages at
+    * probe time. Point document updates at
+    * [[graft.llmops.Retrieval.indexUpsert]] over the read index
+    * instead (the q130 path); replay of the SAME batch is idempotent
+    * (overwrite-whole per-batch dir).
     */
   def fieldedIndexSink(docs: DataFrame, statePath: String,
       titleLen: Int = 6)

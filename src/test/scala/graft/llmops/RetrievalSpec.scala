@@ -863,6 +863,23 @@ class RetrievalSpec extends SparkSpec {
     val nf = Retrieval.minMaxFuse(Seq(("a", neg, 1L)), topK = 10)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(nf === Map(10L -> 0L, 11L -> 500000L, 12L -> 1000000L))
+    // spread bound: a per-query spread beyond 9e9 would leave the 2^53
+    // exact-double range for spread*1e6 — must fail loudly, not
+    // silently mis-normalize
+    val wide = Seq((1L, 10L, 0L), (1L, 11L, 10000000000L))
+      .toDF("qid", "did", "score")
+    val e = intercept[Exception] {
+      Retrieval.minMaxFuse(Seq(("a", wide, 1L)), topK = 10).collect()
+    }
+    def chainM(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chainM(t.getCause)
+    assert(chainM(e).contains("minMaxFuse"), chainM(e))
+    // and a spread just inside the bound still normalizes exactly
+    val edge = Seq((1L, 10L, 0L), (1L, 11L, 8999999999L))
+      .toDF("qid", "did", "score")
+    val ef = Retrieval.minMaxFuse(Seq(("a", edge, 1L)), topK = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(ef === Map(10L -> 0L, 11L -> 1000000L))
   }
 
   test("tieredImpactProbe: full tier-1 pages serve from the champion " +
