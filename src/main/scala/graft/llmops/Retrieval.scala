@@ -64,6 +64,17 @@ import org.apache.spark.sql.functions._
   *    rows rather than re-running the whole prefix.
   * A `persist()` inside an operator body or a `localCheckpoint()` on a
   * returned index is a bug under this rule.
+  *
+  * Eager vs LAZY checkpoints (round 13): straight-line operator bodies
+  * use `localCheckpoint(false)` — the plan boundary (shared RDD ⇒
+  * shared shuffle stages across consumer branches, severed lineage for
+  * driver guards) is created at call time either way, but lazy folds
+  * the materialization into the first consuming job instead of paying
+  * a dedicated job per site (~0.1–0.4 s each at gate scale, the
+  * r12→r13 bench-ratio driver). ITERATIVE loops (mmrRerank, PageRank,
+  * k-means, BPE) keep EAGER cadence: a lazy chain across rounds would
+  * stack k rounds of unmaterialized lineage into one giant job —
+  * exactly what the cadence exists to prevent.
   */
 object Retrieval {
 
@@ -462,7 +473,7 @@ object Retrieval {
         // n_docs rides the checkpoint so the viability pre-check below
         // never re-aggregates the postings for one scalar
         col("n_docs"))
-      .localCheckpoint())
+      .localCheckpoint(false))
     val wT = Window.partitionBy("qid")
       .orderBy(col("ub_micro").desc, col("tok"))
     val rankedTerms = qTerms.withColumn("trm_rank",
@@ -487,12 +498,12 @@ object Retrieval {
         first(col("n_docs")).as("n_docs"))
       .filter(col("ess_df") < col("n_docs"))
       .select("qid")
-      .localCheckpoint() // drives the route guard AND the ess filter
+      .localCheckpoint(false) // drives the route guard AND the ess filter
     // exact-score candidates come from PRE-QUANTIZED impacts (see the
     // candidate stage below) — built here because BOTH routes consume
     // them; localCheckpoint: candidate scoring and the fallback probe
     val impacts = impactIndexWith(postings, df0, stats, k1, b)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // driver-side route guard (the fbQ.isEmpty idiom, moved BEFORE the
     // machinery): when the pre-check certifies no query, every stage
     // below would run against empty broadcasts yet still SCAN the
@@ -509,7 +520,7 @@ object Retrieval {
         .otherwise(lit(0L))).as("b_micro"))
     val cand = broadcast(ess).join(postings, "tok")
       .select("qid", "did").distinct()
-      .localCheckpoint() // consumed by candDids AND the scoring join
+      .localCheckpoint(false) // consumed by candDids AND the scoring join
     // candidate scoring reads the pre-quantized impacts: the integers
     // are identical to inline scoring by construction (impactIndexWith
     // shares this probe's df0/stats), so losslessness and the gate
@@ -539,19 +550,19 @@ object Retrieval {
       // checkpoint lands queries × topN slim rows instead of the FULL
       // per-candidate ranking (≈ corpus-sized on the dense gate)
       .filter(col("rk") <= topN)
-      .localCheckpoint() // threshold extraction AND the top-k read it
+      .localCheckpoint(false) // threshold extraction AND the top-k read it
     // certificate: the rank-k candidate exists and strictly beats B_q
     val tq = candRanked.filter(col("rk") === topN)
       .select(col("qid"), col("bm25_micro").as("t_micro"))
     val okQ = bq.join(tq, "qid")
       .filter(col("b_micro") < col("t_micro")).select("qid")
-      .localCheckpoint() // top-k filter and the fallback anti-join
+      .localCheckpoint(false) // top-k filter and the fallback anti-join
     val pruned = candRanked
       .join(broadcast(okQ), "qid")
       .select("qid", "did", "bm25_micro", "n_match", "rk")
     val fbQ = qTok.select("qid").distinct()
       .join(okQ, Seq("qid"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // driver-side guard: when every query certifies (the common case),
     // skip the fallback branch entirely — unioned in, its full-probe
     // aggregations would still scan the postings even with zero
@@ -932,7 +943,7 @@ object Retrieval {
     */
   def proximitySearch(pairs: DataFrame, corpus: DataFrame, window: Int,
       topN: Int): DataFrame =
-    proximityProbe(pairs, tokenPositions(corpus).localCheckpoint(),
+    proximityProbe(pairs, tokenPositions(corpus).localCheckpoint(false),
       window, topN)
 
   /** q116 — proximity report: each query contributes (first token,
@@ -1132,7 +1143,7 @@ object Retrieval {
       .select(col("qid"), col("did"),
         floor(col("cos6") * lit(1000000.0) + lit(0.5)).cast("long")
           .as("rel_micro"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val candV = cand.join(cv, "did").select(col("qid"), col("did"), col("ce"))
     val xs = candV.select(col("qid"), col("did").as("did_a"),
       col("ce").as("ea"))
@@ -1144,7 +1155,7 @@ object Retrieval {
       .select(col("qid"), col("did_a"), col("did_b"),
         floor(round(Similarity.cosine(col("ea"), col("eb")), 6) *
           lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     mmrRerank(cand, sims, k = 5).orderBy("qid", "pick")
   }
 
@@ -1822,16 +1833,16 @@ object Retrieval {
   def tieredImpactProbe(qTok: DataFrame, impacts: DataFrame,
       pruned: DataFrame, topN: Int): DataFrame = {
     // consumed by the fill-count aggregate AND the kept-rows join
-    val tier1 = impactProbe(qTok, pruned, topN).localCheckpoint()
+    val tier1 = impactProbe(qTok, pruned, topN).localCheckpoint(false)
     val okQ = tier1.groupBy("qid").agg(count(lit(1)).as("n"))
       .filter(col("n") === topN).select("qid")
-      .localCheckpoint() // kept-rows semi-join AND the fallback anti-join
+      .localCheckpoint(false) // kept-rows semi-join AND the fallback anti-join
     val kept = tier1.join(broadcast(okQ), "qid")
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"), lit(1).as("tier"))
     val fbQ = qTok.select("qid").distinct()
       .join(okQ, Seq("qid"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fbQ.isEmpty) kept
     else kept.unionByName(
       impactProbe(qTok.join(broadcast(fbQ), "qid"), impacts, topN)
@@ -2021,8 +2032,8 @@ object Retrieval {
     // localCheckpoint per the file's materialization rule (df is
     // vocab-sized, stats is one row — both bounded)
     val (df0p, statsP) = postingsInvariants(all)
-    val df0 = df0p.localCheckpoint()
-    val stats = statsP.localCheckpoint()
+    val df0 = df0p.localCheckpoint(false)
+    val stats = statsP.localCheckpoint(false)
     val local = shards.map { sh =>
       bm25ScoreTerms(qTok, sh, df0, stats, topN, k1, b)
         .select("qid", "did", "bm25_micro", "n_match")
