@@ -624,8 +624,11 @@ object Retrieval {
       maxDf: Long = 0L): DataFrame = {
     val qTok = queryTerms(queries)
     // the index invariants are shared by BOTH probe rounds — compute
-    // once (they belong to the index, not the probe)
-    val (df0, stats) = postingsInvariants(postings)
+    // once (they belong to the index, not the probe); same lazy
+    // checkpoint as the sharded probe's shared-invariants seam
+    val (df0p, statsP) = postingsInvariants(postings)
+    val df0 = df0p.localCheckpoint(false)
+    val stats = statsP.localCheckpoint(false)
     val run1 = bm25ScoreTerms(qTok, postings, df0, stats, fbDocs,
         maxDf = maxDf)
       .select("qid", "did")
