@@ -196,8 +196,7 @@ object Cluster {
     * keeps exactly the `doc_id == cluster_rep` rows.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = GateInputs.spread(
-      spark.read.parquet(s"$dir/documents.parquet"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.3)
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
     val sizes = cc.groupBy("cluster_rep")

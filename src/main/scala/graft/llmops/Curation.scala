@@ -14,9 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** q30 — stratified quota sample: the top `quota` documents per
     * (lang, source) stratum by token count, deterministic tie-break on

@@ -21,9 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** Normalized word tokens of the text. */
   def tokens(text: Column): Column =

@@ -18,9 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object LmOps {
 
-  // spread-read: see [[GateInputs.spread]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** q51 — Zipf-law fit per language: OLS of log10(freq) on log10(rank)
     * over each language's top-`topK` terms. The classic corpus sanity

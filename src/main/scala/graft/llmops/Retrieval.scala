@@ -79,9 +79,16 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   // spread-read: see [[GateInputs.spread]] (one-row-group gate parquet
-  // would serialize every index build's tokenization otherwise)
+  // would serialize every index build's tokenization otherwise). Used
+  // by the bm25/impact-family gates, whose builds are heavy and
+  // multi-consumer; the phrase/gram/positional gates take [[docsRaw]]
+  // — their single light shingle pass was measured NET-worse under the
+  // spread's shuffle+cache-fill (window-equal r13 A/B, +0.35 s median)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
+    GateInputs.spread(docsRaw(spark, dir))
+
+  private def docsRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -767,7 +774,7 @@ object Retrieval {
     * formulation of the same counting.
     */
   def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val phrases = d.filter(isQuery)
       .select(col("doc_id").as("qid"),
@@ -953,7 +960,7 @@ object Retrieval {
     * last token) as the pair, window 3, top-10 by co-occurrence count.
     */
   def qProximitySearch(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val toks = Dedup.tokens(col("text"))
     val pairs = d.filter(isQuery)
@@ -974,7 +981,7 @@ object Retrieval {
     * append ≡ rebuild AND probe ≡ one-shot in one row.
     */
   def qPhraseIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val phrases = d.filter(isQuery)
       .select(col("doc_id").as("qid"),
@@ -995,7 +1002,7 @@ object Retrieval {
     * pairs; the oracle IS the q116 statement VERBATIM.
     */
   def qProximityIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val toks = Dedup.tokens(col("text"))
     val pairs = d.filter(isQuery)
@@ -1563,7 +1570,7 @@ object Retrieval {
     * append ≡ rebuild AND probe ≡ one-shot.
     */
   def qPhraseGramIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val phrases = d.filter(isQuery)
       .select(col("doc_id").as("qid"),
@@ -1645,7 +1652,7 @@ object Retrieval {
     * lowercased token arrays, so the snippet STRINGS gate hash-exact.
     */
   def qPhraseSnippets(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val phrases = d.filter(isQuery)
       .select(col("doc_id").as("qid"),
@@ -1665,7 +1672,7 @@ object Retrieval {
     * snippet strings — identically to the one-shot.
     */
   def qSnippetsGramIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val phrases = d.filter(isQuery)
       .select(col("doc_id").as("qid"),

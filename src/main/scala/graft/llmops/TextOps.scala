@@ -152,9 +152,12 @@ object TextOps {
 
   // ---- queries over the `documents` table ----
 
-  // spread-read: see [[GateInputs.spread]]
+  // plain read: the light text gates tokenize once in a single branch —
+  // the spread's shuffle+cache-fill was measured a net +0.35 s median
+  // tax on them (window-equal r13 A/B); the one heavy multi-branch
+  // consumer (qDuplicatedSpans) spreads at its own call site
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    GateInputs.spread(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** Per-document text statistics (flagship text-analysis query). */
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
@@ -1248,7 +1251,9 @@ object TextOps {
     * misses and the stride-1 gram hash catches.
     */
   def qDuplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = docs(spark, dir)
+    // spread: the stride-1 gram hashing is the heaviest map stage in
+    // this file and feeds two consumers (−2.1 s measured at sf0.1)
+    val d0 = GateInputs.spread(docs(spark, dir))
     val toks = split(col("text"), " ")
     val shifted = d0.filter(col("doc_id") < 100)
       .select((col("doc_id") + 30000L).as("doc_id"),
