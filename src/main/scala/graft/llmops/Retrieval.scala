@@ -79,11 +79,14 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   // spread-read: see [[GateInputs.spread]] (one-row-group gate parquet
-  // would serialize every index build's tokenization otherwise). Used
-  // by the bm25/impact-family gates, whose builds are heavy and
-  // multi-consumer; the phrase/gram/positional gates take [[docsRaw]]
-  // — their single light shingle pass was measured NET-worse under the
-  // spread's shuffle+cache-fill (window-equal r13 A/B, +0.35 s median)
+  // would serialize every index build's tokenization otherwise). The
+  // split below is EMPIRICAL (window-equal r13 A/Bs at sf0.1): the
+  // heavy multi-consumer index builds (bm25/impact/positional-append
+  // family) win 1-2.5 s under the spread; gates whose corpus passes
+  // are light or single-branch (phrase/gram one-shots, the fusion and
+  // sharded gates q107/q119/q133/q134/q136) measured NET-worse by
+  // 0.4-1.5 s — the one-partition scan pipelines into their map
+  // stages better than a shuffle+cache-fill — and take [[docsRaw]]
   private def docs(spark: SparkSession, dir: String): DataFrame =
     GateInputs.spread(docsRaw(spark, dir))
 
@@ -267,7 +270,7 @@ object Retrieval {
     * weighted sum as integers, so the fused ranking gates hash-exact.
     */
   def qMinMaxFusion(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val e = emb(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val queries = d.filter(isQuery)
@@ -1032,7 +1035,7 @@ object Retrieval {
     * nProbe < nCells is measured by RetrievalSpec).
     */
   def qHybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val e = emb(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val queries = d.filter(isQuery)
@@ -1429,7 +1432,7 @@ object Retrieval {
     * hash-exact.
     */
   def qRboRuns(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val queries = d.filter(isQuery)
       .select(col("doc_id").as("qid"), col("text"))
@@ -1473,7 +1476,7 @@ object Retrieval {
     * hash-exact across engines.
     */
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val e = emb(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val queries = d.filter(isQuery)
@@ -2063,7 +2066,7 @@ object Retrieval {
     * document-partitioned serving topology is score-lossless.
     */
   def qBm25Sharded(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docsRaw(spark, dir)
     val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
     val queries = d.filter(isQuery)
       .select(col("doc_id").as("qid"), col("text"))
