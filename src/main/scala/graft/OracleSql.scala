@@ -2985,6 +2985,14 @@ object OracleSql {
     * literals, so the two sides cannot drift; all arithmetic is
     * non-negative BIGINT below 2^62 (`//`/`%`/xor/`>>` match Spark's
     * subtract-pmod div, pmod, bitwiseXOR and shiftright exactly).
+    * Precondition ASYMMETRY: the engine's `epochShuffleKey` raises
+    * row-level on ids outside [0, 2^62), while this mirror has no
+    * guard — DuckDB's `//`/`%` floor-divide negatives and would
+    * silently produce keys. The shared domain holds by construction
+    * (q137's packing seq_ids are non-negative exact-multiple
+    * divisions), so the mirror replays identical arithmetic only on
+    * in-domain ids; feeding it an unguarded id column is a mirror
+    * authoring bug, not an engine-parity statement.
     * Returns (CTE text chained from `src`, final-table name, key
     * expression over that table's columns).
     */

@@ -11,13 +11,14 @@ import ZtfHistoryFilters.chist
   *
   * Each filter = uncataloged-and-young predicate (pure expressions) ∧ a
   * cadence pattern over the in-row history (A3/A5) ∧ the ELEPHANT
-  * KS-test image stage (G8). The image stage needs a FITS decoder +
-  * the ELEPHANT aperture statistic (arXiv:2404.18165) — represented
-  * here by the pluggable [[HostlessScorer]]; the default
-  * [[PassthroughScorer]] is an explicit STUB that admits every
-  * candidate (the expensive stage runs last, on the survivors of the
-  * cheap cuts, exactly as the reference sequences it —
-  * `filter_new_hostless/filter.py:82-96`).
+  * KS-test image stage (G8). The image stage (FITS decode + the
+  * ELEPHANT aperture statistic, arXiv:2404.18165) is the pluggable
+  * [[HostlessScorer]]; the REGISTERED defaults run the real
+  * [[FitsKsScorer]], matching the reference's registered behavior
+  * (`filter_new_hostless/filter.py:82-96` — the expensive stage runs
+  * last, on the survivors of the cheap cuts). Each filter also
+  * registers a `*_fast` sibling with the [[PassthroughScorer]] —
+  * cheap cuts only, for stamp-less inputs or triage sweeps.
   */
 object ZtfHostlessFilters {
 
@@ -28,7 +29,8 @@ object ZtfHostlessFilters {
     def keepHostless(candidates: DataFrame): DataFrame
   }
 
-  /** STUB — admits all candidates (the Rubin pipeline carries a
+  /** Admits all candidates — the cheap-cuts-only image stage, used by
+    * the registered `*_fast` siblings (the Rubin pipeline carries a
     * precomputed score instead, which
     * [[graft.filters.rubin.RubinFilters.hostlessCandidate]] consumes).
     */
@@ -120,18 +122,18 @@ object ZtfHostlessFilters {
   /** ndethist == 1 ∧ uncataloged ∧ hostless —
     * `filter_new_hostless/filter.py:82-96`.
     */
-  def newHostless(scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+  def newHostless(scorer: HostlessScorer = new FitsKsScorer()): AlertFilter =
     hostless("ztf.livestream.new_hostless",
-      "First-detection hostless candidates (ELEPHANT)",
+      "First-detection hostless candidates (ELEPHANT KS image stage ON)",
       col("candidate.ndethist") === 1 && isUncataloged, scorer)
 
   /** ndethist == 2 ∧ uncataloged ∧ 2 obs within 12 h ∧ hostless —
     * `filter_intra_night_hostless/filter.py:111-128`.
     */
   def intraNightHostless(
-      scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+      scorer: HostlessScorer = new FitsKsScorer()): AlertFilter =
     hostless("ztf.livestream.intra_night_hostless",
-      "Intra-night hostless candidates",
+      "Intra-night hostless candidates (ELEPHANT KS image stage ON)",
       col("candidate.ndethist") === 2 && isUncataloged &&
         intraNightCadence(), scorer)
 
@@ -139,14 +141,29 @@ object ZtfHostlessFilters {
     * `filter_inter_night_hostless/filter.py:111-129`.
     */
   def interNightHostless(
-      scorer: HostlessScorer = PassthroughScorer): AlertFilter =
+      scorer: HostlessScorer = new FitsKsScorer()): AlertFilter =
     hostless("ztf.livestream.inter_night_hostless",
-      "Inter-night hostless candidates",
+      "Inter-night hostless candidates (ELEPHANT KS image stage ON)",
       col("candidate.ndethist") === 3 && isUncataloged &&
         interNightCadence(), scorer)
 
-  val all: Seq[AlertFilter] =
-    Seq(newHostless(), intraNightHostless(), interNightHostless())
+  /** The registered `*_fast` sibling of `f`: same cheap cuts, image
+    * stage skipped (PassthroughScorer) — for stamp-less inputs.
+    */
+  private def fastSibling(f: AlertFilter): AlertFilter =
+    new AlertFilter {
+      val name = f.name + "_fast"
+      override val description =
+        f.description.replace(" (ELEPHANT KS image stage ON)",
+          " (cheap cuts only — image stage SKIPPED)")
+      val requiredColumns = f.requiredColumns
+      def mask(df: DataFrame): Column = f.mask(df)
+    }
+
+  val all: Seq[AlertFilter] = {
+    val real = Seq(newHostless(), intraNightHostless(), interNightHostless())
+    real ++ real.map(fastSibling)
+  }
   FilterRegistry.register(all: _*)
   def load(): Unit = ()
 }

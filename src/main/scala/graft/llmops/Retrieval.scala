@@ -62,8 +62,13 @@ import org.apache.spark.sql.functions._
   *    inputs to driver-side control flow (`fbQ.isEmpty`) — need their
   *    lineage severed so the fallback branch replans from materialized
   *    rows rather than re-running the whole prefix.
-  * A `persist()` inside an operator body or a `localCheckpoint()` on a
-  * returned index is a bug under this rule.
+  *  - GATE-INPUT spread reads ([[GateInputs.spread]]) are the one
+  *    sanctioned third form: a `persist()` on the repartitioned RAW
+  *    INPUT (never on operator-internal state), released by the same
+  *    caller `clearCache()` contract as index relations, and identity
+  *    (no shuffle, no cache) on any real multi-split input.
+  * Any other `persist()` inside an operator body, or a
+  * `localCheckpoint()` on a returned index, is a bug under this rule.
   *
   * Eager vs LAZY checkpoints (round 13): straight-line operator bodies
   * use `localCheckpoint(false)` — the plan boundary (shared RDD ⇒
@@ -232,10 +237,15 @@ object Retrieval {
       val ext = ch.groupBy("qid")
         .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
         // spread bound (scaladoc): beyond 9e9 the spread·1e6 numerator
-        // leaves the 2^53 exact-double range — fail loudly, per query
-        .withColumn("mx", when(col("mx") - col("mn") > 9000000000L,
+        // leaves the 2^53 exact-double range — fail loudly, per query.
+        // The CHECK runs in double: a Long mx−mn with extrema near
+        // ±2^62 would wrap negative and silently pass; doubles cannot
+        // wrap, and exactness is irrelevant for a 9e9 bound test.
+        .withColumn("mx", when(
+          col("mx").cast("double") - col("mn").cast("double") > 9.0e9,
           raise_error(concat(lit("minMaxFuse: per-query score spread "),
-            (col("mx") - col("mn")).cast("string"),
+            (col("mx").cast("double") - col("mn").cast("double"))
+              .cast("string"),
             lit(" exceeds the 9e9 exact-arithmetic bound — rescale " +
               "the channel's micro-units"))).cast("long"))
           .otherwise(col("mx")))

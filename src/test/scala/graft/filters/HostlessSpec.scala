@@ -6,8 +6,11 @@ import graft.filters.ztf.{ZtfHostlessFilters => H}
 /** Golden counts for the hostless family building blocks on the
   * 133-alert fixture, derived by pandas replication (the doctest numbers
   * in the reference refer to an older, larger fixture): uncataloged=12,
-  * intra-night cadence=54, inter-night cadence=10; composed filters with
-  * the stub image stage: 2/0/0.
+  * intra-night cadence=54, inter-night cadence=10; cheap cuts compose to
+  * 2/0/0 (the `*_fast` registered siblings), and the REGISTERED trio —
+  * real KS image stage ON, the reference's registered behavior — keeps
+  * 1/0/0 (one of the two new-hostless cheap survivors has a science
+  * stamp whose centre-vs-background KS exceeds the 0.5 bound).
   */
 class HostlessSpec extends SparkSpec {
 
@@ -42,12 +45,24 @@ class HostlessSpec extends SparkSpec {
     assert(n1 <= 2) // bounded by the 2 uncataloged-and-new candidates
   }
 
-  test("hostless filters (stub image stage) keep 2/0/0") {
+  test("registered hostless trio (real KS image stage ON) keeps 1/0/0") {
     assert(FilterRegistry.applyFilter(df,
-      "ztf.livestream.new_hostless").count() === 2L)
+      "ztf.livestream.new_hostless").count() === 1L)
     assert(FilterRegistry.applyFilter(df,
       "ztf.livestream.intra_night_hostless").count() === 0L)
     assert(FilterRegistry.applyFilter(df,
       "ztf.livestream.inter_night_hostless").count() === 0L)
+  }
+
+  test("registered *_fast siblings (cheap cuts only) keep 2/0/0") {
+    assert(FilterRegistry.applyFilter(df,
+      "ztf.livestream.new_hostless_fast").count() === 2L)
+    assert(FilterRegistry.applyFilter(df,
+      "ztf.livestream.intra_night_hostless_fast").count() === 0L)
+    assert(FilterRegistry.applyFilter(df,
+      "ztf.livestream.inter_night_hostless_fast").count() === 0L)
+    val desc = FilterRegistry.get("ztf.livestream.new_hostless_fast")
+      .description
+    assert(desc.contains("SKIPPED"), desc)
   }
 }

@@ -73,7 +73,9 @@ class StreamAndPipelineSpec extends SparkSpec {
       "ztf.livestream.magnetic_cvs" -> 1L,
       "ztf.livestream.early_kn_candidates" -> 0L,
       "ztf.livestream.rate_based_kn_candidates" -> 0L,
-      "ztf.livestream.new_hostless" -> 2L)
+      // real KS image stage ON (registered default since r14): 1 of
+      // the 2 cheap-cut survivors passes the stamp bounds
+      "ztf.livestream.new_hostless" -> 1L)
     val batch = SparkSpec.ztfRegular
     val stream = StreamPipeline.readParquetStream(
       spark, "/root/reference/datatest/regular", batch.schema)

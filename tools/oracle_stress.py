@@ -25,6 +25,7 @@ with a tiny "bad allocation" (the r12 q90 driver loss). The per-stmt
 sets none; the binding resource is the map table, not bytes.
 
 Run: python3 tools/oracle_stress.py /root/testdata/sf0.01 /tmp/vout --seq
+     (optional thread count directly after --seq; defaults to 32)
 """
 import json
 import multiprocessing as mp
@@ -34,8 +35,16 @@ SF_DIR = sys.argv[1]
 OUT = sys.argv[2]
 SEQ = len(sys.argv) > 3 and sys.argv[3] == "--seq"
 NAMES = None if SEQ else sys.argv[3].split(",")
-MEM = sys.argv[4] if len(sys.argv) > 4 else "200MB"
-THREADS = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+# The two modes take different tails: isolated mode is
+#   <names> [MEM] [THREADS], seq mode is --seq [THREADS] (no memory
+# limit — the driver sets none). Parsing them positionally from one
+# layout forced a dummy MEM placeholder to reach THREADS in --seq.
+if SEQ:
+    MEM = None
+    THREADS = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+else:
+    MEM = sys.argv[4] if len(sys.argv) > 4 else "200MB"
+    THREADS = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
