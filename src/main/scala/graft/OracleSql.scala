@@ -3047,6 +3047,37 @@ object OracleSql {
        |FROM e24 ORDER BY shuffle_key_e1""".stripMargin
   }
 
+  /** q138 — unigram-LM seed-candidate mirror
+    * ([[graft.llmops.Unigram.qUnigramSeed]]): the q74 token dict, then
+    * every substring of length 1..4 of every word (one UNION ALL arm
+    * per length — DuckDB's range() needs a constant-per-arm substring
+    * width to stay off the descending-range edge, exactly the engine's
+    * `least`/inner-bound guard), corpus-weighted. Empty tokens carry
+    * no substring on either side (`length(tok) >= l` per arm; the
+    * engine filters length >= 1 before exploding).
+    */
+  private val q138 = {
+    val arms = (1 to 4).map { l =>
+      s"""SELECT tf, unnest(list_transform(range(1, length(tok) - $l + 2),
+         |    i -> substr(tok, CAST(i AS INTEGER), $l))) AS piece
+         |  FROM tf WHERE length(tok) >= $l""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks0 AS (
+       |  SELECT string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+       |    ' ') AS toks
+       |  FROM documents),
+       |tf AS (
+       |  SELECT t AS tok, count(*) AS tf
+       |  FROM (SELECT unnest(toks) AS t FROM toks0)
+       |  WHERE length(t) >= 1 GROUP BY 1),
+       |p AS (
+       |  $arms)
+       |SELECT piece, CAST(sum(tf) AS BIGINT) AS weighted_n,
+       |  count(*) AS n_positions
+       |FROM p GROUP BY piece
+       |ORDER BY weighted_n DESC, piece LIMIT 50""".stripMargin
+  }
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -3932,5 +3963,6 @@ object OracleSql {
     // q136 compares two runs by rank-biased overlap at p = 1/2; the
     // mirror replays each depth term with // and <<
     "q136_rbo_runs" -> q136,
-    "q137_epoch_shuffle" -> q137)
+    "q137_epoch_shuffle" -> q137,
+    "q138_unigram_seed" -> q138)
 }

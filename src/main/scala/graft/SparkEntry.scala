@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, EventQueries, ExtraQueries}
-import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Retrieval, Similarity, TextOps, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -322,7 +322,10 @@ object SparkEntry {
     "q136_rbo_runs" -> (Retrieval.qRboRuns _),
     // epoch-keyed deterministic training-order shuffle: bijective
     // Feistel key per (epoch, seq_id) — two epochs' keys in one gate
-    "q137_epoch_shuffle" -> (TextOps.qEpochShuffle _))
+    "q137_epoch_shuffle" -> (TextOps.qEpochShuffle _),
+    // unigram-LM tokenizer seed statistic (the EM rounds are pinned by
+    // UnigramSpec — no SQL oracle replays an argmax DP)
+    "q138_unigram_seed" -> (Unigram.qUnigramSeed _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -365,6 +365,22 @@ object DriveVerify {
       graft.llmops.Bpe.segmentStats(
         spark.read.parquet(s"$sf/documents.parquet"), bpeVocab)
         .orderBy(col("n").desc).show(3, false)
+      // unigram-LM sibling: seed gate + EM training + application
+      graft.llmops.Unigram.qUnigramSeed(spark, sf).show(3, false)
+      val (uniPieces, uniSegs) = graft.llmops.Unigram.train(
+        spark.read.parquet(s"$sf/documents.parquet"),
+        vocabSize = 200, seedSize = 800, emRounds = 2)
+      val nMulti = uniPieces.filter(length(col("piece")) > 1).count()
+      val topPieces = uniPieces
+        .orderBy(col("cnt").desc, col("piece")).limit(5).collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
+      println(s"unigram vocab: ${uniPieces.count()} pieces " +
+        s"($nMulti multi-char), top: $topPieces")
+      assert(nMulti > 0, "unigram EM learned no multi-char pieces")
+      val uniStats = graft.llmops.Unigram.segmentStats(
+        spark.read.parquet(s"$sf/documents.parquet"), uniPieces)
+      println(s"unigram segmentation: ${uniSegs.count()} dict words, " +
+        s"${uniStats.count()} distinct applied pieces")
       graft.operators.CoreQueries.q75RecursiveCte(spark, sf).show(3, false)
       graft.operators.CoreQueries.q76VariantJson(spark, sf).show(3, false)
       graft.operators.CoreQueries.q77LateralTopN(spark, sf).show(3, false)
