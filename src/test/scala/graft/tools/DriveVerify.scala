@@ -381,6 +381,27 @@ object DriveVerify {
         spark.read.parquet(s"$sf/documents.parquet"), uniPieces)
       println(s"unigram segmentation: ${uniSegs.count()} dict words, " +
         s"${uniStats.count()} distinct applied pieces")
+      // end-to-end RAG serving composition (chunk → passage index →
+      // hybrid probe → MMR → snippets) on the real fixture tables
+      val ragDocs = spark.read.parquet(s"$sf/documents.parquet")
+      val ragQ = ragDocs.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+        .select(col("doc_id").as("qid"), col("text"))
+      val rag = graft.llmops.RagPipeline.prepare(
+        ragDocs.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+          .select("doc_id", "text"),
+        ragQ, spark.read.parquet(s"$sf/embeddings.parquet"),
+        topC = 12, k = 3)
+      val ragAudit = rag.audit.collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      println(s"rag pipeline audit: $ragAudit")
+      val ragCtx = rag.contexts.count()
+      val ragQn = ragQ.count()
+      assert(ragCtx > 0 && ragCtx <= ragQn * 3,
+        s"context count $ragCtx out of bounds for $ragQn queries")
+      println(s"rag contexts: $ragCtx rows for $ragQn queries, " +
+        s"with snippets: ${rag.contexts.filter(
+          col("snippet").isNotNull).count()}")
+      spark.catalog.clearCache() // the caller-held passage index
       graft.operators.CoreQueries.q75RecursiveCte(spark, sf).show(3, false)
       graft.operators.CoreQueries.q76VariantJson(spark, sf).show(3, false)
       graft.operators.CoreQueries.q77LateralTopN(spark, sf).show(3, false)
