@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   *    the second corpus-sized pass a deployment pays, with the final
   *    piece table broadcast.
   *
-  * Measured (32 cores, warm, idle window): train 26.9 s end-to-end
-  * (seed + 3 EM rounds + prune + final pass over the 100,009-word
-  * dict, 400 pieces out), segmentStats application 21.3 s — i.e. the
-  * full training run costs about one application pass, confirming the
-  * claim under test: training time is dominated by the single
-  * corpus-sized word-dict aggregation (paid exactly once) while the
-  * EM rounds stay dict-priced (~100k Viterbi DPs per round against
-  * the broadcast ≤2000-piece table).
+  * Measured (32 cores, warm, idle window; two runs): train 7.5-8.2 s
+  * end-to-end (seed + 3 EM rounds + prune + final pass over the
+  * 100,009-word dict, 400 pieces out), segmentStats application
+  * 1.1-1.4 s — confirming the claim under test: the corpus is paid
+  * exactly once (the word-dict aggregation) and every Viterbi stage
+  * is dict-priced (~100k DPs per round against the broadcast
+  * ≤2000-piece table). A first, contended-window run measured
+  * 26.9 s / 21.3 s with the ORIGINAL per-occurrence segmentStats
+  * (Viterbi on all 21.5M occurrences); the dict-first rewrite cuts
+  * the application's DP work by the corpus's 215× occurrence/token
+  * ratio — the q74 vocabulary-first lesson applied to tokenizer
+  * APPLICATION, and the reason no per-occurrence kernel could
+  * compete.
   *
   * Run: SPARK_GRAFT_CPUS=32 sbt 'Test/runMain graft.tools.Scale100W9'
   */
