@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q138: seed statistic is two combined aggs + top-k, no sort") {
+    val p = plan(graft.llmops.Unigram.qUnigramSeed(spark, dir))
+    // both the word-dict and the substring-count aggregations combine
+    // map-side, and the top-50 report specializes to
+    // TakeOrderedAndProject — a global Sort would serialize the
+    // dict-sized relation through one task
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!finalPlanOf(p).contains("Sort "), p)
+  }
+
   test("q28: candidate generation shuffles ids+buckets only, never vectors") {
     val df = graft.llmops.Dedup.qDedupEmbedding(spark, dir)
     val p = plan(df)
