@@ -197,13 +197,29 @@ object Unigram {
     */
   def train(docs: DataFrame, textCol: String = "text",
       vocabSize: Int = 400, seedMaxLen: Int = 4, seedSize: Int = 2000,
-      minTf: Long = 1L, emRounds: Int = 3): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+      minTf: Long = 1L, emRounds: Int = 3): (DataFrame, DataFrame) =
+    trainFromDict(wordDict(docs, textCol), vocabSize, seedMaxLen,
+      seedSize, minTf, emRounds)
+
+  /** Train from a PRE-AGGREGATED (tok, tf) word dict — the 100 TB
+    * retraining seam: the dict is a mergeable count aggregation, so a
+    * deployment maintains it incrementally (per-batch partials
+    * re-aggregated, the q70 rollup-maintenance shape; tfs simply sum)
+    * and retrains the tokenizer WITHOUT rescanning the corpus —
+    * training cost becomes dict-sized end to end. [[train]] is this
+    * entry point applied to the one-pass dict of a raw corpus;
+    * UnigramSpec pins merged-partial-dict training ≡ whole-corpus
+    * training (the mergeability certificate).
+    */
+  def trainFromDict(rawDict: DataFrame, vocabSize: Int = 400,
+      seedMaxLen: Int = 4, seedSize: Int = 2000, minTf: Long = 1L,
+      emRounds: Int = 3): (DataFrame, DataFrame) = {
+    val spark = rawDict.sparkSession
     import spark.implicits._
     // dict reused by the seed pass + every EM round: materialize once,
-    // eagerly (iterative-loop checkpoint cadence), so the corpus is
-    // scanned exactly once end-to-end
-    val dict = wordDict(docs, textCol)
+    // eagerly (iterative-loop checkpoint cadence), so the corpus (or
+    // the caller's maintained partials) is scanned exactly once
+    val dict = rawDict
       .filter(col("tf") >= minTf)
       .localCheckpoint(true)
 

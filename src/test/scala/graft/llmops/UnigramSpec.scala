@@ -165,6 +165,33 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.viterbi("ax", scores, 4) === null)
   }
 
+  test("trainFromDict on merged partial dicts == train on the whole corpus") {
+    // the 100 TB retraining seam: per-batch dict partials re-aggregate
+    // (tfs sum) and training from the merged dict must equal training
+    // from the raw corpus — the mergeability certificate
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def dictOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(graft.expressions.WordShingles
+        .shingles(col("text"), 1)).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val merged = dictOf(half1).unionByName(dictOf(half2))
+      .groupBy("tok").agg(sum(col("tf")).as("tf"))
+    val (pa, sa) = Unigram.trainFromDict(merged, vocabSize = 200,
+      seedSize = 800, emRounds = 2)
+    val (pb, sb) = Unigram.train(docs, vocabSize = 200,
+      seedSize = 800, emRounds = 2)
+    def pm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def sm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(pm(pa) === pm(pb))
+    assert(sm(sa) === sm(sb))
+  }
+
   test("segmentStats covers the corpus exactly (Σ piece chars == Σ token chars)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
