@@ -3078,6 +3078,34 @@ object OracleSql {
        |ORDER BY weighted_n DESC, piece LIMIT 50""".stripMargin
   }
 
+  /** q139 — JL random-projection mirror
+    * ([[graft.llmops.Similarity.qRandomProjection]]): the ±1 sign
+    * matrix is REBUILT from DuckDB's own md5 (first-hex-digit value
+    * parity over the same "rp_j_k" keys the engine digests with
+    * Java's MessageDigest — independent md5s agreeing on all 1024
+    * cells is part of the certificate), embeddings unnest with
+    * generate_subscripts, quantize with the shared floor(x·1e6 + 0.5)
+    * spelling, and each component is the signed BIGINT sum.
+    */
+  private val q139 =
+    s"""WITH sgn AS MATERIALIZED (
+       |  SELECT j, k,
+       |    CASE WHEN ((strpos('0123456789abcdef',
+       |      substr(md5('rp_' || j || '_' || k), 1, 1)) - 1) % 2) = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(1, 65)) AS j),
+       |       (SELECT unnest(range(1, 17)) AS k)),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(k AS BIGINT) AS k,
+       |  CAST(sum(s * q) AS BIGINT) AS comp
+       |FROM qv JOIN sgn USING (j)
+       |GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -3964,5 +3992,6 @@ object OracleSql {
     // mirror replays each depth term with // and <<
     "q136_rbo_runs" -> q136,
     "q137_epoch_shuffle" -> q137,
-    "q138_unigram_seed" -> q138)
+    "q138_unigram_seed" -> q138,
+    "q139_random_projection" -> q139)
 }

@@ -325,7 +325,9 @@ object SparkEntry {
     "q137_epoch_shuffle" -> (TextOps.qEpochShuffle _),
     // unigram-LM tokenizer seed statistic (the EM rounds are pinned by
     // UnigramSpec — no SQL oracle replays an argmax DP)
-    "q138_unigram_seed" -> (Unigram.qUnigramSeed _))
+    "q138_unigram_seed" -> (Unigram.qUnigramSeed _),
+    // JL ±1 random projection (dimensionality compression, exact ints)
+    "q139_random_projection" -> (Similarity.qRandomProjection _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -380,6 +380,73 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Deterministic ±1 sign for projection cell (j, k) — the value
+    * parity of the first hex digit of md5("rp_<j>_<k>") (j = 1-based
+    * input dim, k = 1-based output dim). Computed here with Java's
+    * MessageDigest; the q139 DuckDB mirror RECOMPUTES the digest with
+    * its own md5 + hex-digit strpos — two independent md5
+    * implementations agreeing on every cell is part of the
+    * certificate (the q79/feistel shared-DERIVATION pattern, without
+    * sharing values).
+    */
+  def rpSign(j: Int, k: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_${k}".getBytes("UTF-8"))
+    if ((((d(0) >> 4) & 0xF) % 2) == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection with dense ±1 signs
+    * (Achlioptas 2003) — the embedding DIMENSIONALITY-compression
+    * operator next to q47's precision compression: project `inDim`
+    * vectors onto `outDim` pseudorandom ±1 directions, preserving
+    * pairwise distances to JL tolerance while cutting every downstream
+    * distance computation (clustering, brute re-rank, sim joins) by
+    * inDim/outDim. Components are EXACT integers — inputs quantize to
+    * micro units (floor(x·1e6 + 0.5), the q47 rounding spelling) and
+    * the projection is a ±-signed Long sum (|comp| ≤ 64·|x|max·1e6 ≪
+    * 2^63) — so q139 hash-gates every component against DuckDB.
+    *
+    * Scale shape: a PURE MAP stage — the sign matrix rides as 16
+    * literal arrays folded into codegen (outDim·inDim = 1024 constants,
+    * no broadcast, no join), each vector is one zip_with/aggregate
+    * chain, and nothing shuffles (the gate's total ORDER BY adds the
+    * one range exchange; PlanSpec pins zero exchanges below it). A
+    * vector of the wrong dimension fails LOUDLY row-level (zip_with
+    * would null-pad silently otherwise — the packPassageId precedent).
+    */
+  def randomProject(vectors: DataFrame, inDim: Int = 64,
+      outDim: Int = 16): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got in=$inDim out=$outDim")
+    val qarr = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+    val comps = (1 to outDim).map { k =>
+      val signs = array((1 to inDim).map(j =>
+        lit(rpSign(j, k).toLong)): _*)
+      aggregate(zip_with(col("__q"), signs, (q, s) => q * s),
+        lit(0L), (a, x) => a + x)
+    }
+    vectors
+      .withColumn("__q",
+        when(size(col("embedding")) === inDim, qarr)
+          .otherwise(raise_error(concat(
+            lit(s"randomProject: expected $inDim-dim embedding, got "),
+            size(col("embedding")).cast("string"),
+            lit(" for vec_id "), col("vec_id").cast("string")))))
+      .select(col("vec_id"),
+        posexplode(array(comps: _*)).as(Seq("__k0", "comp")))
+      .select(col("vec_id"), (col("__k0") + 1).cast("long").as("k"),
+        col("comp"))
+  }
+
+  /** q139 — the 64→16 JL projection of every corpus embedding, one row
+    * per (vector, output dimension), all-BIGINT. The mirror rebuilds
+    * the sign matrix from ITS OWN md5 and replays the quantize +
+    * signed sum over the unnested embedding.
+    */
+  def qRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    randomProject(emb(spark, dir)).orderBy("vec_id", "k")
+
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine
     * re-rank — the scale path (equi-join on bucket key; no cross join).
     * Returns top candidate pairs above threshold.

@@ -165,4 +165,39 @@ class SimilaritySpec extends SparkSpec {
         s"query $q rank-1 was ${byRank.head.getLong(2)}")
     }
   }
+
+  test("randomProject == driver replication; partition-invariant; loud on wrong dim") {
+    import spark.implicits._
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // independent driver replication of quantize + signed sum
+    val expected = e.select("vec_id", "embedding").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val xs = r.getSeq[Float](1)
+      (1 to 16).map { k =>
+        val comp = xs.zipWithIndex.map { case (x, j0) =>
+          Similarity.rpSign(j0 + 1, k) *
+            math.floor(x.toDouble * 1000000.0 + 0.5).toLong
+        }.sum
+        (id, k.toLong, comp)
+      }
+    }.toSet
+    val got = Similarity.randomProject(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    val got7 = Similarity.randomProject(e.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got7 === expected)
+    // sign matrix is balanced enough to be a projection, not a sum
+    val sgnSum = (1 to 16).map(k =>
+      (1 to 64).map(j => Similarity.rpSign(j, k)).sum)
+    assert(sgnSum.forall(s => math.abs(s) < 32), sgnSum.toString)
+    // a wrong-dimension vector fails loudly, never null-pads
+    val bad = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.randomProject(bad).collect()
+    }
+    assert(ex.getMessage.contains("expected 64-dim"),
+      ex.getMessage)
+  }
 }

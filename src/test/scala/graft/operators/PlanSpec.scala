@@ -42,6 +42,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q139: projection is a pure map stage — one exchange, the total order") {
+    val p = finalPlanOf(plan(
+      graft.llmops.Similarity.qRandomProjection(spark, dir)))
+    // the sign matrix folds into codegen as literals: no join, no
+    // broadcast, no aggregation exchange — the only Exchange is the
+    // gate's ORDER BY range partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange (total order), got:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q138: seed statistic is two combined aggs + top-k, no sort") {
     val p = plan(graft.llmops.Unigram.qUnigramSeed(spark, dir))
     // both the word-dict and the substring-count aggregations combine

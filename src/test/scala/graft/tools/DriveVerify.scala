@@ -381,6 +381,14 @@ object DriveVerify {
         spark.read.parquet(s"$sf/documents.parquet"), uniPieces)
       println(s"unigram segmentation: ${uniSegs.count()} dict words, " +
         s"${uniStats.count()} distinct applied pieces")
+      // JL ±1 random projection: 64 → 16 dims, exact integers
+      val rp = graft.llmops.Similarity.randomProject(
+        spark.read.parquet(s"$sf/embeddings.parquet"))
+      val rpN = rp.count()
+      val rpMax = rp.agg(max(abs(col("comp")))).head().getLong(0)
+      println(s"random projection: $rpN (vec, k) components, " +
+        s"max |comp| = $rpMax")
+      assert(rpMax < 64L * 2000000L, "component outside the micro bound")
       // end-to-end RAG serving composition (chunk → passage index →
       // hybrid probe → MMR → snippets) on the real fixture tables
       val ragDocs = spark.read.parquet(s"$sf/documents.parquet")
