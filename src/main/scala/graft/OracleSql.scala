@@ -3106,6 +3106,89 @@ object OracleSql {
        |FROM qv JOIN sgn USING (j)
        |GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin
 
+  /** q140 — DSIR importance-resampling mirror
+    * ([[graft.llmops.Curation.qDsirSelect]]): hashed unigram+bigram
+    * features rebuilt with the q126 list comprehension (unigrams over
+    * every document, bigrams over ≥2-token documents) and the 24-bit
+    * md5 bucket, both Laplace-smoothed fits, and the
+    * [[graft.llmops.Curation.log2Fix]] integer squaring recurrence
+    * unrolled as 16 CTE rounds — `//` on non-negative BIGINT is the
+    * engine's `>>`, the mantissa CASEs replay the normalization
+    * shifts, so bucket weights and document scores are bit-for-bit
+    * the engine's Longs. The four log stacks (per-bucket t/r plus the
+    * two corpus totals) run through ONE chain via a tagged union.
+    */
+  private val q140 = {
+    val toks = "string_split(regexp_replace(lower(text)," +
+      " '\\s+', ' ', 'g'), ' ')"
+    val eCase = "CASE " + (40 to 0 by -1).map(k =>
+      s"WHEN n >= ${1L << k} THEN $k").mkString(" ") + " END"
+    val mCase = "CASE e " + (0 to 40).map { k =>
+      if (k <= 30) s"WHEN $k THEN n * ${1L << (30 - k)}"
+      else s"WHEN $k THEN n // ${1L << (k - 30)}"
+    }.mkString(" ") + " END"
+    val rounds = (1 to 16).map { i =>
+      s"""lg$i AS (
+         |  SELECT b, wh, e,
+         |    CASE WHEN (m * m) // 1073741824 >= 2147483648
+         |      THEN ((m * m) // 1073741824) // 2
+         |      ELSE (m * m) // 1073741824 END AS m,
+         |    frac * 2 + (CASE WHEN (m * m) // 1073741824 >= 2147483648
+         |      THEN 1 ELSE 0 END) AS frac
+         |  FROM lg${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang = 'en' AS is_t, $toks AS toks
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, is_t, unnest(toks) AS f FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, is_t,
+       |    unnest(list_transform(range(0, len(toks) - 1),
+       |      i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')))
+       |  FROM tk WHERE len(toks) >= 2),
+       |db AS MATERIALIZED (
+       |  SELECT doc_id, is_t,
+       |    ('0x' || substr(md5(f), 1, 6))::BIGINT % 1024 AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM feats GROUP BY doc_id, is_t, b),
+       |fit AS MATERIALIZED (
+       |  SELECT b, CAST(sum(cnt) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS t
+       |  FROM db GROUP BY b),
+       |stack AS (
+       |  SELECT b, 'r' AS wh, r + 1 AS n FROM fit
+       |  UNION ALL SELECT b, 't' AS wh, t + 1 AS n FROM fit
+       |  UNION ALL SELECT CAST(-1 AS BIGINT), 'R',
+       |    (SELECT CAST(sum(r) AS BIGINT) FROM fit) + 1024
+       |  UNION ALL SELECT CAST(-1 AS BIGINT), 'T',
+       |    (SELECT CAST(sum(t) AS BIGINT) FROM fit) + 1024),
+       |lge AS (
+       |  SELECT b, wh, n, $eCase AS e
+       |  FROM (SELECT b, wh, CAST(n AS BIGINT) AS n FROM stack)),
+       |lg0 AS (
+       |  SELECT b, wh, e, $mCase AS m, CAST(0 AS BIGINT) AS frac
+       |  FROM lge),
+       |$rounds,
+       |lgf AS MATERIALIZED (
+       |  SELECT b, wh, CAST(e AS BIGINT) * 65536 + frac AS lf
+       |  FROM lg16),
+       |wt AS (
+       |  SELECT tt.b,
+       |    (tt.lf - (SELECT lf FROM lgf WHERE wh = 'T'))
+       |      - (rr.lf - (SELECT lf FROM lgf WHERE wh = 'R')) AS wb
+       |  FROM lgf tt JOIN lgf rr ON tt.b = rr.b
+       |  WHERE tt.wh = 't' AND rr.wh = 'r'),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(cnt * wb) AS BIGINT) AS dsir_score,
+       |    CAST(sum(cnt) AS BIGINT) AS n_feat
+       |  FROM db JOIN wt USING (b) GROUP BY doc_id
+       |  ORDER BY dsir_score DESC, doc_id LIMIT 200)
+       |SELECT sc.doc_id, d.lang, n_feat, dsir_score
+       |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       |ORDER BY dsir_score DESC, sc.doc_id""".stripMargin
+  }
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -3993,5 +4076,8 @@ object OracleSql {
     "q136_rbo_runs" -> q136,
     "q137_epoch_shuffle" -> q137,
     "q138_unigram_seed" -> q138,
-    "q139_random_projection" -> q139)
+    "q139_random_projection" -> q139,
+    // q140 replays bucketing, both fits and the integer log2
+    // recurrence bit-for-bit — the mirror IS the engine arithmetic
+    "q140_dsir_select" -> q140)
 }

@@ -327,7 +327,10 @@ object SparkEntry {
     // UnigramSpec — no SQL oracle replays an argmax DP)
     "q138_unigram_seed" -> (Unigram.qUnigramSeed _),
     // JL ±1 random projection (dimensionality compression, exact ints)
-    "q139_random_projection" -> (Similarity.qRandomProjection _))
+    "q139_random_projection" -> (Similarity.qRandomProjection _),
+    // DSIR importance resampling: hashed-ngram target/raw fits, exact
+    // integer log2 kernel, top-k selection (Xie et al. 2023)
+    "q140_dsir_select" -> (Curation.qDsirSelect _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

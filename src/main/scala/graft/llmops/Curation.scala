@@ -540,4 +540,153 @@ object Curation {
       e.filter(pmod(col("vec_id"), lit(10)) === 7),
       threshold = 0.3, nProbe = 2)
   }
+
+  /** Exact fixed-point log2 with 16 fraction bits: `log2Fix(n) =
+    * e·2^16 + frac` where `e = floor(log2 n)` and `frac` comes from
+    * the classic integer squaring recurrence — normalize the mantissa
+    * to [2^30, 2^31) (left shift exact below 2^30, truncating right
+    * shift above — deterministic either way), then 16 rounds of
+    * `m ← (m·m) >> 30`, emitting a fraction bit and halving whenever
+    * the square crosses 2^31. Every intermediate is a non-negative
+    * Long < 2^62, and every operation (shift, floor-divide, compare)
+    * has a bit-identical DuckDB BIGINT counterpart, so the kernel is
+    * the determinism bridge that lets log-ratio scores gate
+    * hash-exact — the piece the q126 lift trick (rank-equivalence
+    * without `ln`) cannot supply when scores must be SUMMED across
+    * features rather than merely ranked. Accuracy ~2^-16 relative
+    * (plus ≤2^-30 normalization truncation), irrelevant for selection
+    * and invisible to the gate: both engines run the same integer
+    * recurrence. Domain n ≥ 1, raised loudly (smoothed counts are ≥ 1
+    * by construction).
+    */
+  def log2Fix(n: Long): Long = {
+    require(n >= 1L, s"log2Fix domain is n >= 1, got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var m = if (e <= 30) n << (30 - e) else n >> (e - 30)
+    var frac = 0L
+    var i = 0
+    while (i < 16) {
+      val m2 = (m * m) >> 30
+      if (m2 >= (1L << 31)) { frac = frac * 2 + 1; m = m2 >> 1 }
+      else { frac = frac * 2; m = m2 }
+      i += 1
+    }
+    (e.toLong << 16) + frac
+  }
+
+  /** Hashed feature bucket: first 24 md5 bits of the n-gram string,
+    * mod `buckets` — the same digest currency as [[splitLabel]] /
+    * [[hashUniform]], computable independently and identically by any
+    * engine (DuckDB: `('0x' || substr(md5(f), 1, 6))::BIGINT %
+    * buckets`). Hashing features instead of holding an n-gram
+    * vocabulary is what makes the model size corpus-INDEPENDENT.
+    */
+  def dsirBucket(feature: Column, buckets: Int): Column =
+    conv(substring(md5(feature.cast("binary")), 1, 6), 16, 10)
+      .cast("long") % lit(buckets.toLong)
+
+  /** Per-document hashed bag-of-ngrams: one row per (doc, bucket)
+    * with the summed unigram+bigram occurrence count. Counting
+    * contract (shared with q126 and replayed by the q140 mirror):
+    * unigrams over EVERY document, bigrams only over documents with
+    * ≥ 2 tokens (the WordShingles degenerate-shingle boundary). One
+    * pass over the text — both shingle kernels and the per-doc
+    * combine run inside the scan projection; the only shuffle carries
+    * (id, bucket, count), never text.
+    */
+  def dsirDocBuckets(corpus: DataFrame, idCol: String, textCol: String,
+      buckets: Int, passthrough: Seq[String] = Nil): DataFrame = {
+    val sh1 = graft.expressions.WordShingles.shingles(col(textCol), 1)
+    val sh2 = graft.expressions.WordShingles.shingles(col(textCol), 2)
+    val keep = passthrough.map(col)
+    corpus
+      .select(col(idCol) +: keep :+ sh1.as("u") :+ sh2.as("g"): _*)
+      .select(col(idCol) +: keep :+ explode(
+        graft.expressions.ElementCounts.elementCounts(
+          when(size(col("u")) >= 2, concat(col("u"), col("g")))
+            .otherwise(col("u")))).as(Seq("f", "tf")): _*)
+      .select(col(idCol) +: keep :+ dsirBucket(col("f"), buckets).as("b")
+        :+ col("tf"): _*)
+      .groupBy(col(idCol) +: keep :+ col("b"): _*)
+      .agg(sum(col("tf")).as("cnt"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick from a raw pool the k documents that look
+    * most like a target distribution, scored by a hashed-n-gram
+    * importance weight. Bag-of-ngrams models are fit on both sides as
+    * bucket counts (Laplace-smoothed), and each document scores
+    *
+    *   score(d) = Σ_b cnt_d[b] · (log2 p̂_target[b] − log2 p̂_raw[b])
+    *
+    * with every log taken by the integer [[log2Fix]] kernel, so the
+    * score is an exact Long and the selection gates hash-exact (width
+    * budget: |w_b| < 2^23 micro-log2 units, so any document below
+    * 2^40 features — i.e. any document — stays in Long).
+    *
+    * `isTarget` marks the target slice of the pool (the usual DSIR
+    * deployment scores a big raw crawl against a small trusted
+    * corpus; a separate trusted table unions in with the flag set).
+    *
+    * Scale shape: ONE tokenization pass (the [[dsirDocBuckets]]
+    * kernel), one (id, bucket)-slim shuffle; the two model fits are
+    * bucket-bounded re-aggregations of that relation, and the weight
+    * table — at most `buckets` rows regardless of corpus size — is
+    * the bounded driver model (the PQ-codebook pattern): log-scored
+    * in driver Scala, then BROADCAST back for the scoring join. The
+    * report is a TakeOrderedAndProject, never a global sort. Nothing
+    * driver-side or shuffle-side scales with the corpus; at 100 TB
+    * the whole cost is the one tokenize+count pass.
+    */
+  def dsirSelect(corpus: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    // per-doc bucket counts feed three consumers (raw fit, target
+    // fit, scoring join) — operator-internal multi-consumer, lazy
+    // localCheckpoint per the materialization rule (Retrieval.scala
+    // header); rows are (id, bucket, cnt, is_t), never text
+    val db = dsirDocBuckets(
+      corpus.withColumn("is_t", coalesce(isTarget, lit(false))),
+      idCol, textCol, buckets, passthrough = Seq("is_t"))
+      .localCheckpoint(false)
+    val fit = db.groupBy("b").agg(
+      sum("cnt").as("r"),
+      sum(when(col("is_t"), col("cnt")).otherwise(lit(0L))).as("t"))
+    // ≤ `buckets` rows by construction — the bounded driver model
+    val rows = fit.collect()
+    val rTot = rows.map(_.getLong(1)).sum
+    val tTot = rows.map(_.getLong(2)).sum
+    val cR = log2Fix(rTot + buckets)
+    val cT = log2Fix(tTot + buckets)
+    val wRows = rows.map { r =>
+      (r.getLong(0),
+        (log2Fix(r.getLong(2) + 1) - cT) - (log2Fix(r.getLong(1) + 1) - cR))
+    }.toSeq
+    import spark.implicits._
+    val wt = wRows.toDF("b", "wb")
+    db.join(broadcast(wt), "b")
+      .groupBy(idCol)
+      .agg(sum(col("cnt") * col("wb")).as("dsir_score"),
+        sum("cnt").as("n_feat"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** q140 — [[dsirSelect]] as a gate query: target = the English
+    * slice of the documents pool, k = 200, B = 1024 buckets; the
+    * report joins `lang` back (a broadcast of the 200 selected rows)
+    * so the selection's target-enrichment is visible in the output.
+    * The mirror replays bucketing, both fits and the [[log2Fix]]
+    * recurrence (16 unrolled CTE rounds of the same integer ops)
+    * bit-for-bit.
+    */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sel = dsirSelect(d, col("lang") === "en", k = 200)
+    broadcast(sel).join(d.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_feat"),
+        col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+  }
 }

@@ -297,4 +297,82 @@ class CurationSpec extends SparkSpec {
     assert(one.subsetOf(two))
     assert(two.nonEmpty)
   }
+
+  test("log2Fix: exact on powers of two, ~2^-16 accurate elsewhere, loud on 0") {
+    assert(Curation.log2Fix(1L) === 0L)
+    assert(Curation.log2Fix(2L) === 65536L)
+    assert(Curation.log2Fix(1L << 40) === 40L * 65536)
+    val probes = Seq(3L, 5L, 7L, 10L, 1000L, 123456789L,
+      (1L << 31) - 1, (1L << 31) + 1, (1L << 45) + 12345L)
+    probes.foreach { n =>
+      val got = Curation.log2Fix(n) / 65536.0
+      val exp = math.log(n.toDouble) / math.log(2.0)
+      // 16 fraction bits + ≤2^-30 normalization truncation
+      assert(math.abs(got - exp) < 3e-4, s"n=$n got=$got exp=$exp")
+    }
+    intercept[IllegalArgumentException] { Curation.log2Fix(0L) }
+  }
+
+  test("dsirSelect == driver replication; target-like docs selected first") {
+    import spark.implicits._
+    // target = fruit-speak; pool = fruit docs, mixed docs, metal docs
+    val rows = Seq(
+      (1L, "apple banana apple cherry", true),
+      (2L, "banana cherry banana apple", true),
+      (3L, "apple banana cherry", true),
+      (10L, "apple banana iron", false),
+      (11L, "cherry apple banana banana", false),
+      (12L, "iron copper zinc iron", false),
+      (13L, "zinc copper iron copper zinc", false),
+      (14L, "banana iron copper", false))
+    val d = rows.toDF("doc_id", "text", "is_en")
+    val got = Curation.dsirSelect(d, col("is_en"), k = 4, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // independent replication: plain-Scala counting + the same
+    // published digest/bucket/log2Fix contract
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ", -1).toSeq
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).take(3)
+        .map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def feats(t: String): Seq[String] = {
+      val ts = toks(t)
+      ts ++ (if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSeq
+             else Nil)
+    }
+    val perDoc = rows.map { case (id, t, tgt) =>
+      (id, tgt, feats(t).groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val rFit = perDoc.flatMap(_._3.toSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tFit = perDoc.filter(_._2).flatMap(_._3.toSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val rTot = rFit.values.sum; val tTot = tFit.values.sum
+    val cR = Curation.log2Fix(rTot + 64); val cT = Curation.log2Fix(tTot + 64)
+    val w = rFit.keys.map { b =>
+      b -> ((Curation.log2Fix(tFit.getOrElse(b, 0L) + 1) - cT)
+        - (Curation.log2Fix(rFit(b) + 1) - cR))
+    }.toMap
+    val exp = perDoc.map { case (id, _, m) =>
+      (id, m.map { case (b, c) => c * w(b) }.sum, m.values.sum)
+    }.sortBy { case (id, s, _) => (-s, id) }.take(4)
+      .map { case (id, s, n) => (id, s, n) }
+    assert(got.toSeq === exp)
+    // the three target docs plus the most fruit-like pool doc lead
+    assert(got.map(_._1).toSet.intersect(Set(1L, 2L, 3L)).size === 3)
+    assert(!got.map(_._1).contains(12L) && !got.map(_._1).contains(13L))
+  }
+
+  test("dsirSelect is partitioning-invariant") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Curation.dsirSelect(df, col("lang") === "en", k = 20, buckets = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(d) === run(d.repartition(7)))
+  }
 }

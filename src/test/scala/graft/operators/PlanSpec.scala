@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlanOf(p).contains("Sort "), p)
   }
 
+  test("q140: weight table broadcasts; scoring combines map-side; top-k, no global sort over docs") {
+    val p = plan(graft.llmops.Curation.qDsirSelect(spark, dir))
+    // the ≤B-row weight model must come back as a broadcast — a
+    // shuffled join here would re-shuffle the whole (id, bucket)
+    // relation against 1024 rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-doc scoring aggregates partially before its exchange
+    assert(p.contains("partial_sum"), p)
+    // the k-selection is TakeOrderedAndProject; the only Sort is the
+    // gate's total order over the 200 selected rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q28: candidate generation shuffles ids+buckets only, never vectors") {
     val df = graft.llmops.Dedup.qDedupEmbedding(spark, dir)
     val p = plan(df)

@@ -389,6 +389,16 @@ object DriveVerify {
       println(s"random projection: $rpN (vec, k) components, " +
         s"max |comp| = $rpMax")
       assert(rpMax < 64L * 2000000L, "component outside the micro bound")
+      // DSIR importance resampling: en-target selection enriches the
+      // target language (the selection-quality sanity the q140 hash
+      // gate can't express)
+      val dsir = graft.llmops.Curation.qDsirSelect(spark, sf)
+      val dsirRows = dsir.collect()
+      val dsirEn = dsirRows.count(_.getString(1) == "en")
+      println(s"dsir selection: ${dsirRows.length} docs, $dsirEn en, " +
+        s"top score ${dsirRows.head.getLong(3)}")
+      assert(dsirEn * 2 > dsirRows.length,
+        s"en-target selection not en-enriched: $dsirEn/${dsirRows.length}")
       // end-to-end RAG serving composition (chunk → passage index →
       // hybrid probe → MMR → snippets) on the real fixture tables
       val ragDocs = spark.read.parquet(s"$sf/documents.parquet")
