@@ -3189,6 +3189,49 @@ object OracleSql {
        |ORDER BY dsir_score DESC, sc.doc_id""".stripMargin
   }
 
+  /** q141 — WordPiece seed-merge mirror
+    * ([[graft.llmops.WordPiece.qWordpieceSeed]]): the q74 token dict,
+    * the `##`-convention character-symbol lists (q74's substr/length
+    * character parity), both count relations, and the likelihood
+    * score c_ab/(c_a·c_b) quantized with the engine's exact double op
+    * sequence — one divide of correctly-rounded products, ·1e12,
+    * floor(+0.5) (pico units: the scores are ≤ 1). Zipped unnests
+    * build the adjacent pairs positionally (the q139 pattern), never
+    * a positional self-join.
+    */
+  private val q141 =
+    """WITH toks0 AS (
+      |  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+      |    ' ') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT t AS tok, count(*) AS tf
+      |  FROM (SELECT unnest(toks) AS t FROM toks0) GROUP BY 1),
+      |symlist AS MATERIALIZED (
+      |  SELECT tf, list_transform(range(1, length(tok) + 1),
+      |    i -> CASE WHEN i = 1 THEN substr(tok, 1, 1)
+      |         ELSE '##' || substr(tok, CAST(i AS INTEGER), 1) END) AS ss
+      |  FROM tf),
+      |sc AS MATERIALIZED (
+      |  SELECT s, CAST(sum(tf) AS BIGINT) AS c_s
+      |  FROM (SELECT tf, unnest(ss) AS s FROM symlist) GROUP BY s),
+      |pr AS (
+      |  SELECT a, b, CAST(sum(tf) AS BIGINT) AS c_ab
+      |  FROM (
+      |    SELECT tf,
+      |      unnest(list_transform(range(1, len(ss)),
+      |        i -> ss[CAST(i AS INTEGER)])) AS a,
+      |      unnest(list_transform(range(1, len(ss)),
+      |        i -> ss[CAST(i AS INTEGER) + 1])) AS b
+      |    FROM symlist WHERE len(ss) >= 2)
+      |  GROUP BY a, b)
+      |SELECT a, b, c_ab, sa.c_s AS c_a, sb.c_s AS c_b,
+      |  CAST(floor(CAST(c_ab AS DOUBLE)
+      |    / (CAST(sa.c_s AS DOUBLE) * CAST(sb.c_s AS DOUBLE))
+      |    * 1000000000000.0 + 0.5) AS BIGINT) AS score_pico
+      |FROM pr JOIN sc sa ON pr.a = sa.s JOIN sc sb ON pr.b = sb.s
+      |ORDER BY score_pico DESC, a, b LIMIT 100""".stripMargin
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -4079,5 +4122,8 @@ object OracleSql {
     "q139_random_projection" -> q139,
     // q140 replays bucketing, both fits and the integer log2
     // recurrence bit-for-bit — the mirror IS the engine arithmetic
-    "q140_dsir_select" -> q140)
+    "q140_dsir_select" -> q140,
+    // q141 replays the ## symbol alphabet, both counts and the
+    // likelihood-score quantization with the identical double ops
+    "q141_wordpiece_seed" -> q141)
 }

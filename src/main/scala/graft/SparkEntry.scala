@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.operators.{CoreQueries, EventQueries, ExtraQueries}
-import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Retrieval, Similarity, TextOps, Unigram}
+import graft.llmops.{Cluster, Curation, Dedup, Linkage, Multimodal, Retrieval, Similarity, TextOps, Unigram, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -330,7 +330,10 @@ object SparkEntry {
     "q139_random_projection" -> (Similarity.qRandomProjection _),
     // DSIR importance resampling: hashed-ngram target/raw fits, exact
     // integer log2 kernel, top-k selection (Xie et al. 2023)
-    "q140_dsir_select" -> (Curation.qDsirSelect _))
+    "q140_dsir_select" -> (Curation.qDsirSelect _),
+    // WordPiece round-0 merge table: ## symbol alphabet + likelihood
+    // scores (the training loop itself is pinned by WordPieceSpec)
+    "q141_wordpiece_seed" -> (WordPiece.qWordpieceSeed _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

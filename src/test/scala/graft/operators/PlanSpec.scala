@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q141: seed table combines map-side; top-100 is TakeOrderedAndProject") {
+    val p = plan(graft.llmops.WordPiece.qWordpieceSeed(spark, dir))
+    // both count relations (symbols, adjacent pairs) pre-aggregate
+    // before their exchanges — the shuffles carry (symbol, partial
+    // count), vocab-bounded, never the corpus
+    assert(p.contains("partial_sum"), p)
+    // the scored report is a top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!finalPlanOf(p).contains("Sort "), p)
+  }
+
   test("q28: candidate generation shuffles ids+buckets only, never vectors") {
     val df = graft.llmops.Dedup.qDedupEmbedding(spark, dir)
     val p = plan(df)

@@ -389,6 +389,17 @@ object DriveVerify {
       println(s"random projection: $rpN (vec, k) components, " +
         s"max |comp| = $rpMax")
       assert(rpMax < 64L * 2000000L, "component outside the micro bound")
+      // WordPiece: the tokenizer trio's third trainer — likelihood
+      // merges, ## pieces, greedy application over the real corpus
+      val (wpMerges, wpPieces, _) = graft.llmops.WordPiece.train(
+        spark.read.parquet(s"$sf/documents.parquet"), nMerges = 8)
+      val wpStats = graft.llmops.WordPiece.segmentStats(
+        spark.read.parquet(s"$sf/documents.parquet"), wpPieces)
+      val wpMulti = wpPieces.count(p => p.stripPrefix("##").length > 1)
+      println(s"wordpiece: merges ${wpMerges.map { case (a, b) =>
+        s"$a+$b" }.mkString(", ")}; ${wpPieces.length} pieces " +
+        s"($wpMulti multi-char), ${wpStats.count()} applied")
+      assert(wpMulti > 0, "wordpiece learned no multi-char pieces")
       // DSIR importance resampling: en-target selection enriches the
       // target language (the selection-quality sanity the q140 hash
       // gate can't express)
