@@ -31,6 +31,10 @@ object SparkSpec {
     // saveAsTable target for BucketingSpec (static conf — must be set
     // at session build, and must not pollute the repo checkout)
     .config("spark.sql.warehouse.dir", tempWarehouse)
+    // hold every spec's codegen classes at once — the default
+    // 100-entry cache forces Janino recompilation across a 400-spec
+    // run (see Bench.scala; same setting as Bench/Verify)
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     .getOrCreate()
 
   /** Per-JVM temp warehouse, removed on JVM exit (DROP TABLE removes
