@@ -3232,6 +3232,60 @@ object OracleSql {
       |FROM pr JOIN sc sa ON pr.a = sa.s JOIN sc sb ON pr.b = sb.s
       |ORDER BY score_pico DESC, a, b LIMIT 100""".stripMargin
 
+  /** q142 — k-center coreset mirror
+    * ([[graft.llmops.Cluster.qKcenterCoreset]]): embeddings flattened
+    * ONCE into 64 micro-quantized BIGINT columns (the q90
+    * flat-embedding lesson — no list re-extraction in later stages),
+    * then the 7 greedy rounds unroll as CTE stages: argmax by
+    * (min-dist desc, id), exact Long squared-Euclidean sums in the
+    * same per-dimension terms, strict-improvement re-assignment
+    * (earlier center wins ties), and the k-row report groups the
+    * final assignment. Integer arithmetic end-to-end — the engine's
+    * Longs bit-for-bit.
+    */
+  private val q142 = {
+    val dim = 64
+    val k = 8
+    val qCols = (1 to dim).map(j =>
+      s"CAST(floor(CAST(embedding[$j] AS DOUBLE) * 1000000 + 0.5) " +
+        s"AS BIGINT) AS q$j").mkString(", ")
+    def dist(a: String, c: String): String =
+      (1 to dim).map(j => s"($a.q$j - $c.q$j) * ($a.q$j - $c.q$j)")
+        .mkString(" + ")
+    val rounds = (1 to k - 1).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT q.* FROM q JOIN (
+         |    SELECT vec_id FROM s${r - 1}
+         |    ORDER BY md DESC, vec_id LIMIT 1) t USING (vec_id)),
+         |s$r AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN d < md THEN d ELSE md END AS md,
+         |    CASE WHEN d < md THEN cid ELSE ac END AS ac
+         |  FROM (
+         |    SELECT s.vec_id, s.md, s.ac, ${dist("a", "c")} AS d,
+         |      c.vec_id AS cid
+         |    FROM s${r - 1} s JOIN q a USING (vec_id), c$r c) z)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cent = (0 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, $qCols FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT * FROM q ORDER BY vec_id LIMIT 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT a.vec_id, ${dist("a", "c")} AS md, c.vec_id AS ac
+       |  FROM q a, c0 c),
+       |$rounds,
+       |cent AS ($cent)
+       |SELECT cent.rk, s${k - 1}.ac AS center_id,
+       |  CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(max(md) AS BIGINT) AS radius_micro2
+       |FROM s${k - 1} JOIN cent ON s${k - 1}.ac = cent.vec_id
+       |GROUP BY cent.rk, s${k - 1}.ac
+       |ORDER BY cent.rk""".stripMargin
+  }
+
   /** q128 — champion-list pruning mirror
     * ([[graft.llmops.Retrieval.qBm25Pruned]]): impacts quantized per
     * (tok, did) with [[bm25ContribSql]] (the build-time arithmetic the
@@ -4125,5 +4179,8 @@ object OracleSql {
     "q140_dsir_select" -> q140,
     // q141 replays the ## symbol alphabet, both counts and the
     // likelihood-score quantization with the identical double ops
-    "q141_wordpiece_seed" -> q141)
+    "q141_wordpiece_seed" -> q141,
+    // q142 unrolls the 7 greedy farthest-point rounds over the flat
+    // integer relation — exact Long distances, same tie-breaks
+    "q142_kcenter_coreset" -> q142)
 }

@@ -333,7 +333,10 @@ object SparkEntry {
     "q140_dsir_select" -> (Curation.qDsirSelect _),
     // WordPiece round-0 merge table: ## symbol alphabet + likelihood
     // scores (the training loop itself is pinned by WordPieceSpec)
-    "q141_wordpiece_seed" -> (WordPiece.qWordpieceSeed _))
+    "q141_wordpiece_seed" -> (WordPiece.qWordpieceSeed _),
+    // greedy k-center coreset: diverse exemplar selection over the
+    // embedding table, exact Long distances (Gonzalez 1985)
+    "q142_kcenter_coreset" -> (Cluster.qKcenterCoreset _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query, q24's md5 SimHash included.

@@ -320,6 +320,101 @@ object Cluster {
     * columns, row_number argmin) — same values, different plan, which
     * is exactly what an oracle is for.
     */
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985) coreset
+    * selection over an embedding column — the DIVERSE-subset picker a
+    * training-data pipeline runs when it wants coverage rather than
+    * density: the classic 2-approximation to the k-center objective,
+    * the shape behind coreset/data-pruning methods that spread a
+    * sample across embedding space (where [[kmeansInt]] partitions
+    * mass and MMR re-ranks a candidate list, this SELECTS k maximally
+    * spread exemplars from the whole table). Deterministic and
+    * hash-exact: components micro-quantize (floor(x·1e6+0.5), the q47
+    * spelling), distances are EXACT Long squared-Euclidean sums
+    * (|q|≤~2^22 per component ⇒ per-dim square < 2^45, 64-dim sum
+    * < 2^51), the seed is the smallest id, each round's farthest
+    * point breaks ties on id, and a point re-assigns only on a
+    * STRICT distance improvement (earlier center wins ties).
+    *
+    * Scale shape: the quantized relation localCheckpoints ONCE; each
+    * of the k−1 rounds is (a) a TakeOrderedAndProject argmax (one
+    * slim job, driver receives ONE row — centers are the bounded
+    * driver model, k rows total) and (b) a pure map update folding
+    * the new center's components into codegen as literals
+    * (`aggregate(zip_with(...))`, no join, no shuffle), checkpointed
+    * on the iterative cadence (the kmeans/PageRank discipline). The
+    * report is a k-row aggregate. Nothing scales past k except the
+    * one quantize pass and k map sweeps.
+    */
+  def kcenterStats(vectors: DataFrame, k: Int, dim: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = vectors.sparkSession
+    val qarr = transform(col(embCol),
+      x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+    val base = vectors
+      .select(col(idCol).as("vid"),
+        when(size(col(embCol)) === dim, qarr)
+          .otherwise(raise_error(concat(
+            lit(s"kcenterStats: expected $dim-dim embedding, got "),
+            size(col(embCol)).cast("string"),
+            lit(" for id "), col(idCol).cast("string")))).as("q"))
+      .localCheckpoint()
+    def dist2To(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("q"), array(center.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val c0 = base.orderBy(col("vid")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("kcenterStats: empty input"))
+    val c0id = c0.getLong(0)
+    val c0q = c0.getSeq[Long](1)
+    val centers = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    centers += ((0L, c0id))
+    var state = base
+      .withColumn("md", dist2To(c0q))
+      .withColumn("ac", lit(c0id))
+      .localCheckpoint()
+    var r = 1
+    while (r < k) {
+      val top = state.orderBy(col("md").desc, col("vid")).limit(1)
+        .collect().head
+      val cid = top.getLong(0)
+      val cq = top.getSeq[Long](1)
+      centers += ((r.toLong, cid))
+      val d = dist2To(cq)
+      state = state
+        .withColumn("md2", least(col("md"), d))
+        .withColumn("ac", when(d < col("md"), lit(cid))
+          .otherwise(col("ac")))
+        .drop("md").withColumnRenamed("md2", "md")
+        .localCheckpoint()
+      r += 1
+    }
+    import spark.implicits._
+    val rks = centers.toSeq.toDF("rk", "center_id")
+    state.groupBy(col("ac").as("center_id"))
+      .agg(count(lit(1)).as("n_points"),
+        max(col("md")).as("radius_micro2"))
+      .join(broadcast(rks), "center_id")
+      .select(col("rk"), col("center_id"), col("n_points"),
+        col("radius_micro2"))
+      .orderBy("rk")
+  }
+
+  /** q142 — [[kcenterStats]] as a gate query: k = 8 diverse exemplars
+    * over the synthetic embeddings, reported as (selection rank,
+    * center id, assigned count, cluster radius in micro² units). The
+    * mirror unrolls the 7 greedy rounds as CTE stages over a flat
+    * 64-column integer relation (the q90 flat-embedding lesson) and
+    * replays seed, argmax tie-breaks, strict-improvement assignment
+    * and the exact Long distance sums bit-for-bit.
+    */
+  def qKcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterStats(
+      spark.read.parquet(s"$dir/embeddings.parquet"), k = 8)
+
   def qKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansInt(spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding"), k = 8, iters = 3)

@@ -453,4 +453,50 @@ class ClusterAndEventsSpec extends SparkSpec {
       .toSeq
     assert(got === refKmeans(vecs, 4, 3, 1000.0, 1048576L))
   }
+
+  test("kcenterStats: full hand trace — seed, farthest argmax, tie on id, strict re-assign") {
+    import spark.implicits._
+    // 2-D micro-exact points: 1:(0,0) 2:(1,0) 3:(0,2) 4:(1,2)
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 2f)), (4L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val got = Cluster.kcenterStats(vecs, k = 3, dim = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // seed c0 = id1. dists²(×1e12): id2=1, id3=4, id4=5 → c1 = id4.
+    // updates: id2 d=4 (no), id3 d=1 < 4 → ac=4. argmax over md
+    // {id2:1, id3:1} ties → min id → c2 = id2; id3 d to id2 = 5 (no).
+    // final: c0={1} r=0; id4={3,4} r=1e12; id2={2} r=0
+    val T = 1000000000000L
+    assert(got === Seq((0L, 1L, 1L, 0L), (1L, 4L, 2L, T),
+      (2L, 2L, 1L, 0L)))
+  }
+
+  test("kcenterStats: partition-invariant; coverage radius shrinks with k; loud guards") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Cluster.kcenterStats(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val k8 = run(e, 8)
+    assert(k8 === run(e.repartition(7), 8))
+    // the k-center objective (max cluster radius) is non-increasing
+    // in k — the whole point of adding centers
+    val cover4 = run(e, 4).map(_._4).max
+    val cover8 = k8.map(_._4).max
+    assert(cover8 <= cover4, s"k=8 radius $cover8 > k=4 $cover4")
+    // every point is assigned to exactly one of the k centers
+    assert(k8.map(_._3).sum === e.count())
+    intercept[IllegalArgumentException] {
+      Cluster.kcenterStats(e.limit(0), 2)
+    }
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Cluster.kcenterStats(bad, 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

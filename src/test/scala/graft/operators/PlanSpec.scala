@@ -89,6 +89,17 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlanOf(p).contains("Sort "), p)
   }
 
+  test("q142: checkpointed state feeds a map-side agg + broadcast rank join") {
+    val p = plan(graft.llmops.Cluster.qKcenterCoreset(spark, dir))
+    // the k-round greedy ran at construction (TakeOrderedAndProject
+    // argmax per round, centers = bounded driver rows); the returned
+    // plan must start from the checkpoint boundary, aggregate with a
+    // partial stage, and join the k-row rank table as a broadcast
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q28: candidate generation shuffles ids+buckets only, never vectors") {
     val df = graft.llmops.Dedup.qDedupEmbedding(spark, dir)
     val p = plan(df)

@@ -389,6 +389,15 @@ object DriveVerify {
       println(s"random projection: $rpN (vec, k) components, " +
         s"max |comp| = $rpMax")
       assert(rpMax < 64L * 2000000L, "component outside the micro bound")
+      // k-center coreset: the greedy picks must spread — every center
+      // in its own cluster, total assignment conserved
+      val kc = graft.llmops.Cluster.kcenterStats(
+        spark.read.parquet(s"$sf/embeddings.parquet"), k = 6).collect()
+      val kcN = kc.map(_.getLong(2)).sum
+      println(s"kcenter: ${kc.length} centers, $kcN points, radii " +
+        kc.map(_.getLong(3)).mkString(", "))
+      assert(kc.length == 6 && kc.map(_.getLong(1)).distinct.length == 6,
+        "kcenter centers not distinct")
       // WordPiece: the tokenizer trio's third trainer — likelihood
       // merges, ## pieces, greedy application over the real corpus
       val (wpMerges, wpPieces, _) = graft.llmops.WordPiece.train(
