@@ -1094,48 +1094,42 @@ object Retrieval {
     * argmax is pure relevance — the standard MMR initialization,
     * uniform here via coalesce.
     *
-    * Scale shape: MMR is inherently sequential in k, but every round
-    * touches only RANK-BOUNDED relations — candidates are queries ×
-    * topC rows (from a top-k retrieval/ANN probe, never the corpus),
-    * sims at most queries × topC² slim integer rows, and each round is
-    * one broadcast-scale join + windowed argmax. k rounds of driver
-    * iteration over bounded relations is the q96/q97 cadence;
-    * localCheckpoint severs the per-round lineage (selected and
-    * remaining are each consumed by TWO branches of the next round —
-    * the file's materialization rule).
+    * Scale shape (rewritten r14): MMR is sequential in k but
+    * independent ACROSS queries, so the distribution axis is the
+    * query, not the round — one collect_list aggregation per input
+    * relation (both RANK-BOUNDED: candidates are queries × topC rows
+    * from a top-k probe, sims at most queries × topC² slim integer
+    * rows, never the corpus), then the whole greedy trace runs inside
+    * [[graft.expressions.MmrGreedy]] as a single map stage and one
+    * explode. The previous k-round driver loop paid a penalty join +
+    * windowed argmax + two eager localCheckpoints PER ROUND — 98
+    * Spark jobs / ~3.3 s at gate scale (k = 5), nearly all scheduler
+    * latency; the kernel replays the identical integer arithmetic
+    * (ties to the smallest did, penalty 0 when no selected pair row
+    * exists) in one job, and at a million queries it is one shuffle
+    * of bounded rows instead of k driver-sequenced rounds.
     */
   def mmrRerank(cand: DataFrame, sims: DataFrame, k: Int,
       lamNum: Long = 7L, lamDen: Long = 3L): DataFrame = {
     require(k >= 1 && k <= 50, s"need 1 <= k <= 50 greedy rounds; got $k")
     require(lamNum > 0 && lamDen >= 0,
       s"need lamNum > 0, lamDen >= 0; got $lamNum/$lamDen")
-    val w = Window.partitionBy("qid")
-      .orderBy(col("mmr_pts").desc, col("did"))
-    var sel = cand.select(col("qid"), col("did"), col("rel_micro"),
-        (lit(lamNum) * col("rel_micro")).as("mmr_pts"),
-        lit(0).as("pick"))
-      .filter(lit(false)).localCheckpoint()
-    var rem = cand.localCheckpoint()
-    for (j <- 1 to k) {
-      val pen = sims
-        .join(sel.select(col("qid"), col("did").as("did_b")),
-          Seq("qid", "did_b"))
-        .groupBy(col("qid"), col("did_a"))
-        .agg(max(col("sim_micro")).as("pen"))
-        .select(col("qid"), col("did_a").as("did"), col("pen"))
-      val pick = rem.join(pen, Seq("qid", "did"), "left")
-        .select(col("qid"), col("did"), col("rel_micro"),
-          (lit(lamNum) * col("rel_micro") -
-            lit(lamDen) * coalesce(col("pen"), lit(0L))).as("mmr_pts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("did"), col("rel_micro"),
-          col("mmr_pts"), lit(j).as("pick"))
-      sel = sel.unionByName(pick).localCheckpoint()
-      rem = rem.join(pick.select("qid", "did"), Seq("qid", "did"),
-        "left_anti").localCheckpoint()
-    }
-    sel
+    val candArr = cand.groupBy("qid")
+      .agg(collect_list(struct(col("did").cast("long").as("did"),
+        col("rel_micro").cast("long").as("rel_micro"))).as("cands"))
+    val simArr = sims.groupBy("qid")
+      .agg(collect_list(struct(col("did_a").cast("long").as("did_a"),
+        col("did_b").cast("long").as("did_b"),
+        col("sim_micro").cast("long").as("sim_micro"))).as("sims"))
+    val emptySims = array()
+      .cast("array<struct<did_a:bigint,did_b:bigint,sim_micro:bigint>>")
+    candArr.join(simArr, Seq("qid"), "left")
+      .select(col("qid"),
+        explode(graft.expressions.MmrGreedy.of(col("cands"),
+          coalesce(col("sims"), emptySims), k, lamNum, lamDen)).as("p"))
+      .select(col("qid"), col("p.did").as("did"),
+        col("p.rel_micro").as("rel_micro"),
+        col("p.mmr_pts").as("mmr_pts"), col("p.pick").as("pick"))
   }
 
   /** q132 — the MMR certificate: candidates are each query's top-12
@@ -1172,13 +1166,14 @@ object Retrieval {
       col("ce").as("ea"))
     val ys = candV.select(col("qid").as("qid_y"), col("did").as("did_b"),
       col("ce").as("eb"))
-    // consumed once per greedy round — materialize the pair cosines
+    // consumed ONCE since the r14 single-pass rerank (the kernel's
+    // collect_list) — no checkpoint: the pair cosines flow straight
+    // into the aggregation
     val sims = xs.join(ys,
         col("qid") === col("qid_y") && col("did_a") =!= col("did_b"))
       .select(col("qid"), col("did_a"), col("did_b"),
         floor(round(Similarity.cosine(col("ea"), col("eb")), 6) *
           lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
-      .localCheckpoint(false)
     mmrRerank(cand, sims, k = 5).orderBy("qid", "pick")
   }
 

@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileGateJobs {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q108_bm25")
+    // comma-separated names profile several gates in ONE session
+    // (saves a JVM+session start per gate when surveying a family)
+    val names = args.headOption.getOrElse("q108_bm25").split(",").toSeq
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,20 +50,23 @@ object ProfileGateJobs {
         stageNames(jid) = stageNames.getOrElse(jid, "") + s" | $line"
       }
     })
-    def run(): Unit = graft.SparkEntry.queries(name)(spark, sf)
-      .write.mode("overwrite").format("noop").save()
-    run() // warm
-    spark.catalog.clearCache()
-    jobs.synchronized(jobs.clear())
-    val t0 = System.nanoTime()
-    run()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let listener drain
-    val js = jobs.synchronized(jobs.toVector)
-    println(f"$name: wall $wall%.2f s, ${js.size} jobs, " +
-      f"job-time sum ${js.map(_._2).sum}%.2f s")
-    js.sortBy(-_._2).take(20).foreach { case (id, s) =>
-      println(f"  job $id%3d: $s%.3f s ${stageNames.getOrElse(id, "")}")
+    names.foreach { name =>
+      def run(): Unit = graft.SparkEntry.queries(name)(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      run() // warm
+      spark.catalog.clearCache()
+      jobs.synchronized(jobs.clear())
+      val t0 = System.nanoTime()
+      run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      Thread.sleep(300) // let listener drain
+      val js = jobs.synchronized(jobs.toVector)
+      println(f"$name: wall $wall%.2f s, ${js.size} jobs, " +
+        f"job-time sum ${js.map(_._2).sum}%.2f s")
+      js.sortBy(-_._2).take(20).foreach { case (id, s) =>
+        println(f"  job $id%3d: $s%.3f s ${stageNames.getOrElse(id, "")}")
+      }
     }
     spark.stop()
   }
