@@ -376,8 +376,18 @@ object Retrieval {
   def bm25ProbeTerms(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
       idfLn: Boolean = false): DataFrame = {
-    val (df0, stats) = postingsInvariants(postings)
-    bm25ScoreTerms(qTok, postings, df0, stats, topN, k1, b, maxDf, idfLn)
+    val (_, stats) = postingsInvariants(postings)
+    // ONE-SHOT probe: the scoring stage consumes df only through the
+    // qTok equi-join, so semi-filtering the postings by the query's
+    // token set BEFORE the df aggregation computes identical df
+    // values for every term the probe can touch while shrinking the
+    // vocabulary-sized Exchange to matched-postings-sized (at corpus
+    // scale the full-vocab roll-up is the dominant probe cost; an
+    // INDEX holder amortizes it via [[postingsInvariants]] — r14).
+    val dfQ = postings
+      .join(broadcast(qTok.select("tok").distinct()), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25ScoreTerms(qTok, postings, dfQ, stats, topN, k1, b, maxDf, idfLn)
   }
 
   /** [[bm25ProbeTerms]] with precomputed [[postingsInvariants]].
