@@ -2212,8 +2212,16 @@ object Retrieval {
     require(mu > 0, s"need mu > 0; got $mu")
     val docLens = postings
       .select(col("did"), col("dl").cast("long").as("dlen")).distinct()
-    val cf = postings.groupBy("tok")
-      .agg(sum(col("tf")).cast("long").as("cf"))
+    // cf is consumed only through the LEFT join to the broadcast
+    // query terms (absent terms coalesce to 0 either way), so
+    // semi-filtering the postings by the query token set first
+    // computes identical cf values while shrinking the
+    // vocabulary-sized roll-up to matched postings (the
+    // bm25ProbeTerms df pruning, r14); |C| (cTot) stays a full
+    // corpus aggregate — it is a scalar over docLens, not cf.
+    val cf = postings
+      .join(broadcast(qTok.select("tok").distinct()), "tok")
+      .groupBy("tok").agg(sum(col("tf")).cast("long").as("cf"))
     val cTot = docLens.agg(sum(col("dlen")).as("c_tot"))
     // per-(query, slot) smoothing mass: bounded rows (query batch ×
     // ≤3 slots), so the vocab-sized cf relation streams against the
