@@ -384,8 +384,14 @@ object Retrieval {
     // vocabulary-sized Exchange to matched-postings-sized (at corpus
     // scale the full-vocab roll-up is the dominant probe cost; an
     // INDEX holder amortizes it via [[postingsInvariants]] — r14).
+    // LEFT SEMI against the raw token relation: a semi join never
+    // duplicates postings rows, so the broadcast side needs no
+    // distinct() — and a tok-bucketed index therefore sees ZERO tok
+    // exchanges anywhere in the probe (the BucketingSpec pin; an
+    // inner join against a distinct()ed side gives the same rows but
+    // pays a query-side tok shuffle for the dedup).
     val dfQ = postings
-      .join(broadcast(qTok.select("tok").distinct()), "tok")
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
       .groupBy("tok").agg(count(lit(1)).as("df"))
     bm25ScoreTerms(qTok, postings, dfQ, stats, topN, k1, b, maxDf, idfLn)
   }
@@ -2219,8 +2225,11 @@ object Retrieval {
     // vocabulary-sized roll-up to matched postings (the
     // bm25ProbeTerms df pruning, r14); |C| (cTot) stays a full
     // corpus aggregate — it is a scalar over docLens, not cf.
+    // LEFT SEMI against the raw token relation: no distinct() needed
+    // (a semi join never duplicates postings rows), so the slim query
+    // side pays no dedup shuffle.
     val cf = postings
-      .join(broadcast(qTok.select("tok").distinct()), "tok")
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
       .groupBy("tok").agg(sum(col("tf")).cast("long").as("cf"))
     val cTot = docLens.agg(sum(col("dlen")).as("c_tot"))
     // per-(query, slot) smoothing mass: bounded rows (query batch ×
