@@ -1204,6 +1204,13 @@ object Retrieval {
     */
   def hardNegatives(run: DataFrame, rel: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("rk"), col("did"))
+    // deliberately a plain anti join (sort-merge: slim (qid, did)
+    // rows both sides). The r14 "stream rel through a broadcast-run
+    // semi, then broadcast-anti the ≤|run| survivors" rewrite was
+    // A/B-measured WORSE (1.9/2.2 → 2.6/2.7 s at sf0.1): it consumes
+    // `run` twice (semi broadcast + anti left), re-evaluating the
+    // whole ranking channel, and puts a broadcast build on the
+    // critical path — while the shuffle it saves carries 16-byte rows.
     run.join(rel, Seq("qid", "did"), "left_anti")
       .withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= k)
@@ -1329,6 +1336,11 @@ object Retrieval {
     def microDiv(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast("long")
     val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    // deliberately unhinted sort-merge joins (slim rank/judgment rows
+    // both sides): the r14 broadcast(run)/broadcast(hits) variant was
+    // A/B-measured WORSE (2.05 → 2.4/2.8 s at sf0.1) — the broadcast
+    // build puts the run channel's evaluation on the critical path,
+    // and the shuffles it saves carry only (qid, did, rk) rows.
     val hits = run.join(rel, Seq("qid", "did"))
       .groupBy("qid")
       .agg(count(lit(1)).as("n_hits"),
@@ -1573,7 +1585,10 @@ object Retrieval {
     */
   def gramProbe(phrases: DataFrame, grams: DataFrame,
       topN: Int): DataFrame = {
-    val pSet = phrases.select(col("phrase")).distinct()
+    // semi-join filters need no dedup of the broadcast side (left_semi
+    // never duplicates left rows) — r14, drops the phrase-batch
+    // distinct's Exchange
+    val pSet = phrases.select(col("phrase"))
     val occ = grams
       .join(broadcast(pSet), col("gram") === col("phrase"), "left_semi")
       .groupBy("did", "gram")
@@ -1643,7 +1658,8 @@ object Retrieval {
     */
   def snippetProbe(phrases: DataFrame, grams: DataFrame,
       corpus: DataFrame, n: Int, topN: Int, ctx: Int): DataFrame = {
-    val pSet = phrases.select(col("phrase")).distinct()
+    // no dedup on a semi-join's broadcast side (the gramProbe note)
+    val pSet = phrases.select(col("phrase"))
     val w = Window.partitionBy("qid")
       .orderBy(col("n_occ").desc, col("did"))
     val occ = grams
@@ -1656,8 +1672,11 @@ object Retrieval {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topN)
       .select("qid", "did", "n_occ", "first_pos", "rk")
+    // LEFT SEMI against the raw hit ids: same unique-corpus-row result
+    // as distinct+inner (a did can rank for several queries), without
+    // the hit-id dedup Exchange (r14)
     val docToks = corpus
-      .join(broadcast(ranked.select("did").distinct()), "did")
+      .join(broadcast(ranked.select("did")), Seq("did"), "left_semi")
       .select(col("did").as("sdid"), Dedup.tokens(col("text")).as("toks"))
     val start0 = greatest(col("first_pos") - ctx, lit(0L))
     ranked.join(broadcast(docToks), col("did") === col("sdid"))
@@ -2224,9 +2243,9 @@ object Retrieval {
     // computes identical cf values while shrinking the
     // vocabulary-sized roll-up to matched postings (the
     // bm25ProbeTerms df pruning, r14); |C| (cTot) stays a full
-    // corpus aggregate — it is a scalar over docLens, not cf.
-    // LEFT SEMI against the raw token relation: no distinct() needed
-    // (a semi join never duplicates postings rows), so the slim query
+    // corpus aggregate — it is a scalar over docLens, not cf. LEFT
+    // SEMI against the raw token relation: no distinct() needed (a
+    // semi join never duplicates postings rows), so the slim query
     // side pays no dedup shuffle.
     val cf = postings
       .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
