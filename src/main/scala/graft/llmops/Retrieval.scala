@@ -147,6 +147,37 @@ object Retrieval {
       .select("qid", "did", "rk")
   }
 
+  /** [[termChannel]] over an existing [[postingsIndex]] relation —
+    * the postings' (did, tok) projection IS the corpus's distinct
+    * token relation (elementCounts keys one row per document term),
+    * so a caller that already holds a postings index (q136 holds one
+    * for its BM25 run) gets the identical overlap ranking without a
+    * SECOND corpus tokenization pass (guide §1.2 step 1: don't
+    * compute things twice; at 100 TB the corpus scan+tokenize is the
+    * dominant cost of the channel). `qTok` is the [[queryTerms]]
+    * relation (distinct (qid, tok) rows — the [[bm25ScoreTerms]]
+    * precondition, same double-count caveat).
+    */
+  def termProbeTerms(qTok: DataFrame, postings: DataFrame,
+      topN: Int, maxDf: Long = 0L): DataFrame = {
+    val cTok0 = postings.select(col("did"), col("tok"))
+    val cTok =
+      if (maxDf <= 0L) cTok0
+      else {
+        val keep = cTok0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("tok")
+        cTok0.join(broadcast(keep), "tok")
+      }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("overlap").desc, col("did"))
+    broadcast(qTok).join(cTok, "tok")
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("qid", "did", "rk")
+  }
+
   /** Vector channel: round-6 broadcast cosine (the q19 contract),
     * ranked per query (cos desc, doc_id asc), top `topN`. Swap for
     * [[Similarity.knnJoinIndexed]] output at corpus scale — same
@@ -223,6 +254,19 @@ object Retrieval {
     * [[rrfFuse]]'s: per-channel extrema are one slim (qid, min, max)
     * aggregation over top-k-bounded inputs; fusion shuffles at most
     * Σ topNChannel slim rows per query.
+    *
+    * Extrema are WINDOW aggregates (r14), not a grouped-aggregate +
+    * per-query join: min/max OVER (PARTITION BY qid) attaches both
+    * scalars in the channel's own pass, so each channel has exactly
+    * ONE consumer in the plan tree — the previous extrema join
+    * re-evaluated the entire channel (probe aggregations, window
+    * top-k, q134's brute cosine fan) once per consumer (q134's plan:
+    * 31 parquet scans / 58 Exchanges before, 16 / 28 after; see
+    * plans/r14 —
+    * guide §2.4: the window reuses the channel's qid clustering and
+    * the unbounded frame needs no ordering, and hashpartitioning(qid)
+    * already satisfies the downstream (qid, did) fusion groupBy's
+    * clustering, so no Exchange is added anywhere).
     */
   def minMaxFuse(channels: Seq[(String, DataFrame, Long)],
       topK: Int): DataFrame = {
@@ -233,22 +277,24 @@ object Retrieval {
       s"weights must be positive; got ${channels.map(_._3)}")
     def microDiv(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast("long")
+    val wQ = Window.partitionBy("qid")
     val marked = channels.zipWithIndex.map { case ((_, ch, wgt), i) =>
-      val ext = ch.groupBy("qid")
-        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      val withExt = ch
+        .withColumn("mn", min(col("score")).over(wQ))
         // spread bound (scaladoc): beyond 9e9 the spread·1e6 numerator
         // leaves the 2^53 exact-double range — fail loudly, per query.
         // The CHECK runs in double: a Long mx−mn with extrema near
         // ±2^62 would wrap negative and silently pass; doubles cannot
         // wrap, and exactness is irrelevant for a 9e9 bound test.
         .withColumn("mx", when(
-          col("mx").cast("double") - col("mn").cast("double") > 9.0e9,
+          max(col("score")).over(wQ).cast("double") -
+            min(col("score")).over(wQ).cast("double") > 9.0e9,
           raise_error(concat(lit("minMaxFuse: per-query score spread "),
-            (col("mx").cast("double") - col("mn").cast("double"))
-              .cast("string"),
+            (max(col("score")).over(wQ).cast("double") -
+              min(col("score")).over(wQ).cast("double")).cast("string"),
             lit(" exceeds the 9e9 exact-arithmetic bound — rescale " +
               "the channel's micro-units"))).cast("long"))
-          .otherwise(col("mx")))
+          .otherwise(max(col("score")).over(wQ)))
       val normed = when(col("mx") === col("mn"), lit(1000000L))
         .otherwise(microDiv((col("score") - col("mn")) * lit(1000000L),
           col("mx") - col("mn")))
@@ -256,10 +302,7 @@ object Retrieval {
         (lit(wgt) * normed).as("pts")) ++
         channels.indices.map(j =>
           lit(if (j == i) 1 else 0).as(s"in_${channels(j)._1}"))
-      // extrema are ONE slim row per query — broadcast, so the channel
-      // relation never shuffles for a per-query scalar join (PlanSpec
-      // pins no SortMergeJoin in the q134 plan)
-      ch.join(broadcast(ext), "qid").select(cols: _*)
+      withExt.select(cols: _*)
     }
     val flagAggs = channels.map { case (n, _, _) =>
       max(col(s"in_$n")).as(s"in_$n")
@@ -1431,6 +1474,13 @@ object Retrieval {
     require(k >= 1 && k <= 30, s"need 1 <= k <= 30 (2^k divisor); got $k")
     def microDiv(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast("long")
+    // runA is deliberately referenced TWICE (the overlap join and the
+    // depth grid's qid set) with NO materialization: the r14
+    // lazy-localCheckpoint variant was A/B-measured WORSE (interleaved
+    // same-JVM p50 3.67 s vs 3.26/3.32 s at sf0.1) — ReuseExchange
+    // already deduplicates the run's shuffle stages across the two
+    // consumers, so the checkpoint only added an RDD boundary on the
+    // critical path.
     val a = runA.filter(col("rk") <= k)
       .select(col("qid"), col("did"), col("rk").cast("long").as("rka"))
     val b = runB.filter(col("rk") <= k)
@@ -1471,10 +1521,15 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
-    val runA = bm25Channel(queries, corpus, topN = 10)
+    // ONE corpus tokenization feeds BOTH runs: the BM25 probe and the
+    // overlap channel share the persisted postings (r14 — the before
+    // plan tokenized the corpus once per run; the postings' (did, tok)
+    // projection is exactly termChannel's distinct-token relation, so
+    // the run rows are identical)
+    val index = postingsIndex(corpus).persist()
+    val runA = bm25Probe(queries, index, topN = 10)
       .select("qid", "did", "rk")
-    val runB = termChannel(queries, corpus, topN = 10)
-      .select("qid", "did", "rk")
+    val runB = termProbeTerms(queryTerms(queries), index, topN = 10)
     rankedOverlap(runA, runB, k = 10).orderBy("qid")
   }
 
@@ -2077,15 +2132,27 @@ object Retrieval {
   def bm25ShardedProbe(queries: DataFrame, shards: Seq[DataFrame],
       topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(shards.nonEmpty, "need at least one postings shard")
-    val qTok = queryTerms(queries)
+    // qTok is consumed by every shard branch AND the df semi-filter —
+    // lazy checkpoint (bounded by the query-batch contract)
+    val qTok = queryTerms(queries).localCheckpoint(false)
     val all = shards.reduce(_.unionByName(_))
     // the shared invariants are consumed by EVERY shard branch of one
     // plan tree — unmaterialized, each branch re-runs the full
     // postings aggregations (measured 2× the whole operator at 100×);
     // localCheckpoint per the file's materialization rule (df is
-    // vocab-sized, stats is one row — both bounded)
-    val (df0p, statsP) = postingsInvariants(all)
-    val df0 = df0p.localCheckpoint(false)
+    // vocab-sized, stats is one row — both bounded). Since r14 the
+    // shared df is PRUNED to the query's terms before the roll-up
+    // (the [[bm25ProbeTerms]] left_semi trick — scoring consumes df
+    // only through the qTok equi-join, and df values are computed
+    // over the full shard union so they stay GLOBAL): the checkpoint
+    // lands |query terms| rows instead of the vocabulary, and the
+    // roll-up's Exchange shrinks from vocabulary-sized to
+    // matched-postings-sized.
+    val dfQ = all.join(broadcast(qTok.select("tok")), Seq("tok"),
+        "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val (_, statsP) = postingsInvariants(all)
+    val df0 = dfQ.localCheckpoint(false)
     val stats = statsP.localCheckpoint(false)
     val local = shards.map { sh =>
       bm25ScoreTerms(qTok, sh, df0, stats, topN, k1, b)

@@ -646,11 +646,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q134: fusion channels aggregate map-side partial; extrema " +
-    "joins broadcast") {
+    "are per-query WINDOW aggregates (one consumer per channel, no " +
+    "extrema join, no SMJ)") {
     val p = plan(graft.llmops.Retrieval.qMinMaxFusion(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_"), p) // map-side combine in the fuse
+    // the r14 shape: min/max OVER (PARTITION BY qid) inline in the
+    // channel pass — the per-query extrema join re-evaluated every
+    // channel twice (31 parquet scans in the before plan, 16 after)
+    assert(p.contains("min(score"), p)
   }
 
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {
