@@ -536,7 +536,23 @@ object Retrieval {
     */
   def bm25ProbeMaxScore(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, essential: Int = 2): DataFrame = {
-    val (df0, stats) = postingsInvariants(postings)
+    val (_, stats) = postingsInvariants(postings)
+    // EVERY consumer of the postings below this line touches them only
+    // through a query-term join — the bound relation (qTok ⋈ df), the
+    // candidate generation (ess ⋈ postings on tok), the candidate
+    // scoring and the fallback probe (impacts ⋈ query terms on tok) —
+    // so the probe's working postings are semi-filtered to the query's
+    // token set up front (the [[bm25ProbeTerms]] df pruning, applied
+    // to the WHOLE pruning path, r14): df values stay GLOBAL (the
+    // semi join keeps every posting row of a matched term), the
+    // quantized impacts shrink from index-sized to matched-postings-
+    // sized, and only `stats` still aggregates the full index (one
+    // slim roll-up). Scores and the q114 hash are unchanged by
+    // construction; at the 100× sparse regime the impact quantization
+    // previously materialized 21.5M rows to score ~8k candidates.
+    val qPost = postings
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
+    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
     val dfD = col("df").cast("double")
     val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
     // (qid, tok, df, ub_micro): the safe integer per-term bound.
@@ -581,7 +597,7 @@ object Retrieval {
     // exact-score candidates come from PRE-QUANTIZED impacts (see the
     // candidate stage below) — built here because BOTH routes consume
     // them; localCheckpoint: candidate scoring and the fallback probe
-    val impacts = impactIndexWith(postings, df0, stats, k1, b)
+    val impacts = impactIndexWith(qPost, df0, stats, k1, b)
       .localCheckpoint(false)
     // driver-side route guard (the fbQ.isEmpty idiom, moved BEFORE the
     // machinery): when the pre-check certifies no query, every stage
@@ -597,7 +613,7 @@ object Retrieval {
     val bq = rankedTerms.groupBy("qid")
       .agg(sum(when(col("trm_rank") > essential, col("ub_micro"))
         .otherwise(lit(0L))).as("b_micro"))
-    val cand = broadcast(ess).join(postings, "tok")
+    val cand = broadcast(ess).join(qPost, "tok")
       .select("qid", "did").distinct()
       .localCheckpoint(false) // consumed by candDids AND the scoring join
     // candidate scoring reads the pre-quantized impacts: the integers

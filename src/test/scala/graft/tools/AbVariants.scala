@@ -166,6 +166,76 @@ object AbVariants {
       .orderBy("qid", "rk")
   }
 
+  // ---- old (f8f7724) MaxScore probe: full-index df0 + impacts ----
+  private def bm25ProbeMaxScoreOld(qTok: DataFrame, postings: DataFrame,
+      topN: Int, k1: Double = 1.2, b: Double = 0.75,
+      essential: Int = 2): DataFrame = {
+    val (df0, stats) = Retrieval.postingsInvariants(postings)
+    val dfD = col("df").cast("double")
+    val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val qTerms = broadcast(broadcast(qTok).join(df0, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("tok"), col("df"),
+        (floor(idf * lit(k1 + 1.0) * lit(1000000.0)) + lit(1L))
+          .cast("long").as("ub_micro"),
+        col("n_docs"))
+      .localCheckpoint(false))
+    val wT = Window.partitionBy("qid")
+      .orderBy(col("ub_micro").desc, col("tok"))
+    val rankedTerms = qTerms.withColumn("trm_rank",
+      row_number().over(wT))
+    val viableQ = rankedTerms.filter(col("trm_rank") <= essential)
+      .groupBy("qid").agg(sum(col("df")).as("ess_df"),
+        first(col("n_docs")).as("n_docs"))
+      .filter(col("ess_df") < col("n_docs"))
+      .select("qid")
+      .localCheckpoint(false)
+    val impacts = Retrieval.impactIndexWith(postings, df0, stats, k1, b)
+      .localCheckpoint(false)
+    if (viableQ.isEmpty)
+      return Retrieval.impactProbe(qTok, impacts, topN)
+        .select("qid", "did", "bm25_micro", "n_match", "rk")
+    val ess = rankedTerms.filter(col("trm_rank") <= essential)
+      .join(broadcast(viableQ), "qid")
+      .select("qid", "tok")
+    val bq = rankedTerms.groupBy("qid")
+      .agg(sum(when(col("trm_rank") > essential, col("ub_micro"))
+        .otherwise(lit(0L))).as("b_micro"))
+    val cand = broadcast(ess).join(postings, "tok")
+      .select("qid", "did").distinct()
+      .localCheckpoint(false)
+    val wS = Window.partitionBy("qid")
+      .orderBy(col("bm25_micro").desc, col("did"))
+    val candDids = broadcast(cand.select("did").distinct())
+    val candImp = impacts.join(candDids, "did")
+    val candRanked = candImp.join(cand, "did")
+      .join(qTerms.select("qid", "tok"), Seq("qid", "tok"))
+      .groupBy("qid", "did")
+      .agg(sum(col("impact_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_match"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topN)
+      .localCheckpoint(false)
+    val tq = candRanked.filter(col("rk") === topN)
+      .select(col("qid"), col("bm25_micro").as("t_micro"))
+    val okQ = bq.join(tq, "qid")
+      .filter(col("b_micro") < col("t_micro")).select("qid")
+      .localCheckpoint(false)
+    val pruned = candRanked
+      .join(broadcast(okQ), "qid")
+      .select("qid", "did", "bm25_micro", "n_match", "rk")
+    val fbQ = qTok.select("qid").distinct()
+      .join(okQ, Seq("qid"), "left_anti")
+      .localCheckpoint(false)
+    if (fbQ.isEmpty) pruned
+    else {
+      val fallback = Retrieval.impactProbe(
+        qTok.join(broadcast(fbQ), "qid"), impacts, topN)
+        .select("qid", "did", "bm25_micro", "n_match", "rk")
+      pruned.unionByName(fallback)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("q134")
     val rounds = if (args.length > 1) args(1).toInt else 12
@@ -233,15 +303,62 @@ object AbVariants {
           "old" -> (() => bm25ShardedProbeOld(queries, shards, topN = 10)),
           "new" -> (() => Retrieval.bm25ShardedProbe(queries, shards,
             topN = 10)))
+      // q114 at gate scale (dense tiny vocab: every query routes to
+      // the exact fallback — measures the df/impacts pruning on the
+      // fallback path)
+      case "q114" =>
+        val d = spark.read.parquet(s"$sf/documents.parquet")
+        val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+        val queries = d.filter(isQuery)
+          .select(col("doc_id").as("qid"), col("text"))
+        val corpus = d.filter(!isQuery)
+          .select(col("doc_id").as("did"), col("text"))
+        Seq(
+          "old" -> (() => {
+            val index = Retrieval.postingsIndex(corpus).persist()
+            bm25ProbeMaxScoreOld(Retrieval.queryTerms(queries), index,
+              topN = 10, essential = 40).orderBy("qid", "rk")
+          }),
+          "new" -> (() => {
+            val index = Retrieval.postingsIndex(corpus).persist()
+            Retrieval.bm25ProbeMaxScore(Retrieval.queryTerms(queries),
+              index, topN = 10, essential = 40).orderBy("qid", "rk")
+          }))
+      // q114 at 100× (Scale100W4 sparse regime: certificate holds,
+      // candidate machinery runs — measures the pruning where MaxScore
+      // actually wins)
+      case "q114x" =>
+        val rare = transform(sequence(lit(0), lit(39)),
+          i => concat(lit("t"), substring(md5(
+            (((col("doc_id") / 50).cast("long") * 40 + i) % 100000)
+              .cast("string")), 1, 8)))
+        val stop = transform(sequence(lit(0), lit(2)),
+          i => concat(lit("the"), pmod(col("doc_id") + i, lit(10))
+            .cast("string")))
+        val corpus = spark.range(500000L).toDF("doc_id")
+          .select(col("doc_id").as("did"),
+            concat_ws(" ", concat(rare, stop)).as("text"))
+          .localCheckpoint()
+        val queries = corpus.filter(col("did") % 5000 === 0)
+          .select(col("did").as("qid"), col("text")).localCheckpoint()
+        val postings = Retrieval.postingsIndex(corpus).persist()
+        println(s"postings rows: ${postings.count()}")
+        val qTok = Retrieval.queryTerms(queries).localCheckpoint()
+        Seq(
+          "old" -> (() => bm25ProbeMaxScoreOld(qTok, postings,
+            topN = 20, essential = 40)),
+          "new" -> (() => Retrieval.bm25ProbeMaxScore(qTok, postings,
+            topN = 20, essential = 40)))
       case other => sys.error(s"unknown variant set: $other")
     }
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      // q133x holds its postings index persisted across rounds (the
-      // W8 protocol: the index is held state, the probe is timed)
-      if (which != "q133x") spark.catalog.clearCache()
+      // the 100× cases hold their postings index persisted across
+      // rounds (the W8 protocol: the index is held state, the probe
+      // is timed)
+      if (which != "q133x" && which != "q114x") spark.catalog.clearCache()
       dt
     }
     // warm both
