@@ -201,13 +201,52 @@ object Bench {
       .mkString("[", ",", "]")
     val midSpread = if (midCanary.isEmpty) -1.0
       else round3(midCanary.map(_._3).max / midCanary.map(_._3).min)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"sf":"$sfDir","canary_mid_spread":$midSpread,"canary_mid_series":$midJson}""")
-    // Compact summary REPEATED as the final line: the driver's bench
-    // harness keeps only the last 2000 output chars, and the full line
-    // above leads with the totals — its tail keeps per-query detail but
-    // loses value/calibration (BENCH_r13 parsed=null). This line is the
-    // self-contained headline record that survives the truncation.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"canary_mid_spread":$midSpread,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_spread":$calibSpread,"calibration_par_s":$calibParS,"calibration_par_spread":$calibParSpread,"sf":"$sfDir","canary_mid_spread":$midSpread,"canary_mid_series":$midJson}"""
+    println(fullLine)
+    // Belt-and-braces: the full artifact also lands in a FILE (the
+    // driver's harness keeps only the last 2000 stdout chars — every
+    // BENCH_r*.json through r14 is parsed:null because of it), so a
+    // same-host pair can always be committed from the file even when
+    // the console capture truncates.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
+    // FINAL line: a self-contained ≤1800-char JSON that survives the
+    // 2000-char tail capture INTACT — same shape as the full line
+    // (metric/value/unit/queries/sf) so a tail-only parser finds one
+    // complete record. The 142 full query names alone are 2344 bytes,
+    // so the whole map can NEVER fit a 2000-char tail (r14 verdict's
+    // "2-decimal values" prescription underestimates this); the map
+    // here carries as many per-query seconds as fit, MOST EXPENSIVE
+    // FIRST (the queries whose round-over-round and core-scaling
+    // deltas matter), with the omission made explicit. `value` is
+    // still the full-suite total over all queries; the complete map is
+    // the first line above and the artifact file — nothing is removed
+    // or renamed there.
+    def round2(v: Double): Double = math.rint(v * 100) / 100
+    val byCost = results.sortBy { case (_, v) => -v }
+    val headerLen = 220 + sfDir.length + failedJson.length
+    // 2000-char tail minus sbt's "[info] " prefix on this line and the
+    // trailing "[success] Total time: ..." line (~82 chars with its
+    // newline) — keep the WHOLE final line inside the surviving window
+    val budget = 1800 - headerLen
+    val picked = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var used = 0
+    byCost.foreach { case (n, v) =>
+      val entry = n.length + 4 + round2(v).toString.length
+      if (used + entry <= budget) { picked += ((n, round2(v))); used += entry }
+    }
+    val pickedSet = picked.map(_._1).toSet
+    val compactQs = results.filter(p => pickedSet.contains(p._1))
+      .map { case (k, v) => s"\"" + k + "\":" + round2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${results.size - picked.size},"nqueries":${results.size},"reps":$reps,"failed":$failedJson,"calibration_s":$calibS,"calibration_par_s":$calibParS,"canary_mid_spread":$midSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,6 +69,12 @@ import org.apache.spark.sql.functions._
   *    (no shuffle, no cache) on any real multi-split input.
   * Any other `persist()` inside an operator body, or a
   * `localCheckpoint()` on a returned index, is a bug under this rule.
+  * Explicitly ACCEPTED under it (ADVICE r14): the gate entry points
+  * (qBm25Indexed, qRboRuns, qPrfExpansion, …) persist their index and
+  * never unpersist — by design, since the cached plan backs the
+  * returned DataFrame; a long-lived session embedding these entries
+  * owns the `clearCache()` between invocations, exactly as Bench,
+  * Verify and the test suites do.
   *
   * Eager vs LAZY checkpoints (round 13): straight-line operator bodies
   * use `localCheckpoint(false)` — the plan boundary (shared RDD ⇒
@@ -536,23 +542,17 @@ object Retrieval {
     */
   def bm25ProbeMaxScore(qTok: DataFrame, postings: DataFrame, topN: Int,
       k1: Double = 1.2, b: Double = 0.75, essential: Int = 2): DataFrame = {
-    val (_, stats) = postingsInvariants(postings)
-    // EVERY consumer of the postings below this line touches them only
-    // through a query-term join — the bound relation (qTok ⋈ df), the
-    // candidate generation (ess ⋈ postings on tok), the candidate
-    // scoring and the fallback probe (impacts ⋈ query terms on tok) —
-    // so the probe's working postings are semi-filtered to the query's
-    // token set up front (the [[bm25ProbeTerms]] df pruning, applied
-    // to the WHOLE pruning path, r14): df values stay GLOBAL (the
-    // semi join keeps every posting row of a matched term), the
-    // quantized impacts shrink from index-sized to matched-postings-
-    // sized, and only `stats` still aggregates the full index (one
-    // slim roll-up). Scores and the q114 hash are unchanged by
-    // construction; at the 100× sparse regime the impact quantization
-    // previously materialized 21.5M rows to score ~8k candidates.
-    val qPost = postings
-      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
-    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
+    // A/B-REJECTED (r15, reverting the unverified r14 change): semi-
+    // filtering the probe's working postings to the query's token set
+    // up front (the q123/q135 qPost treatment). Measured WORSE at both
+    // scales — sf0.1 p50 3.61 → 3.96 s, 100× sparse soak (AbVariants
+    // q114x) p50 19.2 → 23.1 s. Cause: unlike q123/q135, this operator
+    // consumes the postings THREE times below (df roll-up, impact
+    // quantization, candidate generation), so the semi filter re-probes
+    // 21.5M rows per consumer, while the impact materialization it was
+    // meant to shrink is already candidate-bounded on the certified
+    // path (candDids broadcast) and the exchanges were already slim.
+    val (df0, stats) = postingsInvariants(postings)
     val dfD = col("df").cast("double")
     val idf = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5))
     // (qid, tok, df, ub_micro): the safe integer per-term bound.
@@ -597,7 +597,7 @@ object Retrieval {
     // exact-score candidates come from PRE-QUANTIZED impacts (see the
     // candidate stage below) — built here because BOTH routes consume
     // them; localCheckpoint: candidate scoring and the fallback probe
-    val impacts = impactIndexWith(qPost, df0, stats, k1, b)
+    val impacts = impactIndexWith(postings, df0, stats, k1, b)
       .localCheckpoint(false)
     // driver-side route guard (the fbQ.isEmpty idiom, moved BEFORE the
     // machinery): when the pre-check certifies no query, every stage
@@ -613,7 +613,7 @@ object Retrieval {
     val bq = rankedTerms.groupBy("qid")
       .agg(sum(when(col("trm_rank") > essential, col("ub_micro"))
         .otherwise(lit(0L))).as("b_micro"))
-    val cand = broadcast(ess).join(qPost, "tok")
+    val cand = broadcast(ess).join(postings, "tok")
       .select("qid", "did").distinct()
       .localCheckpoint(false) // consumed by candDids AND the scoring join
     // candidate scoring reads the pre-quantized impacts: the integers
@@ -720,7 +720,18 @@ object Retrieval {
     val qTok = queryTerms(queries)
     // the index invariants are shared by BOTH probe rounds — compute
     // once (they belong to the index, not the probe); same lazy
-    // checkpoint as the sharded probe's shared-invariants seam
+    // checkpoint as the sharded probe's shared-invariants seam.
+    // A/B-REJECTED (r15): pruning each round's df roll-up to that
+    // round's terms (the bm25ProbeTerms left_semi trick, per round —
+    // round 2's term set is only known after mining, so the rounds
+    // would prune independently). Measured WORSE at both scales:
+    // sf0.1 p50 3.49 → 3.66 s, and at the 100× sparse soak
+    // (AbVariants q111x: 500k docs, 21.5M postings, 100k vocab)
+    // p50 53.0 → 60.7 s — TWO semi-filtered index passes lose to ONE
+    // full-vocabulary roll-up that both rounds share through the
+    // checkpoint. The pruning pattern pays when it REPLACES a
+    // full-vocab roll-up one-for-one (q108/q129/q133); here sharing
+    // already amortized it.
     val (df0p, statsP) = postingsInvariants(postings)
     val df0 = df0p.localCheckpoint(false)
     val stats = statsP.localCheckpoint(false)
@@ -1890,8 +1901,22 @@ object Retrieval {
       corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
     val postings = postingsAppend(
       corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
-    val impacts = impactIndex(postings).persist()
-    impactProbe(queryTerms(queries), impacts, topN = 10)
+    // the probe consumes impacts ONLY through the broadcast query-term
+    // equi-join, so the quantization is semi-filtered to the query's
+    // token set up front (the q114 qPost pruning, r15): df stays
+    // GLOBAL per matched term (the semi join keeps every posting row
+    // of a matched term) and `stats` still aggregates the full grown
+    // postings, so every materialized impact integer — and the q123
+    // hash — is unchanged while the persisted relation shrinks from
+    // index-sized to matched-postings-sized (at 100× the full
+    // quantization materialized 21.5M rows for a bounded probe).
+    val qTok = queryTerms(queries).localCheckpoint(false)
+    val qPost = postings
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
+    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = postingsInvariants(postings)._2
+    val impacts = impactIndexWith(qPost, df0, stats).persist()
+    impactProbe(qTok, impacts, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"))
       .orderBy("qid", "rk")
@@ -1990,9 +2015,20 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
-    val impacts = impactIndex(postingsIndex(corpus)).persist()
+    // every consumer — tier-1 probe, fill count, fallback probe —
+    // reaches the impacts through a query-term equi-join (the fallback
+    // probes a qid-subset of the same qTok), so both tiers quantize
+    // and prune over query-term-pruned postings (the q128 treatment,
+    // r15); df/stats stay global, rows and the q135 hash unchanged.
+    val postings = postingsIndex(corpus)
+    val qTok = queryTerms(queries).localCheckpoint(false)
+    val qPost = postings
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
+    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = postingsInvariants(postings)._2
+    val impacts = impactIndexWith(qPost, df0, stats).persist()
     val pruned = prunedImpactIndex(impacts, keepTop = 24).persist()
-    tieredImpactProbe(queryTerms(queries), impacts, pruned, topN = 10)
+    tieredImpactProbe(qTok, impacts, pruned, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"), col("tier"))
       .orderBy("qid", "rk")
@@ -2013,6 +2049,16 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
+    // A/B-REJECTED (r15): semi-filtering the quantization + champion
+    // window to the query's terms (the q114/q123 qPost treatment).
+    // Measured neutral at sf0.1 (p50 1.98 → 1.95) and WORSE at the
+    // 100× soak (AbVariants q128x: p50 14.0 → 16.2 s): the pruning
+    // window's rank filter already specializes to WindowGroupLimit
+    // (map-side per-term top-24 heaps BEFORE the shuffle), so the
+    // materialized champion relation is keepTop·|vocab| rows with or
+    // without the semi filter — the two extra broadcast-semi probes
+    // over 21.5M postings buy nothing. The treatment pays only where
+    // the FULL impact relation would otherwise materialize (q123/q135).
     val pruned = prunedImpactIndex(
       impactIndex(postingsIndex(corpus)), keepTop = 24).persist()
     impactProbe(queryTerms(queries), pruned, topN = 10)

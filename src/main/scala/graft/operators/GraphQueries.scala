@@ -104,52 +104,66 @@ object GraphQueries {
     * Scale shape: per iteration one equi-join of ranks to edges on
     * src and one groupBy dst — slim (dst, contrib) rows shuffle,
     * never adjacency lists; dangling mass is a single-row broadcast
-    * (the repo's scalar-crossJoin pattern). Edges and nodes are
-    * materialized once (`localCheckpoint`) and reused by all
-    * iterations; N is the one driver-side scalar (a count). With the
-    * edge list pre-partitioned by src (bucketed at 100 TB), the
-    * per-iteration join is Exchange-free on the edge side.
+    * (the repo's scalar-crossJoin pattern). Edges and the (node, deg)
+    * relation are materialized once (`localCheckpoint`); ranks CARRY
+    * deg with them, so the degree join happens once at setup, not
+    * once per round (r15: the per-round `r ⋈ outdeg` join cost a
+    * re-plan + shuffle every iteration; A/B p50 2.87 → 2.36 s at
+    * sf0.1); N is the one driver-side scalar (a count). At 100 TB,
+    * bucket the edge list by src and the per-iteration join is
+    * Exchange-free on the edge side. A/B-REJECTED (r15): eagerly
+    * hash-repartitioning e/nodesDeg by their join keys before the
+    * checkpoints to pin co-partitioning through LogicalRDD — the two
+    * setup shuffles cost more than the alignment saved at gate scale
+    * (p50 3.36 vs 2.36 without; AQE's coalesced loop exchanges don't
+    * line up with the pinned partition count anyway).
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, checkpointEvery: Int = 1): DataFrame = {
     require(scale % 100L == 0L, "scale must be a multiple of 100")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    // (node, deg) with deg NULL for dangling nodes — the loop-invariant
+    // degree join, computed ONCE here instead of once per iteration
+    // (r15: `r ⋈ outdeg` was re-planned and re-shuffled every round;
+    // carrying deg inside `r` costs one extra Long per node per
+    // checkpoint and removes a join + its Exchanges from every
+    // iteration). Also the `nodes` relation: one checkpoint serves
+    // both roles the old nodes/outdeg pair filled.
+    val nodesDeg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")), Seq("node"), "left")
+      .localCheckpoint()
+    val n = nodesDeg.count()
     val base = scale / 100L * 15L
-    var r = nodes.withColumn("pr", lit(scale))
+    var r = nodesDeg.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
-      val withDeg = r.join(outdeg, Seq("node"), "left")
-      val contrib = withDeg.filter(col("deg").isNotNull)
+      val contrib = r.filter(col("deg").isNotNull)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("cnode"), expr("pr div deg").as("c"))
         .groupBy("cnode").agg(sum(col("c")).as("contrib"))
-      val dang = withDeg.filter(col("deg").isNull)
+      val dang = r.filter(col("deg").isNull)
         .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-      r = nodes
+      r = nodesDeg
         .join(contrib, col("node") === col("cnode"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(base) +
             expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
               * 85L).as("pr"))
       // materialize the ranks every `checkpointEvery` rounds and on
       // the final one (the connectedComponents convention). Default 1
       // — per round — is the SCALE-correct choice: r is referenced
-      // twice per iteration (contrib + dangling both derive from
-      // withDeg), so an unmaterialized round re-executes its whole
-      // plan twice inside the next one (measured at the 100x soak:
-      // cadence 2 cost +31% on 5M edges, while saving ~0.6 s of
-      // per-job overhead at sf0.1 — raise the cadence only at toy
-      // scale). Pure schedule: the BIGINT arithmetic (and thus the
-      // q96 hash) is checkpoint-invariant.
+      // twice per iteration (contrib + dangling), so an unmaterialized
+      // round re-executes its whole plan twice inside the next one
+      // (measured at the 100x soak: cadence 2 cost +31% on 5M edges,
+      // while saving ~0.6 s of per-job overhead at sf0.1 — raise the
+      // cadence only at toy scale). Pure schedule: the BIGINT
+      // arithmetic (and thus the q96 hash) is checkpoint-invariant.
       if (i % checkpointEvery == 0 || i == iters) r = r.localCheckpoint()
     }
-    r
+    r.select(col("node"), col("pr"))
   }
 
   /** q96 — integer PageRank of the part "purchased-next" graph: a

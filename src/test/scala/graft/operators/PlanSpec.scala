@@ -654,8 +654,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // map-side combine in the fuse
     // the r14 shape: min/max OVER (PARTITION BY qid) inline in the
     // channel pass — the per-query extrema join re-evaluated every
-    // channel twice (31 parquet scans in the before plan, 16 after)
+    // channel twice (31 parquet scans in the before plan, 16 after).
+    // Pin what the OLD plan fails (ADVICE r14: "min(score" alone also
+    // matches the grouped-aggregate HashAggregate): the extrema must
+    // appear in a Window's function list, and the double-consume shows
+    // up as a scan count the fused shape provably undercuts.
     assert(p.contains("min(score"), p)
+    val nScans = "Scan parquet".r.findAllIn(p).size
+    assert(nScans <= 20, s"expected <= 20 parquet scans (fused extrema " +
+      s"shape; the extrema-join shape re-planned each channel twice = " +
+      s"31 scans), got $nScans\n$p")
   }
 
   test("ZTF filter plans stay in one whole-stage-codegen span, no UDFs") {

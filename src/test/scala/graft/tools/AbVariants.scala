@@ -236,6 +236,135 @@ object AbVariants {
     }
   }
 
+  // ---- old (0f98767) pageRankInt: per-iteration degree join, three
+  // setup checkpoints, unpartitioned checkpoint relations ----
+  private def pageRankIntOld(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val base = scale / 100L * 15L
+    var r = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val withDeg = r.join(outdeg, Seq("node"), "left")
+      val contrib = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("cnode"), expr("pr div deg").as("c"))
+        .groupBy("cnode").agg(sum(col("c")).as("contrib"))
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      r = nodes
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(coalesce(contrib, 0L) + dang div ${n}L) div 100L")
+              * 85L).as("pr"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  private def q96PageRankOld(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.CoreQueries.table(spark, dir, "lineitem")
+    val a = li.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"),
+      (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("dst"))
+    val edges = a.join(b, Seq("ok", "ln"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    pageRankIntOld(edges, 3)
+      .orderBy(desc("pr"), asc("node"))
+      .limit(20)
+      .select(col("node").as("part_key"), col("pr").as("rank_scaled"))
+  }
+
+  private def gateSplit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = graft.llmops.GateInputs.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    (d.filter(isQuery).select(col("doc_id").as("qid"), col("text")),
+      d.filter(!isQuery).select(col("doc_id").as("did"), col("text")))
+  }
+
+  // ---- old (0f98767) prfExpand: ONE shared full-vocabulary df ----
+  private def prfExpandOld(queries: DataFrame, postings: DataFrame,
+      fbDocs: Int, fbTerms: Int, topN: Int): DataFrame = {
+    val qTok = Retrieval.queryTerms(queries)
+    val (df0p, statsP) = Retrieval.postingsInvariants(postings)
+    val df0 = df0p.localCheckpoint(false)
+    val stats = statsP.localCheckpoint(false)
+    val run1 = Retrieval.bm25ScoreTerms(qTok, postings, df0, stats,
+        fbDocs)
+      .select("qid", "did")
+    val mined = broadcast(run1).join(postings, "did")
+      .join(qTok.withColumnRenamed("qid", "q2")
+          .withColumnRenamed("tok", "t2"),
+        col("qid") === col("q2") && col("tok") === col("t2"),
+        "left_anti")
+      .groupBy("qid", "tok")
+      .agg(sum(col("tf")).as("mass"))
+    val wE = Window.partitionBy("qid")
+      .orderBy(col("mass").desc, col("tok"))
+    val expansion = mined.withColumn("erk", row_number().over(wE))
+      .filter(col("erk") <= fbTerms)
+      .select("qid", "tok")
+    Retrieval.bm25ScoreTerms(qTok.unionByName(expansion).distinct(),
+      postings, df0, stats, topN)
+  }
+
+  private def qPrfExpansionOld(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = gateSplit(spark, dir)
+    val index = Retrieval.postingsIndex(corpus).persist()
+    prfExpandOld(queries, index, fbDocs = 5, fbTerms = 3, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  // ---- old (0f98767) q123/q128/q135: full-vocabulary impact
+  // quantization (and champion pruning) before the query-term probe ----
+  private def qBm25ImpactOld(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = gateSplit(spark, dir)
+    val landed = Retrieval.postingsIndex(
+      corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
+    val postings = Retrieval.postingsAppend(
+      corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
+    val impacts = Retrieval.impactIndex(postings).persist()
+    Retrieval.impactProbe(Retrieval.queryTerms(queries), impacts, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  private def qBm25PrunedOld(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = gateSplit(spark, dir)
+    val pruned = Retrieval.prunedImpactIndex(
+      Retrieval.impactIndex(Retrieval.postingsIndex(corpus)),
+      keepTop = 24).persist()
+    Retrieval.impactProbe(Retrieval.queryTerms(queries), pruned, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  private def qBm25TieredOld(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = gateSplit(spark, dir)
+    val impacts = Retrieval.impactIndex(
+      Retrieval.postingsIndex(corpus)).persist()
+    val pruned = Retrieval.prunedImpactIndex(impacts, keepTop = 24).persist()
+    Retrieval.tieredImpactProbe(Retrieval.queryTerms(queries), impacts,
+        pruned, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"), col("tier"))
+      .orderBy("qid", "rk")
+  }
+
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("q134")
     val rounds = if (args.length > 1) args(1).toInt else 12
@@ -349,6 +478,118 @@ object AbVariants {
             topN = 20, essential = 40)),
           "new" -> (() => Retrieval.bm25ProbeMaxScore(qTok, postings,
             topN = 20, essential = 40)))
+      // q111 at 100× (the Scale100W4 sparse regime: 500k docs, 100k-term
+      // vocabulary + stopword pool) — the scale the df pruning targets.
+      // Postings persisted outside the timed region (the W8 protocol).
+      case "q111x" =>
+        val rare = transform(sequence(lit(0), lit(39)),
+          i => concat(lit("t"), substring(md5(
+            (((col("doc_id") / 50).cast("long") * 40 + i) % 100000)
+              .cast("string")), 1, 8)))
+        val stop = transform(sequence(lit(0), lit(2)),
+          i => concat(lit("the"), pmod(col("doc_id") + i, lit(10))
+            .cast("string")))
+        val corpus = spark.range(500000L).toDF("doc_id")
+          .select(col("doc_id").as("did"),
+            concat_ws(" ", concat(rare, stop)).as("text"))
+          .localCheckpoint()
+        val queries = corpus.filter(col("did") % 5000 === 0)
+          .select(col("did").as("qid"), col("text")).localCheckpoint()
+        val postings = Retrieval.postingsIndex(corpus).persist()
+        println(s"postings rows: ${postings.count()}")
+        Seq(
+          "old" -> (() => prfExpandOld(queries, postings,
+            fbDocs = 5, fbTerms = 3, topN = 10)),
+          "new" -> (() => Retrieval.prfExpand(queries, postings,
+            fbDocs = 5, fbTerms = 3, topN = 10)))
+      // q123/q128-family pruning at 100×: full-vocabulary impact
+      // quantization + champion-list window vs the query-term-pruned
+      // build (impacts materialized via eager localCheckpoint in BOTH
+      // variants so each round's relation is GC-reclaimable; postings
+      // held persisted per the W8 protocol).
+      case "q128x" =>
+        val rare = transform(sequence(lit(0), lit(39)),
+          i => concat(lit("t"), substring(md5(
+            (((col("doc_id") / 50).cast("long") * 40 + i) % 100000)
+              .cast("string")), 1, 8)))
+        val stop = transform(sequence(lit(0), lit(2)),
+          i => concat(lit("the"), pmod(col("doc_id") + i, lit(10))
+            .cast("string")))
+        val corpus = spark.range(500000L).toDF("doc_id")
+          .select(col("doc_id").as("did"),
+            concat_ws(" ", concat(rare, stop)).as("text"))
+          .localCheckpoint()
+        val queries = corpus.filter(col("did") % 5000 === 0)
+          .select(col("did").as("qid"), col("text")).localCheckpoint()
+        val postings = Retrieval.postingsIndex(corpus).persist()
+        println(s"postings rows: ${postings.count()}")
+        val qTok = Retrieval.queryTerms(queries).localCheckpoint()
+        Seq(
+          "old" -> (() => {
+            val pruned = Retrieval.prunedImpactIndex(
+              Retrieval.impactIndex(postings), keepTop = 24)
+              .localCheckpoint()
+            Retrieval.impactProbe(qTok, pruned, topN = 10)
+          }),
+          "new" -> (() => {
+            val qPost = postings.join(broadcast(qTok.select("tok")),
+              Seq("tok"), "left_semi")
+            val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
+            val stats = Retrieval.postingsInvariants(postings)._2
+            val pruned = Retrieval.prunedImpactIndex(
+              Retrieval.impactIndexWith(qPost, df0, stats), keepTop = 24)
+              .localCheckpoint()
+            Retrieval.impactProbe(qTok, pruned, topN = 10)
+          }))
+      // q123's shape at 100×: the FULL impact relation materializes in
+      // the old variant (localCheckpoint here, persist in the gate —
+      // same 21.5M-row fill) vs the query-term-pruned build.
+      case "q123x" =>
+        val rare = transform(sequence(lit(0), lit(39)),
+          i => concat(lit("t"), substring(md5(
+            (((col("doc_id") / 50).cast("long") * 40 + i) % 100000)
+              .cast("string")), 1, 8)))
+        val stop = transform(sequence(lit(0), lit(2)),
+          i => concat(lit("the"), pmod(col("doc_id") + i, lit(10))
+            .cast("string")))
+        val corpus = spark.range(500000L).toDF("doc_id")
+          .select(col("doc_id").as("did"),
+            concat_ws(" ", concat(rare, stop)).as("text"))
+          .localCheckpoint()
+        val queries = corpus.filter(col("did") % 5000 === 0)
+          .select(col("did").as("qid"), col("text")).localCheckpoint()
+        val postings = Retrieval.postingsIndex(corpus).persist()
+        println(s"postings rows: ${postings.count()}")
+        val qTok = Retrieval.queryTerms(queries).localCheckpoint()
+        Seq(
+          "old" -> (() => {
+            val impacts = Retrieval.impactIndex(postings).localCheckpoint()
+            Retrieval.impactProbe(qTok, impacts, topN = 10)
+          }),
+          "new" -> (() => {
+            val qPost = postings.join(broadcast(qTok.select("tok")),
+              Seq("tok"), "left_semi")
+            val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
+            val stats = Retrieval.postingsInvariants(postings)._2
+            val impacts = Retrieval.impactIndexWith(qPost, df0, stats)
+              .localCheckpoint()
+            Retrieval.impactProbe(qTok, impacts, topN = 10)
+          }))
+      case "q96" => Seq(
+        "old" -> (() => q96PageRankOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q96_pagerank")(spark, sf)))
+      case "q111" => Seq(
+        "old" -> (() => qPrfExpansionOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q111_prf_expansion")(spark, sf)))
+      case "q123" => Seq(
+        "old" -> (() => qBm25ImpactOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q123_bm25_impact")(spark, sf)))
+      case "q128" => Seq(
+        "old" -> (() => qBm25PrunedOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q128_bm25_pruned")(spark, sf)))
+      case "q135" => Seq(
+        "old" -> (() => qBm25TieredOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q135_bm25_tiered")(spark, sf)))
       case other => sys.error(s"unknown variant set: $other")
     }
     def time(f: () => DataFrame): Double = {
@@ -358,7 +599,8 @@ object AbVariants {
       // the 100× cases hold their postings index persisted across
       // rounds (the W8 protocol: the index is held state, the probe
       // is timed)
-      if (which != "q133x" && which != "q114x") spark.catalog.clearCache()
+      if (!Set("q133x", "q114x", "q111x", "q128x", "q123x").contains(which))
+        spark.catalog.clearCache()
       dt
     }
     // warm both
