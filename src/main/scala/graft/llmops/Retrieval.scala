@@ -426,6 +426,13 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L,
       idfLn: Boolean = false): DataFrame = {
     val (_, stats) = postingsInvariants(postings)
+    // NOTE (r15, measured-neutral): qTok is consumed twice (the df
+    // semi filter and the scoring broadcast), each consumer re-running
+    // the bounded query tokenization. A lazy checkpoint deriving it
+    // once A/B'd a wash at sf0.1 (q108 p50 1.80 → 1.78, q130 2.62 →
+    // 2.66 — both broadcast subtrees run as parallel futures, so the
+    // duplicate derivation is off the critical path) and the query
+    // batch is bounded by contract at any scale; left as-is.
     // ONE-SHOT probe: the scoring stage consumes df only through the
     // qTok equi-join, so semi-filtering the postings by the query's
     // token set BEFORE the df aggregation computes identical df

@@ -365,6 +365,46 @@ object AbVariants {
       .orderBy("qid", "rk")
   }
 
+  // ---- old (b38542e^) bm25ProbeTerms: qTok derived once per consumer
+  // (the df semi filter and the scoring broadcast each re-run the
+  // query tokenization) ----
+  private def bm25ProbeTermsOld(qTok: DataFrame, postings: DataFrame,
+      topN: Int): DataFrame = {
+    val (_, stats) = Retrieval.postingsInvariants(postings)
+    val dfQ = postings
+      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    Retrieval.bm25ScoreTerms(qTok, postings, dfQ, stats, topN)
+  }
+
+  private def qBm25Old(spark: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = gateSplit(spark, dir)
+    bm25ProbeTermsOld(Retrieval.queryTerms(queries),
+        Retrieval.postingsIndex(corpus).persist(), topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  private def qBm25UpsertedOld(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.llmops.GateInputs.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+    val queries = d.filter(isQuery)
+      .select(col("doc_id").as("qid"), col("text"))
+    val corpus = d.filter(!isQuery)
+      .select(col("doc_id").as("did"), col("text"), col("source"))
+    val full = Retrieval.postingsIndex(corpus.select("did", "text"))
+    val updated = corpus.filter(pmod(col("did"), lit(10L)) === 3L)
+      .select(col("did"),
+        concat(col("text"), lit(" "), col("source")).as("text"))
+    val index = Retrieval.indexUpsert(updated, full).persist()
+    bm25ProbeTermsOld(Retrieval.queryTerms(queries), index, topN = 10)
+      .select(col("qid"), col("did"), col("bm25_micro"),
+        col("n_match"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("q134")
     val rounds = if (args.length > 1) args(1).toInt else 12
@@ -575,6 +615,12 @@ object AbVariants {
               .localCheckpoint()
             Retrieval.impactProbe(qTok, impacts, topN = 10)
           }))
+      case "q108" => Seq(
+        "old" -> (() => qBm25Old(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q108_bm25")(spark, sf)))
+      case "q130" => Seq(
+        "old" -> (() => qBm25UpsertedOld(spark, sf)),
+        "new" -> (() => graft.SparkEntry.queries("q130_index_upsert")(spark, sf)))
       case "q96" => Seq(
         "old" -> (() => q96PageRankOld(spark, sf)),
         "new" -> (() => graft.SparkEntry.queries("q96_pagerank")(spark, sf)))
