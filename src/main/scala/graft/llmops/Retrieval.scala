@@ -127,11 +127,22 @@ object Retrieval {
     * knob; 0 disables pruning (the exact-gate configuration).
     */
   def termChannel(queries: DataFrame, corpus: DataFrame,
-      topN: Int, maxDf: Long = 0L): DataFrame = {
-    val qTok = queries.select(col("qid"),
-      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
-    val cTok0 = corpus.select(col("did"),
-      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+      topN: Int, maxDf: Long = 0L): DataFrame =
+    overlapRank(
+      queries.select(col("qid"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("tok")),
+      corpus.select(col("did"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("tok")),
+      topN, maxDf)
+
+  /** The shared ranking core of [[termChannel]] / [[termProbeTerms]]
+    * (ADVICE r14 — ONE body, so a tie-break or pruning change cannot
+    * diverge between the one-shot and indexed forms): distinct-token
+    * overlap count over an explicit (did, tok) corpus relation,
+    * per-query (overlap desc, did) top-k, optional maxDf prune.
+    */
+  private def overlapRank(qTok: DataFrame, cTok0: DataFrame,
+      topN: Int, maxDf: Long): DataFrame = {
     val cTok =
       if (maxDf <= 0L) cTok0
       else {
@@ -165,24 +176,9 @@ object Retrieval {
     * precondition, same double-count caveat).
     */
   def termProbeTerms(qTok: DataFrame, postings: DataFrame,
-      topN: Int, maxDf: Long = 0L): DataFrame = {
-    val cTok0 = postings.select(col("did"), col("tok"))
-    val cTok =
-      if (maxDf <= 0L) cTok0
-      else {
-        val keep = cTok0.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("tok")
-        cTok0.join(broadcast(keep), "tok")
-      }
-    val w = Window.partitionBy("qid")
-      .orderBy(col("overlap").desc, col("did"))
-    broadcast(qTok).join(cTok, "tok")
-      .groupBy("qid", "did")
-      .agg(count(lit(1)).as("overlap"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topN)
-      .select("qid", "did", "rk")
-  }
+      topN: Int, maxDf: Long = 0L): DataFrame =
+    overlapRank(qTok, postings.select(col("did"), col("tok")), topN,
+      maxDf)
 
   /** Vector channel: round-6 broadcast cosine (the q19 contract),
     * ranked per query (cos desc, doc_id asc), top `topN`. Swap for
@@ -1908,22 +1904,20 @@ object Retrieval {
       corpus.filter(pmod(col("did"), lit(10L)) =!= 7L))
     val postings = postingsAppend(
       corpus.filter(pmod(col("did"), lit(10L)) === 7L), landed)
-    // the probe consumes impacts ONLY through the broadcast query-term
-    // equi-join, so the quantization is semi-filtered to the query's
-    // token set up front (the q114 qPost pruning, r15): df stays
-    // GLOBAL per matched term (the semi join keeps every posting row
-    // of a matched term) and `stats` still aggregates the full grown
-    // postings, so every materialized impact integer — and the q123
-    // hash — is unchanged while the persisted relation shrinks from
-    // index-sized to matched-postings-sized (at 100× the full
-    // quantization materialized 21.5M rows for a bounded probe).
-    val qTok = queryTerms(queries).localCheckpoint(false)
-    val qPost = postings
-      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
-    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = postingsInvariants(postings)._2
-    val impacts = impactIndexWith(qPost, df0, stats).persist()
-    impactProbe(qTok, impacts, topN = 10)
+    // A/B-REJECTED (r15): semi-filtering the quantization to the
+    // query's token set (the qPost treatment) — measured in THREE
+    // shapes, none a keep. Un-materialized qPost: wins the 100× sparse
+    // soak (p50 27.8 → 19.5 s interleaved) but at dense-vocab sf1 the
+    // post-semi-join size estimate collapses and the planner builds a
+    // broadcast from the index-sized relation (q123 7.4 → 104.5 s, one
+    // 68.8 s broadcast job — the §3.1 estimate trap). Checkpointed
+    // qPost: fixes sf1 (flat, p50 7.24 vs 7.91) but serializes the
+    // semi pass and LOSES the sparse soak (p50 19.3 → 23.4). Gate
+    // scale neutral throughout. The full quantization stays — its df
+    // join and the probe were already slim, and q114's identical
+    // verdict (r14 pruning reverted this round) is the same lesson.
+    val impacts = impactIndex(postings).persist()
+    impactProbe(queryTerms(queries), impacts, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"))
       .orderBy("qid", "rk")
@@ -2022,20 +2016,12 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("text"))
     val corpus = d.filter(!isQuery)
       .select(col("doc_id").as("did"), col("text"))
-    // every consumer — tier-1 probe, fill count, fallback probe —
-    // reaches the impacts through a query-term equi-join (the fallback
-    // probes a qid-subset of the same qTok), so both tiers quantize
-    // and prune over query-term-pruned postings (the q128 treatment,
-    // r15); df/stats stay global, rows and the q135 hash unchanged.
-    val postings = postingsIndex(corpus)
-    val qTok = queryTerms(queries).localCheckpoint(false)
-    val qPost = postings
-      .join(broadcast(qTok.select("tok")), Seq("tok"), "left_semi")
-    val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = postingsInvariants(postings)._2
-    val impacts = impactIndexWith(qPost, df0, stats).persist()
+    // A/B-REJECTED (r15): query-term-pruned tier builds — the q123
+    // verdict verbatim (same mechanism, same three measured shapes,
+    // same estimate-trap at dense sf1); see qBm25Impact.
+    val impacts = impactIndex(postingsIndex(corpus)).persist()
     val pruned = prunedImpactIndex(impacts, keepTop = 24).persist()
-    tieredImpactProbe(qTok, impacts, pruned, topN = 10)
+    tieredImpactProbe(queryTerms(queries), impacts, pruned, topN = 10)
       .select(col("qid"), col("did"), col("bm25_micro"),
         col("n_match"), col("rk"), col("tier"))
       .orderBy("qid", "rk")

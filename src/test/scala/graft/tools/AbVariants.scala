@@ -609,6 +609,7 @@ object AbVariants {
           "new" -> (() => {
             val qPost = postings.join(broadcast(qTok.select("tok")),
               Seq("tok"), "left_semi")
+              .localCheckpoint(false) // the shipped q123 shape
             val df0 = qPost.groupBy("tok").agg(count(lit(1)).as("df"))
             val stats = Retrieval.postingsInvariants(postings)._2
             val impacts = Retrieval.impactIndexWith(qPost, df0, stats)
